@@ -1,0 +1,317 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Det._
+
+/** Core relational operator surface (SURVEY.md §2.2–2.8 + §7 step 3).
+  *
+  * Every query is declarative DataFrame API so Catalyst gets full freedom:
+  * filters/projections reach the parquet scan, small dims are broadcast,
+  * AQE re-plans shuffles at runtime. Each query ends in an explicit
+  * `orderBy` on a unique key so results are row-order deterministic for
+  * the driver's hash compare; aggregated doubles go through [[Det]] so the
+  * values are bit-identical to the single-threaded DuckDB oracle.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — TPC-H-Q1-style scan→filter→hash-agg (pricing summary).
+    * Filter is pushed to the parquet scan; aggregation is partial
+    * (map-side) then final — one shuffle on the 6-row group key space. */
+  def q01AggFilter(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — projection + predicate pushdown: 2-column read of orders.
+    * `.explain` must show PushedFilters + a 3-column ReadSchema. */
+  def q02ScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_totalprice > 400000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q03 — broadcast-hash join: fact `lineitem` × small dim `part`.
+    * `broadcast()` pins the dim to every executor — no shuffle of the
+    * 100 TB fact side; only the final 25-group agg shuffles. */
+  def q03JoinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q03Sql: String =
+    s"""SELECT p_brand,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q04 — large-large equi-join (sort-merge / shuffled-hash territory):
+    * lineitem × orders on orderkey. Both sides shuffle on the join key;
+    * at scale this is the plan you want when neither side broadcasts —
+    * bucketing both tables on orderkey would remove the shuffle entirely. */
+  def q04JoinSortMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    s"""SELECT o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q05 — 5-table star join (TPC-H-Q5 shape): one big fact chain plus
+    * broadcast dims customer/nation/region. Catalyst+AQE reorder and
+    * broadcast the small sides automatically; only lineitem⋈orders
+    * shuffles at scale. */
+  def q05StarJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q05Sql: String =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** q06 — left-semi join (EXISTS): customers having at least one
+    * high-value order. Semi-join never materializes the right side's
+    * columns — at scale it short-circuits per key. */
+  def q06JoinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > lit(300000.0))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07 — left-anti join (NOT EXISTS): parts never shipped. */
+  def q07JoinAnti(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val li = Tables.lineitem(s, d)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q08 — equi + theta (non-equi residual) join: line items shipped
+    * more than 60 days after their order date. The equi part drives the
+    * shuffle; the range predicate is evaluated as a join residual. */
+  def q08JoinNonEqui(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_late"), dsum(col("l_extendedprice")).as("late_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q08Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_late,
+       |  ${dsumSql("l_extendedprice")} AS late_value
+       |FROM lineitem JOIN orders
+       |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q09 — exact distinct aggregation: distinct counts per segment. */
+  def q09AggDistinct(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q10 — rollup: subtotals + grand total over (returnflag, linestatus).
+    * Grouping nulls are folded to 'ALL' so Spark/DuckDB null-ordering
+    * differences can't affect the hash. */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q10Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  /** q11 — cube over (orderstatus, orderpriority). */
+  def q11Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("sum_price"))
+      .orderBy(col("st"), col("pri"))
+
+  val q11Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY st, pri""".stripMargin
+
+  /** q12 — sort + limit top-k: 100 priciest line items. Tie-broken on the
+    * unique (orderkey, linenumber) so the limit boundary is deterministic.
+    * Spark executes this as TakeOrderedAndProject — a per-partition top-k
+    * then a driver merge, never a full sort of 100 TB. */
+  def q12TopK(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val q12Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** q13 — set operations: union / intersect / except over customer key
+    * sets from two order populations, tagged and unioned into one result. */
+  def q13SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") > lit(350000.0)).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === lit("1-URGENT")).select(col("o_custkey"))
+    val u = hi.union(urgent).distinct().withColumn("op", lit("union"))
+    val i = hi.intersect(urgent).withColumn("op", lit("intersect"))
+    val e = hi.except(urgent).withColumn("op", lit("except"))
+    u.union(i).union(e).orderBy(col("op"), col("o_custkey"))
+  }
+
+  val q13Sql: String =
+    """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0),
+      |     urg AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_custkey, 'union' AS op FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM hi UNION ALL SELECT * FROM urg))
+      |UNION ALL
+      |SELECT o_custkey, 'intersect' AS op FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urg)
+      |UNION ALL
+      |SELECT o_custkey, 'except' AS op FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urg)
+      |ORDER BY op, o_custkey""".stripMargin
+
+  /** All queries in this module, keyed for SparkEntry. */
+  val queries: Map[String, Q] = Map(
+    "q01_agg_filter" -> q01AggFilter _,
+    "q02_scan_project" -> q02ScanProject _,
+    "q03_join_broadcast" -> q03JoinBroadcast _,
+    "q04_join_sortmerge" -> q04JoinSortMerge _,
+    "q05_join_star" -> q05StarJoin _,
+    "q06_join_semi" -> q06JoinSemi _,
+    "q07_join_anti" -> q07JoinAnti _,
+    "q08_join_nonequi" -> q08JoinNonEqui _,
+    "q09_agg_distinct" -> q09AggDistinct _,
+    "q10_agg_rollup" -> q10Rollup _,
+    "q11_agg_cube" -> q11Cube _,
+    "q12_sort_topk" -> q12TopK _,
+    "q13_set_ops" -> q13SetOps _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_filter" -> q01Sql,
+    "q02_scan_project" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_join_sortmerge" -> q04Sql,
+    "q05_join_star" -> q05Sql,
+    "q06_join_semi" -> q06Sql,
+    "q07_join_anti" -> q07Sql,
+    "q08_join_nonequi" -> q08Sql,
+    "q09_agg_distinct" -> q09Sql,
+    "q10_agg_rollup" -> q10Sql,
+    "q11_agg_cube" -> q11Sql,
+    "q12_sort_topk" -> q12Sql,
+    "q13_set_ops" -> q13Sql)
+}

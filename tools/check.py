@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: tools/check.py [sfDir] [outDir]
+  1. expects graft.Verify to have dumped <outDir>/<query>/ parquet + oracle_sql.json
+  2. registers each /root/testdata table as a DuckDB view
+  3. runs each oracle SQL, compares to the Spark parquet (columns sorted by
+     name, rows sorted by all columns, exact value compare)
+Driver-side tooling only — not part of the shipped library.
+"""
+import json, sys, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: {e}"); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fails.append(name); print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); continue
+    if len(got) != len(exp):
+        fails.append(name); print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); continue
+    g = got.sort_values(by=list(got.columns), ignore_index=True)
+    e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    bad = None
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            eq = (a == b) or (a is None and b is None)
+            try:
+                if not eq and isinstance(a, float) and isinstance(b, float):
+                    eq = (math.isnan(a) and math.isnan(b)) or a == b
+            except Exception:
+                pass
+            if not eq and str(a) == str(b):
+                eq = True
+            if not eq:
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        fails.append(name)
+        print(f"FAIL {name}: col {c} row {i}: spark={a!r} duck={b!r}")
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
