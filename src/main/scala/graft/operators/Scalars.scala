@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Det._
+
+/** Scalar-function surface (SURVEY.md §2.8): string, datetime, math, JSON,
+  * conditional — plus the SQL front door (grouping sets, correlated
+  * subqueries) via `spark.sql` over temp views.
+  *
+  * All functions here are builtin `org.apache.spark.sql.functions`
+  * (whole-stage-codegen'd); integer-valued results are cast to long where
+  * DuckDB widens to BIGINT so result schemas agree.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q19 — string functions over part. */
+  def q19Strings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pre"),
+        regexp_replace(col("p_type"), "E", "3").as("leet_type"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        reverse(col("p_name")).as("rev_name"),
+        instr(col("p_name"), "a").cast("long").as("a_pos"))
+      .orderBy(col("p_partkey"))
+
+  val q19Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS up_name, LOWER(p_brand) AS lo_brand,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  SUBSTR(p_name, 1, 8) AS name_pre,
+      |  REGEXP_REPLACE(p_type, 'E', '3', 'g') AS leet_type,
+      |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+      |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  REVERSE(p_name) AS rev_name,
+      |  CAST(STRPOS(p_name, 'a') AS BIGINT) AS a_pos
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q20 — datetime functions over orders. weekday is normalized to
+    * 0=Monday (Spark `weekday` ≡ DuckDB `isodow - 1`). */
+  def q20Datetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        weekday(col("o_orderdate")).cast("long").as("dow"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch"))
+      .orderBy(col("o_orderkey"))
+
+  val q20Sql: String =
+    """SELECT o_orderkey,
+      |  YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr, MONTH(o_orderdate) AS mo,
+      |  CAST(ISODOW(o_orderdate) - 1 AS BIGINT) AS dow,
+      |  CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
+      |  DATE_TRUNC('month', o_orderdate) AS month_start,
+      |  o_orderdate + INTERVAL 90 DAY AS due_date,
+      |  DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q21 — math functions over lineitem. Transcendentals are rounded to
+    * 6 dp (libm last-ulp differences between JVM and DuckDB); sqrt is
+    * IEEE-exact so left unrounded. */
+  def q21Math(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * col("l_discount")).cast(Dec).cast("double").as("disc_amt"),
+        ceil(col("l_extendedprice")).cast("double").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("double").as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        (col("l_linenumber") % 3).cast("long").as("ln_mod"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q21Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) AS DOUBLE) AS disc_amt,
+      |  CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
+      |  CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
+      |  SQRT(l_quantity) AS qty_sqrt,
+      |  ROUND(LN(l_extendedprice), 6) AS price_ln,
+      |  POWER(l_quantity, 2) AS qty_sq,
+      |  CAST(l_linenumber % 3 AS BIGINT) AS ln_mod,
+      |  ABS(l_discount - 0.05) AS disc_dev
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q22 — JSON extraction from events.props, both via path extraction
+    * (`get_json_object`) and schema-on-read (`from_json`). */
+  def q22Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k_schema"))
+      .orderBy(col("event_id"))
+
+  val q22Sql: String =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS BIGINT) AS k_path,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q23 — conditional expressions: CASE bucketing + conditional agg. */
+  def q23CaseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000.0, lit("small"))
+          .when(col("o_totalprice") < 300000.0, lit("mid"))
+          .otherwise(lit("big")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("finished_value"))
+      .orderBy(col("bucket"))
+
+  val q23Sql: String =
+    s"""SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small'
+       |            WHEN o_totalprice < 300000.0 THEN 'mid'
+       |            ELSE 'big' END AS bucket,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS finished_value
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q24 — GROUPING SETS through the SQL front door. */
+  def q24GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q24Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY rf, ls""".stripMargin
+
+  /** q25 — correlated scalar subquery (Catalyst decorrelates to a join):
+    * customers above their nation's average balance. The inner avg uses
+    * the exact-decimal form so both engines compute the same threshold. */
+  def q25CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q25Sql)
+  }
+
+  val q25Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q19_scalar_string" -> q19Strings _,
+    "q20_scalar_datetime" -> q20Datetime _,
+    "q21_scalar_math" -> q21Math _,
+    "q22_json_extract" -> q22Json _,
+    "q23_case_when" -> q23CaseWhen _,
+    "q24_grouping_sets" -> q24GroupingSets _,
+    "q25_correlated_subquery" -> q25CorrelatedSubquery _)
+
+  val oracles: Map[String, String] = Map(
+    "q19_scalar_string" -> q19Sql,
+    "q20_scalar_datetime" -> q20Sql,
+    "q21_scalar_math" -> q21Sql,
+    "q22_json_extract" -> q22Sql,
+    "q23_case_when" -> q23Sql,
+    "q24_grouping_sets" -> q24Sql,
+    "q25_correlated_subquery" -> q25Sql)
+}
