@@ -18,7 +18,9 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Windows.queries ++
       operators.Scalars.queries ++
-      operators.Advanced.queries
+      operators.Advanced.queries ++
+      operators.TextOps.queries ++
+      operators.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +28,7 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Windows.oracles ++
       operators.Scalars.oracles ++
-      operators.Advanced.oracles
+      operators.Advanced.oracles ++
+      operators.TextOps.oracles ++
+      operators.VectorOps.oracles
 }

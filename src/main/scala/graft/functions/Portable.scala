@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic primitives for the LLM-data-pipeline operators
+  * (dedup, similarity, text analysis).
+  *
+  * Each primitive exists twice: as a Spark `Column` builder and as a
+  * DuckDB SQL fragment builder producing *bit-identical* results — pure
+  * integer arithmetic (polynomial hashing, min-hash, sim-hash bits) or
+  * IEEE double ops applied in an identical sequential order. That is what
+  * lets MinHash/SimHash/cosine queries be hash-checked against the DuckDB
+  * oracle rather than falling back to rows-only checks.
+  *
+  * Scale note: these are higher-order-function expressions — evaluated on
+  * the executors inside a single projection (no shuffle, no UDF
+  * serialization). For the 100 TB hot path the same signatures can be
+  * swapped to `xxhash64`-based variants (codegen'd, ~10× faster, not
+  * oracle-portable); see TextOps.q90* for those.
+  */
+object Portable {
+  /** Modulus for all polynomial hashing (fits products in a long). */
+  val P: Long = 1000000007L
+
+  /** MinHash permutation constants: sig_i = min((A(i)*h + B(i)) mod P). */
+  val MinHashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19)
+  val MinHashB: Seq[Long] = Seq(12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012)
+
+  // ---- tokenization ----
+
+  /** Whitespace tokens (documents.text is single-space separated). */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  def tokensSql(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> t <> '')"
+
+  // ---- polynomial string hash: fold (acc*31 + ascii(ch)) mod P ----
+
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+  def polyHashSql(e: String): String =
+    s"list_reduce(list_transform(range(1, len($e)+1), i -> CAST(ascii(($e)[i]) AS BIGINT)), (a, b) -> (a*31 + b) % $P)"
+
+  /** Hash every token of an (already tokenized) array column. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
+  def tokenHashesSql(toksE: String): String =
+    s"list_transform($toksE, t -> ${polyHashSql("t")})"
+
+  // ---- 3-gram shingles over token hashes ----
+  // shingle hash = ((h1*31 + h2) mod P * 31 + h3) mod P over consecutive
+  // token hashes; distinct set per document. Combining token hashes
+  // instead of re-hashing shingle strings cuts the char-level work ~20×.
+
+  def shingleHashes(tokHashes: Column): Column = {
+    val n = size(tokHashes)
+    val idx = when(n >= 3, sequence(lit(1), n - 2)).otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      ((element_at(tokHashes, i) * 31 + element_at(tokHashes, i + 1)) % P * 31 +
+        element_at(tokHashes, i + 2)) % P))
+  }
+  def shingleHashesSql(thE: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($thE)-2, 0)+1), i -> ((($thE)[i]*31 + ($thE)[i+1]) % $P * 31 + ($thE)[i+2]) % $P))"
+
+  // ---- MinHash signature over a shingle-hash set ----
+
+  def minHashSig(shHashes: Column, i: Int): Column =
+    array_min(transform(shHashes, h => (lit(MinHashA(i)) * h + lit(MinHashB(i))) % P))
+  def minHashSigSql(shE: String, i: Int): String =
+    s"list_min(list_transform($shE, h -> (${MinHashA(i)}*h + ${MinHashB(i)}) % $P))"
+
+  // ---- SimHash (30-bit) over token hashes with multiplicity ----
+  // bit b is set iff sum over tokens of ±1 (sign of hash bit b) is >= 0.
+  // Built as a SQL-dialect expression (shift amounts are columns, which the
+  // Scala shiftleft/shiftright wrappers don't accept).
+
+  def simHash(tokHashesExpr: String): Column = expr(
+    s"""aggregate(sequence(0, 29), 0L, (acc, b) -> acc +
+       |  IF(aggregate($tokHashesExpr, 0L, (a, h) -> a + (CAST(shiftright(h, b) AS BIGINT) & 1)*2 - 1) >= 0,
+       |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+  def simHashSql(thE: String): String =
+    s"""list_sum(list_transform(range(0, 30), b ->
+       |  CASE WHEN list_sum(list_transform($thE, h -> ((h >> b) & 1)*2 - 1)) >= 0
+       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))""".stripMargin
+
+  // ---- vector math (Array[Float] embeddings) ----
+  // Floats are widened to double *before* multiplying and summed strictly
+  // left-to-right in both engines, so dot products are bit-identical.
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  def dotSql(aE: String, bE: String): String =
+    s"list_reduce(list_transform(range(1, len($aE)+1), i -> CAST(($aE)[i] AS DOUBLE)*CAST(($bE)[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Cosine similarity rounded to 6 dp (identical inputs ⇒ identical
+    * output; rounding is belt-and-braces at comparison boundaries). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+  def cosineSql(aE: String, bE: String): String =
+    s"ROUND(${dotSql(aE, bE)} / (SQRT(${dotSql(aE, aE)}) * SQRT(${dotSql(bE, bE)})), 6)"
+
+  /** 8-bit sign-pattern bucket of the first 8 dimensions — a deterministic
+    * LSH bucket for near-dup blocking (sign random projection onto axes). */
+  def signBucket(aCol: String): Column = expr(
+    s"aggregate(sequence(1, 8), 0L, (acc, i) -> acc + IF(element_at($aCol, i) >= CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i-1), CAST(0 AS BIGINT)))")
+  def signBucketSql(aE: String): String =
+    s"list_sum(list_transform(range(1, 9), i -> CASE WHEN ($aE)[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END))"
+}

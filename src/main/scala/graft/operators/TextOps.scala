@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators for LLM-data pipelines: token stats,
+  * quality scoring, language ID, content fingerprinting, exact dedup,
+  * MinHash+LSH near-dup, SimHash.
+  *
+  * Everything is a single projection (or projection + one keyed shuffle)
+  * over the documents table — no driver-side loops, no UDFs — so each
+  * operator scales linearly with document count. The LSH candidate
+  * generation (q35) explodes ~4 band rows per doc and joins on band
+  * buckets: work is proportional to true collisions, never all-pairs.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q30 — token statistics per document: whitespace tokens, distinct
+    * tokens, regex word count, mean token length. */
+  def q30TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_words"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks"))).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val q30Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS n_distinct,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+       |  CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(${tokensSql("text")}) AS mean_tok_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q31 — quality scoring: type-token ratio, stopword ratio, mean word
+    * length → composite score. Pure int→double arithmetic, deterministic. */
+  def q31Quality(s: SparkSession, d: String): DataFrame = {
+    val stop = "'the','a','of','and','to','in'"
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("ttr", size(array_distinct(col("toks"))) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stop)))") / col("n_tok"))
+      .withColumn("mean_len", length(regexp_replace(col("text"), " ", "")) / col("n_tok"))
+      .select(
+        col("doc_id"), col("ttr"), col("stop_ratio"), col("mean_len"),
+        round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("mean_len") / 8.0, lit(1.0)), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q31Sql: String = {
+    val toks = tokensSql("text")
+    val stop = "'the','a','of','and','to','in'"
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks,
+       |  CAST(len($toks) AS DOUBLE) AS n_tok FROM documents)
+       |SELECT doc_id,
+       |  len(list_distinct(toks)) / n_tok AS ttr,
+       |  len(list_filter(toks, t -> t IN ($stop))) / n_tok AS stop_ratio,
+       |  len(replace(text, ' ', '')) / n_tok AS mean_len,
+       |  ROUND(0.4*(len(list_distinct(toks))/n_tok) + 0.3*(1.0 - len(list_filter(toks, t -> t IN ($stop)))/n_tok)
+       |      + 0.3*LEAST((len(replace(text,' ',''))/n_tok)/8.0, 1.0), 6) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language marker tokens for the n-gram language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("row", "column", "merge"),
+    "en" -> Seq("the", "order", "table"),
+    "es" -> Seq("slow", "agg", "vector"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "batch"))
+
+  /** q32 — language ID: marker-token scoring with deterministic
+    * alphabetical tie-break, compared against the labeled lang. */
+  def q32LangId(s: SparkSession, d: String): DataFrame = {
+    val df0 = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+    val scored = LangMarkers.foldLeft(df0) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(filter(toks, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))").cast("long"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): org.apache.spark.sql.Column) { (l, rest) =>
+      when(langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted", pred)
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ col("predicted") :+
+        (col("predicted") === col("lang")).as("is_correct"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q32Sql: String = {
+    val toks = tokensSql("text")
+    val scores = LangMarkers.map { case (l, ms) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang, $scores FROM t)
+       |SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+       |  CASE $pred ELSE '${langs.last}' END AS predicted,
+       |  (CASE $pred ELSE '${langs.last}' END) = lang AS is_correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q33 — content fingerprinting: rolling polynomial hash + md5 of the
+    * normalized text, with duplicate-group sizes. */
+  def q33Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .withColumn("fp", polyHash(lower(col("text"))))
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("n_same_fp", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("content_md5"), col("n_same_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33Sql: String =
+    s"""SELECT doc_id, ${polyHashSql("lower(text)")} AS fp, md5(text) AS content_md5,
+       |  COUNT(*) OVER (PARTITION BY ${polyHashSql("lower(text)")}) AS n_same_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q34 — exact dedup summary: `dropDuplicates` cardinality vs raw count,
+    * by source. */
+  def q34ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+      .orderBy(col("source"))
+  }
+
+  val q34Sql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_text,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** q35 — MinHash + LSH near-dup detection, full pipeline:
+    * token-hash 3-gram shingles → 8 MinHash signatures → 4 bands of 2 →
+    * band-bucket join for candidates → exact Jaccard verify ≥ 0.5.
+    * The oracle runs the *same* LSH pipeline (identical integer
+    * arithmetic), so candidate sets match exactly — no recall slack. */
+  def q35MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until 8).map(i => minHashSig(col("sh"), i).as(s"sig$i"))
+    val docs = Tables.documents(s, d)
+      .withColumn("th", tokenHashes(tokens(col("text"))))
+      .withColumn("sh", shingleHashes(col("th")))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: col("sh") +: sigCols: _*)
+    val bands = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"), col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+    val l = bands.select(col("doc_id").as("da"), col("sh").as("sa"), col("bk"))
+    val r = bands.select(col("doc_id").as("db"), col("sh").as("sb"), col("bk"))
+    l.join(r, l("bk") === r("bk") && l("da") < r("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q35Sql: String = {
+    val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh FROM documents),
+       |f AS (SELECT * FROM t WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id, sh, $sigs FROM f),
+       |bands AS (
+       |  SELECT doc_id, sh, b AS band,
+       |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,
+       |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
+       |  FROM sigs, UNNEST(range(0, 4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id)
+       |SELECT da, db,
+       |  ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) AS jac
+       |FROM cand
+       |WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** q36 — SimHash: 30-bit locality-sensitive content hash per doc +
+    * exact-collision group sizes (hamming-0 dup candidates). */
+  def q36SimHash(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("simhash"))
+    Tables.documents(s, d)
+      .withColumn("th", tokenHashes(tokens(col("text"))))
+      .withColumn("simhash", simHash("th"))
+      .withColumn("n_bucket", count(lit(1)).over(w))
+      .select(col("doc_id"), col("simhash"), col("n_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q36Sql: String = {
+    val th = tokenHashesSql(tokensSql("text"))
+    s"""WITH t AS (SELECT doc_id, ${simHashSql("th")} AS simhash
+       |           FROM (SELECT doc_id, $th AS th FROM documents))
+       |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** q90 — scale-path MinHash signatures via builtin xxhash64 (codegen'd,
+    * ~10× the portable polynomial hash; not DuckDB-reproducible, so no
+    * oracle — the driver records a rows-only check). */
+  def q90MinHashFast(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        array_min(transform(col("toks"), t => xxhash64(t))).as("sig0"),
+        array_min(transform(col("toks"), t => xxhash64(t, lit(1)))).as("sig1"),
+        array_min(transform(col("toks"), t => xxhash64(t, lit(2)))).as("sig2"),
+        array_min(transform(col("toks"), t => xxhash64(t, lit(3)))).as("sig3"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q30_token_stats" -> q30TokenStats _,
+    "q31_quality_score" -> q31Quality _,
+    "q32_lang_id" -> q32LangId _,
+    "q33_fingerprint" -> q33Fingerprint _,
+    "q34_exact_dedup" -> q34ExactDedup _,
+    "q35_minhash_lsh" -> q35MinHashLsh _,
+    "q36_simhash" -> q36SimHash _,
+    "q90_minhash_fast" -> q90MinHashFast _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Sql,
+    "q31_quality_score" -> q31Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_fingerprint" -> q33Sql,
+    "q34_exact_dedup" -> q34Sql,
+    "q35_minhash_lsh" -> q35Sql,
+    "q36_simhash" -> q36Sql)
+}

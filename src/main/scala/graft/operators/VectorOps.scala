@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Det.{Dec, dsumSql}
+
+/** Similarity search over the embeddings table (`Array[Float]`, 64-dim).
+  *
+  * Three tiers, mirroring a production ANN stack:
+  *  - q37: LSH-blocked near-dup pairs (sign-bucket + label blocking —
+  *    candidate count stays linear-ish; the all-pairs cosine never runs).
+  *  - q38: brute-force top-k for a small query set — the exactness
+  *    baseline; scales as |queries| × corpus, embarrassingly parallel.
+  *  - q39: IVF-style partition: assign every vector to its nearest of K
+  *    fixed centroids (the "coarse quantizer"); at 100 TB the assignment
+  *    is one broadcast-join pass and search probes only matching cells.
+  *
+  * Dot products run in identical sequential double arithmetic in Spark
+  * and DuckDB (see [[graft.functions.Portable]]), so results hash-match.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q37 — embedding near-dup pairs: block on (label, 8-bit sign bucket),
+    * verify cosine ≥ 0.3 inside blocks. */
+  def q37EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("label").as("la"), col("bucket").as("ba"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("label").as("lb"), col("bucket").as("bb"))
+    a.join(b, col("la") === col("lb") && col("ba") === col("bb") && col("va") < col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("va"), col("vb"), col("la").as("label"), col("cos"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val q37Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${signBucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS cos
+       |FROM e a JOIN e b
+       |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+       |ORDER BY va, vb""".stripMargin
+
+  /** q38 — brute-force cosine top-5 neighbors for query vectors
+    * (vec_id < 8) against the whole corpus. */
+  def q38KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(broadcast(c), col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val q38Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |scored AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${cosineSql("qe", "ce")} DESC, cid) AS rnk
+       |  FROM q JOIN c ON qid <> cid)
+       |SELECT qid, cid, cos, rnk FROM scored WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** q39 — IVF coarse quantization: vectors (vec_id ≥ 16) assigned to the
+    * nearest of 16 fixed centroids (vec_id < 16); per-cell stats. */
+  def q39IvfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val data = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("centroid_id"))
+    data.join(broadcast(cents), lit(true))
+      .withColumn("cos", cosine(col("ve"), col("cent")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        (sum(col("cos").cast(Dec)).cast("double") / count(lit(1))).as("mean_cos"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val q39Sql: String =
+    s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+       |data AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings WHERE vec_id >= 16),
+       |scored AS (
+       |  SELECT vid, centroid_id, ${cosineSql("ve", "cent")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ${cosineSql("ve", "cent")} DESC, centroid_id) AS rnk
+       |  FROM data, cents)
+       |SELECT centroid_id, COUNT(*) AS n_assigned,
+       |  ${dsumSql("cos")} / COUNT(*) AS mean_cos
+       |FROM scored WHERE rnk = 1
+       |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q37_embed_neardup" -> q37EmbedNearDup _,
+    "q38_knn_brute" -> q38KnnBrute _,
+    "q39_knn_ivf" -> q39IvfAssign _)
+
+  val oracles: Map[String, String] = Map(
+    "q37_embed_neardup" -> q37Sql,
+    "q38_knn_brute" -> q38Sql,
+    "q39_knn_ivf" -> q39Sql)
+}
