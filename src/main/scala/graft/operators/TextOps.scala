@@ -157,19 +157,42 @@ object TextOps {
     * The oracle runs the *same* LSH pipeline (identical integer
     * arithmetic), so candidate sets match exactly — no recall slack. */
   def q35MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until 8).map(i => minHashSig(col("sh"), i).as(s"sig$i"))
-    val docs = Tables.documents(s, d)
-      .withColumn("th", tokenHashes(tokens(col("text"))))
-      .withColumn("sh", shingleHashes(col("th")))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: col("sh") +: sigCols: _*)
-    val bands = docs.select(col("doc_id"), col("sh"),
+    import org.apache.spark.sql.expressions.Window
+    // 1. dictionary-encode tokens: the portable (interpreted) polynomial
+    //    hash runs once per DISTINCT token (~vocab size), never per
+    //    occurrence — every per-occurrence path below is codegen'd.
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct()
+      .withColumn("h", polyHash(col("tok")))
+    // 2. 3-gram shingle hashes via lead() over token position — one
+    //    shuffle keyed by doc_id, linear in corpus size.
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingles = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"),
+        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+    // 3. MinHash signatures as plain min-aggregates (map-side partial agg);
+    //    shingle set kept for the exact-Jaccard verify step.
+    val sigAggs = (0 until 8).map(i =>
+      min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+    val docs = shingles.groupBy(col("doc_id"))
+      .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
+      .persist()
+    // 4. LSH: 4 bands of 2 signatures; same-bucket join yields candidates.
+    val bands = docs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"), col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
-    val l = bands.select(col("doc_id").as("da"), col("sh").as("sa"), col("bk"))
-    val r = bands.select(col("doc_id").as("db"), col("sh").as("sb"), col("bk"))
-    l.join(r, l("bk") === r("bk") && l("da") < r("db"))
-      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+    // 5. exact Jaccard verify on the (few) candidates only.
+    val a = docs.select(col("doc_id").as("da"), col("sh_set").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("sh_set").as("sb"))
+    cand.join(a, "da").join(b, "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .withColumn("jac", round(col("inter") /
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))
@@ -204,10 +227,20 @@ object TextOps {
   /** q36 — SimHash: 30-bit locality-sensitive content hash per doc +
     * exact-collision group sizes (hamming-0 dup candidates). */
   def q36SimHash(s: SparkSession, d: String): DataFrame = {
+    // Dictionary-encoded like q35: hash distinct tokens once, then the
+    // per-occurrence ±1 bit sums are 30 codegen'd conditional aggregates.
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val bitSums = (0 until 30).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+    val sh = (0 until 30).map(b =>
+      when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val w = Window.partitionBy(col("simhash"))
-    Tables.documents(s, d)
-      .withColumn("th", tokenHashes(tokens(col("text"))))
-      .withColumn("simhash", simHash("th"))
+    tok.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sh)
       .withColumn("n_bucket", count(lit(1)).over(w))
       .select(col("doc_id"), col("simhash"), col("n_bucket"))
       .orderBy(col("doc_id"))
