@@ -20,7 +20,9 @@ object SparkEntry {
       operators.Scalars.queries ++
       operators.Advanced.queries ++
       operators.TextOps.queries ++
-      operators.VectorOps.queries
+      operators.VectorOps.queries ++
+      operators.EventTime.queries ++
+      operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,7 @@ object SparkEntry {
       operators.Scalars.oracles ++
       operators.Advanced.oracles ++
       operators.TextOps.oracles ++
-      operators.VectorOps.oracles
+      operators.VectorOps.oracles ++
+      operators.EventTime.oracles ++
+      operators.PipelineQueries.oracles
 }

