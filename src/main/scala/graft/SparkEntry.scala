@@ -22,7 +22,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.VectorOps.queries ++
       operators.EventTime.queries ++
-      operators.PipelineQueries.queries
+      operators.PipelineQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.VectorOps.oracles ++
       operators.EventTime.oracles ++
-      operators.PipelineQueries.oracles
+      operators.PipelineQueries.oracles ++
+      operators.MultimodalQueries.oracles
 }

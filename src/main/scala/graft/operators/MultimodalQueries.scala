@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graded queries over the multimodal plumbing. */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q63 — binary columns + typed metadata: byte length, kind routing,
+    * metadata projection. Oracle-checkable because the payload synthesis
+    * (UTF-8 encode) and metadata arithmetic are engine-portable. */
+  def q63MediaMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.fromDocuments(Tables.documents(s, d))
+      .select(
+        col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy(col("media_id"))
+
+  val q63Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  n_chars % 640 AS width, n_chars % 480 AS height,
+      |  n_chars * 10 AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** q64 — mapPartitions feature extraction through the stub codec
+    * (per-partition decoder init). The byte-level features are portable
+    * integer arithmetic, so even this path is oracle-checked. */
+  def q64MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
+        round(col("byte_mean"), 6).as("byte_mean"),
+        col("frames_sampled").cast("long").as("frames_sampled"))
+      .orderBy(col("media_id"))
+  }
+
+  val q64Sql: String =
+    """WITH b AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  list_sum(list_transform(range(1, len(text)+1), i -> ascii(text[i]))) AS byte_sum
+      |FROM documents)
+      |SELECT media_id, kind, n_bytes, byte_sum,
+      |  ROUND(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS byte_mean,
+      |  CAST(LEAST(4, n_bytes) AS BIGINT) AS frames_sampled
+      |FROM b ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q63_media_meta" -> q63MediaMeta _,
+    "q64_media_features" -> q64MediaFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q63_media_meta" -> q63Sql,
+    "q64_media_features" -> q64Sql)
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9 — absent in the reference,
+  * which models "incremental" as date-partition overwrite; here the same
+  * event-time transforms run as real streams).
+  *
+  * Design: the batch queries in [[graft.operators.EventTime]] and these
+  * streaming versions share the same transform bodies — `readStream` vs
+  * `read` is the only difference, which is exactly Spark's unified-API
+  * promise. Watermarks bound state (at 100 TB/day the windowed-agg state
+  * store holds only watermark-recent windows, not history).
+  */
+object EventStream {
+
+  /** events schema (FIXTURES.md) with ts already usable as a timestamp.
+    * Streaming sources require an explicit schema — no inference pass. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour aggregation with a 10-minute watermark — the
+    * streaming twin of EventTime.q60. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a session
+    * closes after 30 min of silence (event-time timeout). State per user is
+    * O(1) — the canonical mapGroupsWithState pattern. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var st = state.getOption
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime * 1000
+        st match {
+          case Some(s) if t - s.end <= gapUs =>
+            st = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out ::= SessionOut(userId, new java.sql.Timestamp(s.start / 1000),
+              new java.sql.Timestamp(s.end / 1000), s.n, s.sum)
+            st = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            st = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      st.foreach(state.update)
+      if (state.hasTimedOut) {
+        st.foreach(s => out ::= SessionOut(userId, new java.sql.Timestamp(s.start / 1000),
+          new java.sql.Timestamp(s.end / 1000), s.n, s.sum))
+        state.remove()
+      }
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run a streaming query into an in-memory sink until the source drains —
+    * the local-smoke harness (batch parquet drives the stream). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
