@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding dot product.
+  *
+  * The higher-order-function form ([[Portable.dot]]) allocates a zipped
+  * array and interprets ~4 expression nodes per element; this expression
+  * compiles to a tight primitive loop inside whole-stage codegen — no
+  * allocations, no virtual calls. Semantics are identical: each float is
+  * widened to double and terms are accumulated strictly left-to-right, so
+  * results stay bit-identical to the portable form (and to the DuckDB
+  * oracle).
+  *
+  * This is preference order (b) from the build rules: a custom
+  * `Expression` where builtins are too slow, before reaching for a custom
+  * operator or mapPartitions.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_f requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.functions.{expr => sqlExpr, round, sqrt}
+
+  /** Register `dot_f` in the session's function registry (Spark 4's
+    * Column API no longer exposes raw expressions, so SQL-name
+    * registration is the supported bridge for custom expressions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs.head, exprs(1)), "scala_udf")
+
+  /** Codegen'd dot product over two `array<float>` column expressions
+    * (register(spark) first). */
+  def dotF(a: String, b: String): Column = sqlExpr(s"dot_f($a, $b)")
+
+  /** Codegen'd cosine similarity, rounded to 6 dp — drop-in replacement
+    * for [[Portable.cosine]] with identical results. */
+  def cosineF(a: String, b: String): Column =
+    round(dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b))), 6)
+}

@@ -107,13 +107,35 @@ object VectorOps {
        |FROM scored WHERE rnk = 1
        |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
 
+  /** q91 — q38 re-run on the codegen'd [[graft.functions.VectorExpressions
+    * .DotProductF]] custom Catalyst expression instead of the HOF cosine.
+    * Identical accumulation order ⇒ identical results ⇒ it shares q38's
+    * oracle — a custom codegen expression that still hash-matches DuckDB. */
+  def q91KnnNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import graft.functions.VectorExpressions.cosineF
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(broadcast(c), col("qid") =!= col("cid"))
+      .withColumn("cos", cosineF("qe", "ce"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q38_knn_brute" -> q38KnnBrute _,
-    "q39_knn_ivf" -> q39IvfAssign _)
+    "q39_knn_ivf" -> q39IvfAssign _,
+    "q91_knn_native_expr" -> q91KnnNative _)
 
   val oracles: Map[String, String] = Map(
     "q37_embed_neardup" -> q37Sql,
     "q38_knn_brute" -> q38Sql,
-    "q39_knn_ivf" -> q39Sql)
+    "q39_knn_ivf" -> q39Sql,
+    "q91_knn_native_expr" -> q38Sql)
 }
