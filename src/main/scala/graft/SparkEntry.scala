@@ -23,7 +23,8 @@ object SparkEntry {
       operators.VectorOps.queries ++
       operators.EventTime.queries ++
       operators.PipelineQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      operators.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.VectorOps.oracles ++
       operators.EventTime.oracles ++
       operators.PipelineQueries.oracles ++
-      operators.MultimodalQueries.oracles
+      operators.MultimodalQueries.oracles ++
+      operators.ScaleOps.oracles
 }
