@@ -24,7 +24,8 @@ object SparkEntry {
       operators.EventTime.queries ++
       operators.PipelineQueries.queries ++
       operators.MultimodalQueries.queries ++
-      operators.ScaleOps.queries
+      operators.ScaleOps.queries ++
+      operators.Joins2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.EventTime.oracles ++
       operators.PipelineQueries.oracles ++
       operators.MultimodalQueries.oracles ++
-      operators.ScaleOps.oracles
+      operators.ScaleOps.oracles ++
+      operators.Joins2.oracles
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: recognize the portable higher-order-function dot
+  * product —
+  * {{{ aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, (acc, v) -> acc + v) }}}
+  * — and replace it with the codegen'd [[DotProductF]] primitive loop
+  * (~4× faster, bit-identical accumulation order).
+  *
+  * This is the "let Catalyst optimize" contract applied to our own
+  * library: callers write the declarative portable form; sessions with
+  * [[GraftExtensions]] installed execute the native expression. The match
+  * is deliberately conservative — any structural deviation falls through
+  * untouched.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object PairwiseProduct {
+    /** Matches zip_with(a, b, (x, y) -> double(x) * double(y)). */
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ZipWith(a, b,
+        LambdaFunction(
+          Multiply(Cast(x: NamedLambdaVariable, DoubleType, _, _),
+                   Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+          Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _))
+        if x.exprId == ax.exprId && y.exprId == ay.exprId &&
+          isFloatArray(a) && isFloatArray(b) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private object SumFold {
+    /** Matches the (0.0, (acc, v) -> acc + v, identity) aggregate shape. */
+    def unapply(agg: ArrayAggregate): Option[Expression] = agg match {
+      case ArrayAggregate(arg, Literal(0.0, DoubleType),
+        LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+          Seq(aacc: NamedLambdaVariable, av: NamedLambdaVariable), _),
+        LambdaFunction(fin: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
+        if acc.exprId == aacc.exprId && v.exprId == av.exprId &&
+          fin.exprId == fa.exprId => Some(arg)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg: ArrayAggregate =>
+        agg match {
+          case SumFold(PairwiseProduct(a, b)) => DotProductF(a, b)
+          case _ => agg
+        }
+    }
+}
+
+/** Session extensions entry point:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+}
