@@ -143,6 +143,29 @@ object Medallion {
     * measured correctly as in the mm variant — `mm_source_to_bronze.py:95,177`). */
   final case class RunReport(table: String, database: String, count: Long, execution_time_s: Double)
 
+  /** Explicit-schema CSV scan — SURVEY.md §7's fix for the reference's
+    * `inferSchema=True` (which costs a full extra scan per file and makes
+    * types nondeterministic across loads — `linehaul_source_to_bronze.py:
+    * 109-112`). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.format("csv").option("header", true).schema(schema).load(path)
+
+  /** Run-report table (`linehaul_source_to_bronze.py:185`): list of
+    * reports → Dataset, projected like the reference's display. */
+  def reportDf(spark: SparkSession, reports: Seq[RunReport]): DataFrame = {
+    import spark.implicits._
+    reports.toDF().select(col("table"), col("database"), col("count"), col("execution_time_s"))
+  }
+
+  /** End-of-run failure gate (`linehaul_source_to_bronze.py:191-193`) —
+    * the reference's version is dead code (zero-count rows are skipped
+    * before being appended); this one actually fires. */
+  def failOnEmpty(reports: Seq[RunReport]): Unit = {
+    val bad = reports.filter(_.count == 0)
+    require(bad.isEmpty, s"No data from source for: ${bad.map(_.table).mkString(", ")}")
+  }
+
   /** Retrying connector semantics (`linehaul_source_to_bronze.py:19-34`):
     * n attempts, fixed delay, rethrow after exhaustion. */
   @annotation.tailrec
