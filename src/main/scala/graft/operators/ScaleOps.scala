@@ -90,12 +90,52 @@ object ScaleOps {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_quantiles"))
       .orderBy(col("l_returnflag"))
 
+  /** q46 — exact percentiles (sort-based, not sketch): both engines use
+    * linear interpolation over the sorted values. At scale prefer q92's
+    * approx_percentile; exact percentile is the correctness baseline. */
+  def q46Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderstatus"))
+
+  val q46Sql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q93 — seeded sampling (Bernoulli `sample` + stratified `sampleBy`):
+    * deterministic within Spark for a fixed seed but engine-specific RNG,
+    * so rows-only check. The training-pipeline downsampling primitive. */
+  def q93Sample(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val plain = li.sample(withReplacement = false, 0.1, seed = 42)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .withColumn("method", lit("bernoulli_10pct"))
+    val strata = li.stat.sampleBy("l_returnflag",
+        Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05), 42L)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .withColumn("method", lit("stratified"))
+    plain.union(strata).orderBy(col("method"), col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_ngram_jaccard" -> q40NgramJaccard _,
     "q41_salted_agg" -> q41SaltedAgg _,
-    "q92_sketches" -> q92Sketches _)
+    "q46_percentiles" -> q46Percentiles _,
+    "q92_sketches" -> q92Sketches _,
+    "q93_sample" -> q93Sample _)
 
   val oracles: Map[String, String] = Map(
     "q40_ngram_jaccard" -> q40Sql,
-    "q41_salted_agg" -> q41Sql)
+    "q41_salted_agg" -> q41Sql,
+    "q46_percentiles" -> q46Sql)
 }
