@@ -90,13 +90,32 @@ object Advanced {
       |WHERE token <> ''
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** q94 — q26's semantics on the NATIVE as-of join operator
+    * ([[graft.plans.AsOfJoinExec]]: custom logical node + strategy +
+    * streaming sort-merge exec). Shares q26's oracle — a full custom
+    * physical operator that hash-matches DuckDB's ASOF JOIN. */
+  def q94AsOfNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    graft.plans.AsOf.join(s, errors, purchases, "user_id", "t_us")
+      .toDF("event_id", "user_id", "t_us", "ts", "p_event_id", "r_user_id", "r_t_us")
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_event_id"),
+        (col("t_us") - col("r_t_us")).as("since_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_asof_join" -> q26AsOfJoin _,
     "q27_pivot" -> q27Pivot _,
-    "q28_explode_tokens" -> q28Explode _)
+    "q28_explode_tokens" -> q28Explode _,
+    "q94_asof_native" -> q94AsOfNative _)
 
   val oracles: Map[String, String] = Map(
     "q26_asof_join" -> q26Sql,
     "q27_pivot" -> q27Sql,
-    "q28_explode_tokens" -> q28Sql)
+    "q28_explode_tokens" -> q28Sql,
+    "q94_asof_native" -> q26Sql)
 }

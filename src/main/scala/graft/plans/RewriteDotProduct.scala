@@ -66,6 +66,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 /** Session extensions entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
