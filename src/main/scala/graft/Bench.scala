@@ -31,15 +31,21 @@ object Bench {
     // warm-up: JVM + codegen + first parquet footer reads
     try run(SparkEntry.queries.head._2) catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a failed query records -1 (never a small elapsed time that would
+    // read as a speedup) and is listed in "failed"
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = outcomes.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
+    val results = outcomes
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,7 +100,7 @@ object Advanced {
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
-    graft.plans.AsOf.join(s, errors, purchases, "user_id", "t_us")
+    graft.plans.AsOf.join(s, errors, purchases, "user_id", "t_us", tieBreakCols = Seq("p_event_id"))
       .toDF("event_id", "user_id", "t_us", "ts", "p_event_id", "r_user_id", "r_t_us")
       .select(col("event_id"), col("user_id"), col("ts"), col("p_event_id"),
         (col("t_us") - col("r_t_us")).as("since_purchase_us"))

@@ -46,6 +46,9 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Oracle note: byte_sum via per-char ascii() equals the UTF-8 byte sum
+    * only for ASCII text (true of the documents fixture); non-ASCII would
+    * need a bytes-level oracle DuckDB 1.0 can't express. */
   val q64Sql: String =
     """WITH b AS (SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -179,6 +179,9 @@ object TextOps {
     //    shingle set kept for the exact-Jaccard verify step.
     val sigAggs = (0 until 8).map(i =>
       min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+    // session-scoped cache (a few MB at sf0.1: |docs| × |shingle set|),
+    // MEMORY_AND_DISK and LRU-evictable; reused by the band build and both
+    // verify-side fetch joins below
     val docs = shingles.groupBy(col("doc_id"))
       .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
       .persist()

@@ -75,11 +75,15 @@ object Medallion {
 
   /** The implied PK dedup the reference declares but never built: keep the
     * newest row per primary key ordered by the version column(s)
-    * (SURVEY.md §2.5). Ties broken deterministically by the remaining
-    * column order via a monotonic tiebreak on all PK+order columns. */
+    * (SURVEY.md §2.5). Version ties (guaranteed within one batch, where
+    * `updated_on` is a single audit constant) are broken by every
+    * remaining column in name order, so the survivor depends only on row
+    * content, never on partition scan order. */
   def dedupByPk(df: DataFrame, cfg: TableConfig): DataFrame = {
+    val keyed = (cfg.primaryKey ++ cfg.orderByCol).toSet
+    val tiebreak = df.columns.filterNot(keyed).sorted.map(c => col(c).desc)
     val w = Window.partitionBy(cfg.primaryKey.map(col): _*)
-      .orderBy(cfg.orderByCol.map(c => col(c).desc): _*)
+      .orderBy(cfg.orderByCol.map(c => col(c).desc) ++ tiebreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -134,8 +138,17 @@ object Medallion {
     val historic = s"$basePath/$table/datePart=Historic"
     val tablePath = s"$basePath/$table"
     val firstLoad = !fs(spark, tablePath).exists(new Path(tablePath))
-    if (firstLoad) silver.write.mode(SaveMode.Overwrite).parquet(historic)
-    silver.write.mode(SaveMode.Overwrite).parquet(current)
+    if (firstLoad) {
+      // two actions share one evaluation of the silver transform (scan +
+      // rename + dedup shuffle) instead of recomputing it per write
+      val cached = silver.persist()
+      try {
+        cached.write.mode(SaveMode.Overwrite).parquet(historic)
+        cached.write.mode(SaveMode.Overwrite).parquet(current)
+      } finally cached.unpersist()
+    } else {
+      silver.write.mode(SaveMode.Overwrite).parquet(current)
+    }
     current
   }
 
@@ -184,10 +197,15 @@ object Medallion {
   def runTable(
       spark: SparkSession, csvPath: String, bronzeBase: String, silverBase: String,
       table: String, database: String, updatedBy: String, updatedOn: Timestamp,
-      today: String): Option[RunReport] = {
+      today: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Option[RunReport] = {
     val t0 = System.nanoTime()
-    val raw = spark.read.format("csv")
-      .option("header", true).option("inferSchema", true).load(csvPath)
+    // explicit schema (readCsv) when the caller knows it — kills the
+    // inference scan and makes types deterministic; inference only as the
+    // reference-faithful fallback (linehaul_source_to_bronze.py:109-112)
+    val raw = schema.map(readCsv(spark, csvPath, _)).getOrElse(
+      spark.read.format("csv")
+        .option("header", true).option("inferSchema", true).load(csvPath))
     nonEmptyOrNone(raw).map { staged =>
       val enriched = enrichAudit(staged, database, updatedBy, updatedOn)
       val bronzeTarget = resolveBronzeTarget(spark, bronzeBase, table, today)

@@ -27,7 +27,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinNode =
@@ -37,7 +38,8 @@ case class AsOfJoinNode(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,9 +47,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // right-side tiebreak makes the matched row among equal-time right
+  // rows deterministic (last in tiebreak order wins)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -70,21 +75,30 @@ case class AsOfJoinExec(
       var matched: InternalRow = null // copy of last right row with key==matchedKey, time<=current left time
 
       lIter.map { l =>
-        val k = lk.eval(l).asInstanceOf[Long]
-        val t = lt.eval(l).asInstanceOf[Long]
-        if (matched != null && matchedKey != k) matched = null
-        var done = false
-        while (!done && buffered.hasNext) {
-          val r = buffered.head
-          val rkv = rk.eval(r).asInstanceOf[Long]
-          if (rkv < k) buffered.next() // behind: discard
-          else if (rkv == k && rt.eval(r).asInstanceOf[Long] <= t) {
-            matched = buffered.next().copy() // candidate; later ones override
-            matchedKey = k
-          } else done = true // right is ahead of this left row
+        val kv = lk.eval(l)
+        val tv = lt.eval(l)
+        if (kv == null || tv == null) {
+          // NULL key/time never matches (ASOF JOIN semantics)
+          proj(joined(l, nullRight))
+        } else {
+          val k = kv.asInstanceOf[Long]
+          val t = tv.asInstanceOf[Long]
+          if (matched != null && matchedKey != k) matched = null
+          var done = false
+          while (!done && buffered.hasNext) {
+            val r = buffered.head
+            val rkv = rk.eval(r)
+            val rtv = rt.eval(r)
+            if (rkv == null || rtv == null) buffered.next() // null-keyed right rows never match
+            else if (rkv.asInstanceOf[Long] < k) buffered.next() // behind: discard
+            else if (rkv.asInstanceOf[Long] == k && rtv.asInstanceOf[Long] <= t) {
+              matched = buffered.next().copy() // candidate; later ones override
+              matchedKey = k
+            } else done = true // right is ahead of this left row
+          }
+          val rightSide = if (matched != null && matchedKey == k) matched else nullRight
+          proj(joined(l, rightSide))
         }
-        val rightSide = if (matched != null && matchedKey == k) matched else nullRight
-        proj(joined(l, rightSide))
       }
     }
   }
@@ -96,8 +110,8 @@ case class AsOfJoinExec(
 object AsOfJoinStrategy extends SparkStrategy {
   import org.apache.spark.sql.execution.SparkPlan
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rtt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rtt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rtt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rtt, tie) :: Nil
     case _ => Nil
   }
 }
@@ -106,7 +120,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   * times must be long-typed columns (epoch micros for times). */
 object AsOf {
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
-      keyCol: String, timeCol: String): DataFrame = {
+      keyCol: String, timeCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
     // public hook: make the strategy available in ANY session (the
     // GraftExtensions path covers sessions configured at startup)
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -122,7 +136,8 @@ object AsOf {
     val node = AsOfJoinNode(
       Bridge.planOf(left), Bridge.planOf(rightIso),
       attr(left, keyCol), attr(rightIso, keyCol + "__r"),
-      attr(left, timeCol), attr(rightIso, timeCol + "__r"))
+      attr(left, timeCol), attr(rightIso, timeCol + "__r"),
+      tieBreakCols.map(c => attr(rightIso, c + "__r")))
     Bridge.ofRows(spark, node)
   }
 }

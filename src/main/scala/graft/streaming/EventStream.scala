@@ -52,8 +52,12 @@ object EventStream {
       sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a session
-    * closes after 30 min of silence (event-time timeout). State per user is
-    * O(1) — the canonical mapGroupsWithState pattern. */
+    * CLOSES (and is emitted) when a later event arrives more than 30 min
+    * after it; the open tail session stays in the state store. State per
+    * user is O(1) — the canonical mapGroupsWithState pattern. Flushing
+    * idle sessions without new data requires the EventTimeTimeout variant
+    * (watermark + state.setTimeoutTimestamp); this NoTimeout form never
+    * emits a session that hasn't been superseded. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
@@ -75,11 +79,6 @@ object EventStream {
         }
       }
       st.foreach(state.update)
-      if (state.hasTimedOut) {
-        st.foreach(s => out ::= SessionOut(userId, new java.sql.Timestamp(s.start / 1000),
-          new java.sql.Timestamp(s.end / 1000), s.n, s.sum))
-        state.remove()
-      }
       out.reverseIterator
     }
 

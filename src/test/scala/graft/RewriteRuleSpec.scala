@@ -47,3 +47,47 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(classOf[Function1[_, _]].isAssignableFrom(cls))
   }
 }
+
+/** Review-fix regressions: DotProductF must reproduce the HOF form's NULL
+  * semantics so the rewrite is semantics-preserving. */
+class DotProductNullSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("ragged or null-element arrays yield NULL, matching aggregate(zip_with(...))") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f)),        // ok -> 5.0
+      (Array(1f, 2f, 3f), Array(1f, 2f))     // ragged -> null
+    ).toDF("a", "b")
+    val native = df.select(expr("dot_f(a, b)")).collect().map(r => Option(r.get(0)))
+    val hof = df.select(graft.functions.Portable.dot(col("a"), col("b"))).collect()
+      .map(r => Option(r.get(0)))
+    assert(native.sameElements(hof))
+    assert(native(0).contains(5.0) && native(1).isEmpty)
+  }
+}
+
+/** dedupByPk must be content-deterministic even when the version column
+  * ties (the in-batch case where updated_on is one audit constant). */
+class DedupTieSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("version ties resolve by remaining-column order, not partition order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("K", 1, "a", 10.0), ("K", 1, "b", 5.0), ("K", 1, "a", 7.0))
+    val expected = graft.pipeline.Medallion.dedupByPk(
+      rows.toDF("pk", "v", "tag", "amt"),
+      graft.pipeline.TableConfig("t", Seq("pk"), Seq("v"))).collect().head
+    // survivor = max by (tag desc, amt desc among remaining cols sorted by name: amt, tag)
+    (1 to 3).foreach { _ =>
+      val shuffled = scala.util.Random.shuffle(rows)
+      val got = graft.pipeline.Medallion.dedupByPk(
+        shuffled.toDF("pk", "v", "tag", "amt").repartition(3),
+        graft.pipeline.TableConfig("t", Seq("pk"), Seq("v"))).collect().head
+      assert(got == expected)
+    }
+  }
+}
