@@ -143,15 +143,67 @@ object Joins2 {
       |        / CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE), 8) AS w_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q47 — unionByName with allowMissingColumns: schema-evolution-tolerant
+    * append (absent columns null-filled), the pattern for unioning bronze
+    * loads across schema versions. */
+  def q47UnionByName(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q47Sql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'UNKNOWN' END AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q48 — array functions over token arrays: sort, slice, contains,
+    * distinct sizes, element access. */
+  def q48ArrayFunctions(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        array_join(sort_array(array_distinct(col("toks"))), " ").as("vocab_sorted"),
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        size(col("toks")).cast("long").as("n"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q48Sql: String = {
+    val toks = graft.functions.Portable.tokensSql("text")
+    s"""SELECT doc_id,
+       |  array_to_string(list_sort(list_distinct($toks)), ' ') AS vocab_sorted,
+       |  array_to_string(($toks)[1:3], ' ') AS first3,
+       |  list_contains($toks, 'the') AS has_the,
+       |  ($toks)[1] AS first_tok,
+       |  ($toks)[-1] AS last_tok,
+       |  CAST(len($toks) AS BIGINT) AS n
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q42_outer_join" -> q42OuterJoin _,
     "q43_setops_all" -> q43SetOpsAll _,
     "q44_range_join_binned" -> q44RangeJoinBinned _,
-    "q45_typed_aggregator" -> q45TypedAggregator _)
+    "q45_typed_aggregator" -> q45TypedAggregator _,
+    "q47_union_by_name" -> q47UnionByName _,
+    "q48_array_functions" -> q48ArrayFunctions _)
 
   val oracles: Map[String, String] = Map(
     "q42_outer_join" -> q42Sql,
     "q43_setops_all" -> q43Sql,
     "q44_range_join_binned" -> q44Sql,
-    "q45_typed_aggregator" -> q45Sql)
+    "q45_typed_aggregator" -> q45Sql,
+    "q47_union_by_name" -> q47Sql,
+    "q48_array_functions" -> q48Sql)
 }

@@ -34,8 +34,12 @@ for name, sql in sorted(oracle.items()):
         fails.append(name); print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); continue
     if len(got) != len(exp):
         fails.append(name); print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); continue
-    g = got.sort_values(by=list(got.columns), ignore_index=True)
-    e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    # array-typed cells (numpy arrays / lists) are unhashable: sort on a
+    # stringified copy, compare the original values
+    def sortable(df):
+        return df.map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else str(v))
+    g = got.loc[sortable(got).sort_values(by=list(got.columns)).index].reset_index(drop=True)
+    e = exp.loc[sortable(exp).sort_values(by=list(exp.columns)).index].reset_index(drop=True)
     bad = None
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()
