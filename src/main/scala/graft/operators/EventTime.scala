@@ -83,13 +83,41 @@ object EventTime {
        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end, ${dsumSql("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** q65 — Spark's NATIVE session_window operator (gap-based, 30 min) —
+    * the built-in twin of the manual lag/cumsum sessionization in q62;
+    * the oracle derives the same sessions with window arithmetic. */
+  def q65SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("sess_start"), col("sess_end"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val q65Sql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value,
+       |    epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+       |  FROM events),
+       |m AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
+       |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+       |SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q60_tumbling_window" -> q60Tumbling _,
     "q61_sliding_window" -> q61Sliding _,
-    "q62_sessionize" -> q62Sessionize _)
+    "q62_sessionize" -> q62Sessionize _,
+    "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
     "q60_tumbling_window" -> q60Sql,
     "q61_sliding_window" -> q61Sql,
-    "q62_sessionize" -> q62Sql)
+    "q62_sessionize" -> q62Sql,
+    "q65_session_window_native" -> q65Sql)
 }

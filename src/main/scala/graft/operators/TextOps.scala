@@ -271,7 +271,38 @@ object TextOps {
         array_min(transform(col("toks"), t => xxhash64(t, lit(3)))).as("sig3"))
       .orderBy(col("doc_id"))
 
+  /** q49 — edit-distance similarity: Levenshtein between each doc and the
+    * next doc of the same lang (deterministic pairing via lead window —
+    * linear pair count, not all-pairs). Both engines implement the same
+    * Wagner–Fischer DP, so distances match exactly. */
+  def q49Levenshtein(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("lang"), col("doc_id"), col("next_id"),
+        levenshtein(col("text"), col("next_text")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text"), col("next_text")) /
+          greatest(length(col("text")), length(col("next_text"))).cast("double"), 6).as("sim"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q49Sql: String =
+    """WITH p AS (
+      |  SELECT lang, doc_id, text,
+      |    LEAD(doc_id, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS next_id,
+      |    LEAD(text, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS next_text
+      |  FROM documents)
+      |SELECT lang, doc_id, next_id,
+      |  CAST(levenshtein(text, next_text) AS BIGINT) AS edit_dist,
+      |  ROUND(1.0 - levenshtein(text, next_text) /
+      |    CAST(GREATEST(len(text), len(next_text)) AS DOUBLE), 6) AS sim
+      |FROM p WHERE next_id IS NOT NULL
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_levenshtein" -> q49Levenshtein _,
     "q30_token_stats" -> q30TokenStats _,
     "q31_quality_score" -> q31Quality _,
     "q32_lang_id" -> q32LangId _,
@@ -282,6 +313,7 @@ object TextOps {
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
+    "q49_levenshtein" -> q49Sql,
     "q30_token_stats" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_lang_id" -> q32Sql,
