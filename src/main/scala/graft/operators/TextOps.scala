@@ -257,6 +257,72 @@ object TextOps {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** q66 — winnowing document fingerprints (the MOSS rolling-hash scheme):
+    * char 5-gram hashes via lead() over exploded characters (rolling hash
+    * without per-gram char loops), minima over 8-gram windows, distinct
+    * minima = the document's fingerprint set; docs sharing ≥8 fingerprints
+    * are near-dup pairs. Every per-char step is a codegen'd projection or
+    * window — linear in corpus size. */
+  def q66Winnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "")).as(Seq("pos", "ch")))
+      .withColumn("a", ascii(col("ch")).cast("long"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // 12-char grams (~2 words): short grams are too dense on a small
+    // vocabulary — at k=5 nearly every doc pair shares fingerprints
+    val gram = chars
+      .withColumn("h",
+        (1 until 12).foldLeft(col("a")) { (acc, j) =>
+          (acc * 31 + lead(col("a"), j).over(wp)) % P
+        })
+      .filter(col("h").isNotNull)
+    val wFrame = wp.rowsBetween(Window.currentRow, 7)
+    val fps = gram
+      .withColumn("is_full", lead(col("h"), 7).over(wp).isNotNull)
+      .withColumn("wmin", min(col("h")).over(wFrame))
+      .filter(col("is_full"))
+      .select(col("doc_id"), col("wmin")).distinct().persist()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = fps.as("x").join(fps.as("y"),
+        col("x.wmin") === col("y.wmin") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("overlap", round(col("n_common") / least(col("na"), col("nb")).cast("double"), 6))
+      .filter(col("overlap") >= 0.5)
+      .select(col("da"), col("db"), col("n_common"), col("overlap"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q66Sql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, i - 1 AS pos, CAST(ascii(t[i]) AS BIGINT) AS a
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '') AS t FROM documents),
+       |       UNNEST(range(1, len(t) + 1)) AS u(i)),
+       |gram AS (
+       |  SELECT doc_id, pos, ((((((((((((((((((((((a) * 31 + LEAD(a, 1) OVER w) % 1000000007) * 31 + LEAD(a, 2) OVER w) % 1000000007) * 31 + LEAD(a, 3) OVER w) % 1000000007) * 31 + LEAD(a, 4) OVER w) % 1000000007) * 31 + LEAD(a, 5) OVER w) % 1000000007) * 31 + LEAD(a, 6) OVER w) % 1000000007) * 31 + LEAD(a, 7) OVER w) % 1000000007) * 31 + LEAD(a, 8) OVER w) % 1000000007) * 31 + LEAD(a, 9) OVER w) % 1000000007) * 31 + LEAD(a, 10) OVER w) % 1000000007) * 31 + LEAD(a, 11) OVER w) % 1000000007 AS h
+       |  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT * FROM gram WHERE h IS NOT NULL),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, wmin FROM (
+       |    SELECT doc_id,
+       |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+       |      LEAD(h, 7) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS is_full
+       |    FROM g) WHERE is_full)
+       |, sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS n_common
+       |  FROM fp x JOIN fp y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, n_common,
+       |  ROUND(n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS overlap
+       |FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
   /** q90 — scale-path MinHash signatures via builtin xxhash64 (codegen'd,
     * ~10× the portable polynomial hash; not DuckDB-reproducible, so no
     * oracle — the driver records a rows-only check). */
@@ -310,6 +376,7 @@ object TextOps {
     "q34_exact_dedup" -> q34ExactDedup _,
     "q35_minhash_lsh" -> q35MinHashLsh _,
     "q36_simhash" -> q36SimHash _,
+    "q66_winnowing" -> q66Winnowing _,
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
@@ -320,5 +387,6 @@ object TextOps {
     "q33_fingerprint" -> q33Sql,
     "q34_exact_dedup" -> q34Sql,
     "q35_minhash_lsh" -> q35Sql,
-    "q36_simhash" -> q36Sql)
+    "q36_simhash" -> q36Sql,
+    "q66_winnowing" -> q66Sql)
 }
