@@ -284,6 +284,50 @@ object Relational {
       |SELECT o_custkey, 'except' AS op FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urg)
       |ORDER BY op, o_custkey""".stripMargin
 
+  /** q95 — TPC-H Q3 (shipping priority): 3-way join, filtered both sides,
+    * top-10 unshipped orders by revenue. */
+  def q95TpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q95Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** q96 — TPC-H Q6 (forecast revenue change): pure scan-filter-agg, the
+    * pushdown-and-prune benchmark shape. */
+  def q96TpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.05) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q96Sql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin
+
   /** All queries in this module, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_agg_filter" -> q01AggFilter _,
@@ -298,7 +342,9 @@ object Relational {
     "q10_agg_rollup" -> q10Rollup _,
     "q11_agg_cube" -> q11Cube _,
     "q12_sort_topk" -> q12TopK _,
-    "q13_set_ops" -> q13SetOps _)
+    "q13_set_ops" -> q13SetOps _,
+    "q95_tpch_q3" -> q95TpchQ3 _,
+    "q96_tpch_q6" -> q96TpchQ6 _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -313,5 +359,7 @@ object Relational {
     "q10_agg_rollup" -> q10Sql,
     "q11_agg_cube" -> q11Sql,
     "q12_sort_topk" -> q12Sql,
-    "q13_set_ops" -> q13Sql)
+    "q13_set_ops" -> q13Sql,
+    "q95_tpch_q3" -> q95Sql,
+    "q96_tpch_q6" -> q96Sql)
 }

@@ -117,6 +117,49 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Char-bigram profiles for the character-level language-ID variant. */
+  val CharProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ro", "ol", "me"),
+    "en" -> Seq("th", "he", "ta"),
+    "es" -> Seq("sl", "ag", "ve"),
+    "fr" -> Seq("sc", "da", "qu"),
+    "zh" -> Seq("jo", "sm", "ba"))
+
+  /** q50 — character n-gram language ID: score = total occurrences of each
+    * profile's char bigrams, counted portably as
+    * (len(text) - len(replace(text, bigram, ''))) / 2. Complements the
+    * token-marker variant (q32) with the classic char-n-gram heuristic. */
+  def q50CharNgramLangId(s: SparkSession, d: String): DataFrame = {
+    def bigramCount(b: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
+    val scored = CharProfiles.foldLeft(Tables.documents(s, d)) { case (df, (l, bs)) =>
+      df.withColumn(s"s_$l", bs.map(bigramCount).reduce(_ + _).cast("long"))
+    }
+    val langs = CharProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): org.apache.spark.sql.Column) { (l, rest) =>
+      when(langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted", pred)
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q50Sql: String = {
+    def bc(b: String) = s"(len(text) - len(replace(text, '$b', ''))) / 2"
+    val scores = CharProfiles.map { case (l, bs) =>
+      s"CAST(${bs.map(bc).mkString(" + ")} AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = CharProfiles.map(_._1)
+    val pred = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, $scores FROM documents)
+       |SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+       |  CASE $pred ELSE '${langs.last}' END AS predicted
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** q33 — content fingerprinting: rolling polynomial hash + md5 of the
     * normalized text, with duplicate-group sizes. */
   def q33Fingerprint(s: SparkSession, d: String): DataFrame = {
@@ -377,6 +420,7 @@ object TextOps {
     "q35_minhash_lsh" -> q35MinHashLsh _,
     "q36_simhash" -> q36SimHash _,
     "q66_winnowing" -> q66Winnowing _,
+    "q50_char_ngram_langid" -> q50CharNgramLangId _,
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +432,6 @@ object TextOps {
     "q34_exact_dedup" -> q34Sql,
     "q35_minhash_lsh" -> q35Sql,
     "q36_simhash" -> q36Sql,
-    "q66_winnowing" -> q66Sql)
+    "q66_winnowing" -> q66Sql,
+    "q50_char_ngram_langid" -> q50Sql)
 }
