@@ -127,10 +127,52 @@ object VectorOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q67 — end-to-end IVF search with a TRAINED coarse quantizer
+    * (KMeansIvf, k=8, 3 iters): queries probe their top-2 cells only and
+    * recall@5 is measured against the brute-force ground truth (q38).
+    * Training means (parallel double sums) aren't oracle-portable, so
+    * this is a rows-only check; the recall column is the self-audit. */
+  def q67IvfSearch(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    val e = Tables.embeddings(s, d)
+    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
+    val centsB = cents.persist()
+    val assigned = KMeansIvf.assign(e, centsB, "vec_id", "embedding")
+      .select(col("vec_id").as("cid"), col("cluster"))
+    val corpus = e.join(assigned, e("vec_id") === col("cid"))
+      .select(col("cid"), col("embedding").as("ce"), col("cluster"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // probe list: top-2 nearest cells per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("cluster"))
+    val probes = queries.join(broadcast(centsB), lit(true))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(qe, cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qe"), col("cluster"))
+    // search only probed cells
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val ivfTop = probes.join(corpus, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    // recall@5 vs brute force
+    val brute = q38KnnBrute(s, d).select(col("qid"), col("cid"))
+    ivfTop.join(brute, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      .join(ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_returned")), "qid")
+      .withColumn("recall_at_5", round(col("n_hits") / lit(5.0), 2))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q38_knn_brute" -> q38KnnBrute _,
     "q39_knn_ivf" -> q39IvfAssign _,
+    "q67_ivf_search_trained" -> q67IvfSearch _,
     "q91_knn_native_expr" -> q91KnnNative _)
 
   val oracles: Map[String, String] = Map(
