@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object KMeansIvf {
 
-  /** Squared L2 distance between a float-array column and a broadcast
-    * double-array literal column, accumulated left-to-right. */
-  private def distSq(vec: String, cent: String) = expr(
+  /** Squared L2 distance between a float-array column and a double-array
+    * column, accumulated left-to-right. Public so search-time probing
+    * (q67) uses the exact arithmetic training used. */
+  def distSq(vec: String, cent: String): org.apache.spark.sql.Column = expr(
     s"aggregate(zip_with($vec, $cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)")
 
   /** Assign every vector to its nearest centroid. `centroids` must be
@@ -39,23 +40,33 @@ object KMeansIvf {
     * table (cluster, cent: array<double>) plus per-iteration inertia. */
   def fit(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
     val spark = data.sparkSession
-    var centroids = data.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cluster"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("cent"))
+    import spark.implicits._
+    // model state lives on the driver (k x dim doubles): each iteration
+    // rebuilds the centroid DF from collected values, truncating lineage
+    // so iteration i never replays iterations 1..i-1
+    var model: Seq[(Int, Seq[Double])] = data.orderBy(col(idCol)).limit(k)
+      .select(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("cent"))
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0) }.toIndexedSeq
     var inertias = List.empty[Double]
     for (_ <- 1 to iters) {
-      val assigned = assign(data, centroids, idCol, vecCol)
+      val centroids = model.toDF("cluster", "cent")
+      val assigned = assign(data, centroids, idCol, vecCol).persist()
       inertias ::= assigned.agg(sum(col("dist_sq"))).head().getDouble(0)
       // new centroid = per-dimension mean of members
       val members = data.join(assigned.select(col(idCol), col("cluster")), idCol)
-      centroids = members
+      val updated = members
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("cluster"), expr("transform(dims, d -> d.m)").as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assigned.unpersist()
+      // an empty cluster keeps its previous centroid instead of vanishing
+      model = model.map { case (c, prev) => c -> updated.getOrElse(c, prev) }
     }
-    (centroids, inertias.reverse)
+    (model.toDF("cluster", "cent"), inertias.reverse)
   }
 }

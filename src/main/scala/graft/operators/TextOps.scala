@@ -131,7 +131,7 @@ object TextOps {
     * token-marker variant (q32) with the classic char-n-gram heuristic. */
   def q50CharNgramLangId(s: SparkSession, d: String): DataFrame = {
     def bigramCount(b: String) =
-      (length(col("text")) - length(regexp_replace(col("text"), b, ""))) / 2
+      (length(col("text")) - length(expr(s"replace(text, '$b', '')"))) / 2 // literal, like the oracle's replace()
     val scored = CharProfiles.foldLeft(Tables.documents(s, d)) { case (df, (l, bs)) =>
       df.withColumn(s"s_$l", bs.map(bigramCount).reduce(_ + _).cast("long"))
     }
@@ -295,7 +295,7 @@ object TextOps {
   val q36Sql: String = {
     val th = tokenHashesSql(tokensSql("text"))
     s"""WITH t AS (SELECT doc_id, ${simHashSql("th")} AS simhash
-       |           FROM (SELECT doc_id, $th AS th FROM documents))
+       |           FROM (SELECT doc_id, $th AS th FROM documents) WHERE len(th) > 0)
        |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
        |FROM t ORDER BY doc_id""".stripMargin
   }
@@ -363,7 +363,7 @@ object TextOps {
        |SELECT da, db, n_common,
        |  ROUND(n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS overlap
        |FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-       |WHERE n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.5
+       |WHERE ROUND(n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) >= 0.5
        |ORDER BY da, db""".stripMargin
 
   /** q90 — scale-path MinHash signatures via builtin xxhash64 (codegen'd,

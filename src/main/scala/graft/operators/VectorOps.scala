@@ -91,7 +91,7 @@ object VectorOps {
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_assigned"),
-        (sum(col("cos").cast(Dec)).cast("double") / count(lit(1))).as("mean_cos"))
+        graft.operators.Det.davg(col("cos")).as("mean_cos"))
       .orderBy(col("centroid_id"))
   }
 
@@ -146,8 +146,7 @@ object VectorOps {
     // probe list: top-2 nearest cells per query
     val wq = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("cluster"))
     val probes = queries.join(broadcast(centsB), lit(true))
-      .withColumn("dist_sq", expr(
-        "aggregate(zip_with(qe, cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)"))
+      .withColumn("dist_sq", graft.ml.KMeansIvf.distSq("qe", "cent"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 2)
       .select(col("qid"), col("qe"), col("cluster"))
@@ -158,13 +157,17 @@ object VectorOps {
       .withColumn("cos", cosine(col("qe"), col("ce")))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 5)
-      .select(col("qid"), col("cid"))
-    // recall@5 vs brute force
+      .select(col("qid"), col("cid")).persist()
+    // recall@5 vs brute force — anchored on the query set so zero-hit
+    // queries report 0.0 instead of disappearing from the metric
     val brute = q38KnnBrute(s, d).select(col("qid"), col("cid"))
-    ivfTop.join(brute, Seq("qid", "cid"), "left_semi")
+    val hits = ivfTop.join(brute, Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-      .join(ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_returned")), "qid")
+    ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_returned"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_at_5", round(col("n_hits") / lit(5.0), 2))
+      .select(col("qid"), col("n_hits"), col("n_returned"), col("recall_at_5"))
       .orderBy(col("qid"))
   }
 
