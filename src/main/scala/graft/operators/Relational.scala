@@ -328,6 +328,57 @@ object Relational {
        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
        |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin
 
+  /** q97 — TPC-H Q14 (promo revenue ratio): conditional aggregation over a
+    * broadcast join, one month of shipments. */
+  def q97TpchQ14(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_revenue_pct"),
+        count(lit(1)).as("n"))
+  }
+
+  val q97Sql: String =
+    s"""SELECT
+       |  100.0 * ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |        / ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue_pct,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin
+
+  /** q98 — TPC-H Q10 (returned-item reporting): revenue lost to returns
+    * per customer, top 20, with the nation dim joined in. */
+  def q98TpchQ10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q98Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** All queries in this module, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_agg_filter" -> q01AggFilter _,
@@ -344,7 +395,9 @@ object Relational {
     "q12_sort_topk" -> q12TopK _,
     "q13_set_ops" -> q13SetOps _,
     "q95_tpch_q3" -> q95TpchQ3 _,
-    "q96_tpch_q6" -> q96TpchQ6 _)
+    "q96_tpch_q6" -> q96TpchQ6 _,
+    "q97_tpch_q14" -> q97TpchQ14 _,
+    "q98_tpch_q10" -> q98TpchQ10 _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -361,5 +414,7 @@ object Relational {
     "q12_sort_topk" -> q12Sql,
     "q13_set_ops" -> q13Sql,
     "q95_tpch_q3" -> q95Sql,
-    "q96_tpch_q6" -> q96Sql)
+    "q96_tpch_q6" -> q96Sql,
+    "q97_tpch_q14" -> q97Sql,
+    "q98_tpch_q10" -> q98Sql)
 }

@@ -39,3 +39,28 @@ class AqeSkewSpec extends AnyFunSuite {
     assert(n == expected)
   }
 }
+
+/** Runtime bloom-filter join pruning: a selective dim-side filter injects a
+  * bloom filter on the fact side so non-matching fact rows die at the scan
+  * — Spark's runtime answer to the 100 TB selective-join problem. */
+class RuntimeBloomFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("selective join injects a bloom filter on the fact side") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s2, sf)
+    val o = Tables.orders(s2, sf).filter(col("o_totalprice") > 450000.0)
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    assert(j.queryExecution.optimizedPlan.toString.toLowerCase.contains("bloom"))
+    // results unchanged vs the unfiltered-plan session
+    val expected = Tables.lineitem(spark, sf).join(
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.count() == expected)
+  }
+}
