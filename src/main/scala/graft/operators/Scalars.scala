@@ -171,7 +171,81 @@ object Scalars {
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q51 — null-handling semantics: null-safe equality, NULLIF, NVL/
+    * COALESCE, null-aware counts. The left-joined order rows supply real
+    * nulls. */
+  def q51NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"), col("o_orderstatus"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("o_orderstatus").eqNullSafe(lit("F")).as("is_f_nullsafe"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullif"),
+        nvl(col("o_orderstatus"), lit("NONE")).as("status_nvl"),
+        col("o_orderstatus").isNull.as("no_big_order"))
+      .orderBy(col("c_custkey"), col("status_nvl"))
+  }
+
+  val q51Sql: String =
+    """SELECT c_custkey,
+      |  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nullif,
+      |  COALESCE(o_orderstatus, 'NONE') AS status_nvl,
+      |  o_orderstatus IS NULL AS no_big_order
+      |FROM customer c LEFT JOIN (SELECT o_custkey, o_orderstatus FROM orders
+      |                           WHERE o_totalprice > 400000.0) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c_custkey, status_nvl""".stripMargin
+
+  /** q52 — regex extraction: capture groups + match counting over part
+    * descriptors (both engines are PCRE-compatible for this subset). */
+  def q52RegexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
+  val q52Sql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q69 — interval RANGE frame: 30-day trailing spend per customer (frame
+    * bounded by time value, not row count — rows at equal distance enter
+    * together, unlike q18's ROWS frame). Ordered on epoch seconds because
+    * range frames need numeric order columns. */
+  def q69RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val secs = 30L * 86400
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("t"))
+      .rangeBetween(-secs, 0)
+    Tables.orders(s, d)
+      .withColumn("t", unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L)
+      .withColumn("trailing_30d_spend",
+        sum(col("o_totalprice").cast(Det.Dec)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("trailing_30d_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q69Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q51_null_semantics" -> q51NullSemantics _,
+    "q52_regex_extract" -> q52RegexExtract _,
+    "q69_range_frame" -> q69RangeFrame _,
     "q19_scalar_string" -> q19Strings _,
     "q20_scalar_datetime" -> q20Datetime _,
     "q21_scalar_math" -> q21Math _,
@@ -181,6 +255,9 @@ object Scalars {
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q51_null_semantics" -> q51Sql,
+    "q52_regex_extract" -> q52Sql,
+    "q69_range_frame" -> q69Sql,
     "q19_scalar_string" -> q19Sql,
     "q20_scalar_datetime" -> q20Sql,
     "q21_scalar_math" -> q21Sql,
