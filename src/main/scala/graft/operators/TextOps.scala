@@ -366,6 +366,45 @@ object TextOps {
        |WHERE ROUND(n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) >= 0.5
        |ORDER BY da, db""".stripMargin
 
+  /** q53 — TF-IDF: top-3 most characteristic terms per document.
+    * tf = term count in doc; idf = ln(N / df) (exact integer ratio through
+    * ln, rounded 6dp); one explode + two bounded aggregations — the
+    * classic text-feature pipeline, linear in corpus size. */
+  def q53TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count() // corpus size: one cheap metadata-level count
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q53Sql: String = {
+    val toks = tokensSql("text")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (term), n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+  }
+
   /** q90 — scale-path MinHash signatures via builtin xxhash64 (codegen'd,
     * ~10× the portable polynomial hash; not DuckDB-reproducible, so no
     * oracle — the driver records a rows-only check). */
@@ -425,6 +464,7 @@ object TextOps {
     "q36_simhash" -> q36SimHash _,
     "q66_winnowing" -> q66Winnowing _,
     "q50_char_ngram_langid" -> q50CharNgramLangId _,
+    "q53_tfidf" -> q53TfIdf _,
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
@@ -437,5 +477,6 @@ object TextOps {
     "q35_minhash_lsh" -> q35Sql,
     "q36_simhash" -> q36Sql,
     "q66_winnowing" -> q66Sql,
-    "q50_char_ngram_langid" -> q50Sql)
+    "q50_char_ngram_langid" -> q50Sql,
+    "q53_tfidf" -> q53Sql)
 }

@@ -179,6 +179,28 @@ object Medallion {
     require(bad.isEmpty, s"No data from source for: ${bad.map(_.table).mkString(", ")}")
   }
 
+  /** The MERGE the reference's full-overwrite refresh never had: union
+    * the existing silver rows with the incoming batch and keep the newest
+    * version per primary key (updates win by `orderByCol`, inserts pass
+    * through). One keyed shuffle — no driver-side diffing. */
+  def upsert(existing: DataFrame, updates: DataFrame, cfg: TableConfig): DataFrame =
+    dedupByPk(existing.unionByName(updates, allowMissingColumns = true), cfg)
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~targetRecordsPerFile-sized files (streaming sinks and frequent
+    * incremental loads fragment tables; scans pay per-file overhead). */
+  def compact(spark: SparkSession, path: String, targetRecordsPerFile: Long = 1000000L): Long = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
+    val tmp = path + "__compact_tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hfs = fs(spark, path)
+    hfs.delete(new Path(path), true)
+    hfs.rename(new Path(tmp), new Path(path))
+    n
+  }
+
   /** Retrying connector semantics (`linehaul_source_to_bronze.py:19-34`):
     * n attempts, fixed delay, rethrow after exhaustion. */
   @annotation.tailrec

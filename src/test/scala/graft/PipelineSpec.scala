@@ -118,3 +118,40 @@ class PipelineSpec extends AnyFunSuite {
     assertThrows[RuntimeException](Medallion.retry(2, delayMs = 1) { sys.error("always") })
   }
 }
+
+/** Upsert (the MERGE the reference lacks) and small-files compaction. */
+class UpsertCompactSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.pipeline.{Medallion, TableConfig}
+  import org.apache.spark.sql.functions._
+
+  test("upsert: updates win, inserts pass through, untouched rows survive") {
+    val existing = Seq(("C1", 1, 100.0), ("C2", 1, 200.0)).toDF("pk", "v", "amt")
+    val updates = Seq(("C1", 2, 150.0), ("C3", 1, 300.0)).toDF("pk", "v", "amt")
+    val out = Medallion.upsert(existing, updates, TableConfig("t", Seq("pk"), Seq("v")))
+      .orderBy("pk").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq(("C1", 2, 150.0), ("C2", 1, 200.0), ("C3", 1, 300.0)))
+  }
+
+  test("upsert tolerates schema evolution in the incoming batch") {
+    val existing = Seq(("C1", 1)).toDF("pk", "v")
+    val updates = Seq(("C2", 1, "new")).toDF("pk", "v", "extra")
+    val out = Medallion.upsert(existing, updates, TableConfig("t", Seq("pk"), Seq("v")))
+    assert(out.columns.toSet == Set("pk", "v", "extra"))
+    assert(out.count() == 2)
+  }
+
+  test("compact: many small files collapse to the target layout, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    Tables.orders(spark, sf).repartition(24).write.parquet(dir)
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(before >= 20)
+    val n = Medallion.compact(spark, dir, targetRecordsPerFile = 1000L)
+    val after = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(n == Tables.orders(spark, sf).count())
+    assert(after < before && after <= 3)
+    assert(spark.read.parquet(dir).count() == n)
+  }
+}
