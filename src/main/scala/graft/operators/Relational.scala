@@ -379,6 +379,42 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q99 — TPC-H Q7 (volume shipping): revenue flowing between supplier
+    * nation and customer nation per year — exercises the supplier dim and
+    * a 6-table join with two independent nation lookups. */
+  def q99TpchQ7(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q99Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  YEAR(l_shipdate) AS l_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** All queries in this module, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_agg_filter" -> q01AggFilter _,
@@ -397,7 +433,8 @@ object Relational {
     "q95_tpch_q3" -> q95TpchQ3 _,
     "q96_tpch_q6" -> q96TpchQ6 _,
     "q97_tpch_q14" -> q97TpchQ14 _,
-    "q98_tpch_q10" -> q98TpchQ10 _)
+    "q98_tpch_q10" -> q98TpchQ10 _,
+    "q99_tpch_q7" -> q99TpchQ7 _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -416,5 +453,6 @@ object Relational {
     "q95_tpch_q3" -> q95Sql,
     "q96_tpch_q6" -> q96Sql,
     "q97_tpch_q14" -> q97Sql,
-    "q98_tpch_q10" -> q98Sql)
+    "q98_tpch_q10" -> q98Sql,
+    "q99_tpch_q7" -> q99Sql)
 }
