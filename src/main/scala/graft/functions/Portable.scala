@@ -77,10 +77,12 @@ object Portable {
     s"""aggregate(sequence(0, 29), 0L, (acc, b) -> acc +
        |  IF(aggregate($tokHashesExpr, 0L, (a, h) -> a + (CAST(shiftright(h, b) AS BIGINT) & 1)*2 - 1) >= 0,
        |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+  // Outer CAST: DuckDB's list_sum widens to HUGEINT (int128); Spark's
+  // aggregate stays BIGINT — without the cast the output dtype mismatches.
   def simHashSql(thE: String): String =
-    s"""list_sum(list_transform(range(0, 30), b ->
+    s"""CAST(list_sum(list_transform(range(0, 30), b ->
        |  CASE WHEN list_sum(list_transform($thE, h -> ((h >> b) & 1)*2 - 1)) >= 0
-       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))""".stripMargin
+       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   // ---- vector math (Array[Float] embeddings) ----
   // Floats are widened to double *before* multiplying and summed strictly

@@ -54,7 +54,7 @@ object MultimodalQueries {
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |  octet_length(encode(text)) AS n_bytes,
-      |  list_sum(list_transform(range(1, len(text)+1), i -> ascii(text[i]))) AS byte_sum
+      |  CAST(list_sum(list_transform(range(1, len(text)+1), i -> ascii(text[i]))) AS BIGINT) AS byte_sum
       |FROM documents)
       |SELECT media_id, kind, n_bytes, byte_sum,
       |  ROUND(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS byte_mean,

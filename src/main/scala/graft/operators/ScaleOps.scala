@@ -80,14 +80,20 @@ object ScaleOps {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q92 — sketch aggregates (approx_count_distinct HLL, approx quantiles):
-    * engine-specific estimators, so rows-only check (no oracle). */
+    * engine-specific estimators, so rows-only check (no oracle). The
+    * quantile array is projected to scalar columns — graded queries never
+    * return raw array columns (the driver's row sort can't order them). */
   def q92Sketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_quantiles"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("pq"))
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+        element_at(col("pq"), 1).as("price_p50"),
+        element_at(col("pq"), 2).as("price_p95"),
+        element_at(col("pq"), 3).as("price_p99"))
       .orderBy(col("l_returnflag"))
 
   /** q46 — exact percentiles (sort-based, not sketch): both engines use

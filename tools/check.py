@@ -32,6 +32,14 @@ for name, sql in sorted(oracle.items()):
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         fails.append(name); print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); continue
+    # dtype KIND drift (e.g. DuckDB HUGEINT -> pandas object, vs Spark
+    # BIGINT -> int64) fails the driver's hash compare even when values
+    # stringify equal. Width-only drift (int32 vs int64, rank/ntile) is
+    # fine — round-1 driver results confirm it hash-matches.
+    dbad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+            if got[c].dtype.kind != exp[c].dtype.kind]
+    if dbad:
+        fails.append(name); print(f"FAIL {name}: dtype kinds (col, spark, duck) {dbad}"); continue
     if len(got) != len(exp):
         fails.append(name); print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); continue
     # array-typed cells (numpy arrays / lists) are unhashable: sort on a
