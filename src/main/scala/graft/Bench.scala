@@ -9,11 +9,29 @@ import org.apache.spark.sql.SparkSession
   * evaluated — a bare `count()` lets Catalyst prune unevaluated columns
   * and under-measures scalar-heavy queries. A warm-up query absorbs
   * first-job JVM/codegen costs so per-query numbers are comparable.
+  *
+  * Measurement hygiene (round-3 fixes):
+  *  - `clearCache()` after every query: several builders persist() plan
+  *    fragments reused within their own plan; left in place they accumulate
+  *    in the shared session's storage pool and tax every later query (the
+  *    round-2 q90/q92 13×/8× phantom regressions).
+  *  - each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  *    the per-query MIN — the standard steady-state estimator, robust to
+  *    GC pauses and first-touch page-cache misses.
+  *  - the printed line uses short "qNN" keys and 3-decimal seconds so the
+  *    whole JSON fits the driver's bounded stdout tail; the full-precision
+  *    JSON with full query names goes to SPARK_GRAFT_BENCH_OUT (truncated
+  *    at startup so a crashed run can't leave a stale previous result).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // kill any stale result from a previous (possibly crashed) run first
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -26,7 +44,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      finally spark.catalog.clearCache() // builders may persist() internally
 
     // warm-up: JVM + codegen + first parquet footer reads
     try run(SparkEntry.queries.head._2) catch { case _: Throwable => () }
@@ -34,25 +53,32 @@ object Bench {
     // a failed query records -1 (never a small elapsed time that would
     // read as a speedup) and is listed in "failed"
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val failed = outcomes.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
-    val results = outcomes
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // sbt appends its own epilogue to stdout, so a printed line is not
-    // reliably last — always persist the JSON to a file as well
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    def jsonLine(keyOf: String => String, fmt: Double => String): String = {
+      val qs = outcomes.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = outcomes.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(identity, _.toString)
+    // short form: "q35_minhash_lsh" -> "q35"; all qNN prefixes are unique
+    val compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
-    println(json)
+    // last line of our stdout; short enough (~1.1 kB) to survive whole in
+    // the driver's 2000-char tail even with sbt's [success] epilogue after
+    System.err.println(compact)
+    println(compact)
   }
 }
