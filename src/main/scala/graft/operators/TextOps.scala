@@ -301,31 +301,20 @@ object TextOps {
   }
 
   /** q66 — winnowing document fingerprints (the MOSS rolling-hash scheme):
-    * char 5-gram hashes via lead() over exploded characters (rolling hash
-    * without per-gram char loops), minima over 8-gram windows, distinct
-    * minima = the document's fingerprint set; docs sharing ≥8 fingerprints
-    * are near-dup pairs. Every per-char step is a codegen'd projection or
-    * window — linear in corpus size. */
+    * char 12-gram hashes, minima over 8-gram windows, distinct minima =
+    * the document's fingerprint set; docs sharing enough fingerprints are
+    * near-dup pairs. The fingerprint set is computed per row by the
+    * codegen'd [[graft.functions.WinnowFingerprintsF]] expression — only
+    * the ~n/w fingerprints are exploded into rows, never the characters
+    * (the composed char-explode + 12×lead() form was an ×n_chars row
+    * blowup through a shuffle — the old plan's 100 TB killer). */
   def q66Winnowing(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val chars = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(lower(col("text")), "")).as(Seq("pos", "ch")))
-      .withColumn("a", ascii(col("ch")).cast("long"))
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // 12-char grams (~2 words): short grams are too dense on a small
-    // vocabulary — at k=5 nearly every doc pair shares fingerprints
-    val gram = chars
-      .withColumn("h",
-        (1 until 12).foldLeft(col("a")) { (acc, j) =>
-          (acc * 31 + lead(col("a"), j).over(wp)) % P
-        })
-      .filter(col("h").isNotNull)
-    val wFrame = wp.rowsBetween(Window.currentRow, 7)
-    val fps = gram
-      .withColumn("is_full", lead(col("h"), 7).over(wp).isNotNull)
-      .withColumn("wmin", min(col("h")).over(wFrame))
-      .filter(col("is_full"))
-      .select(col("doc_id"), col("wmin")).distinct().persist()
+    graft.functions.TextExpressions.register(s)
+    // winnow_fp returns the DISTINCT minima per doc, so (doc_id, wmin)
+    // pairs are already unique after the explode
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("winnow_fp(lower(text))")).as("wmin"))
+      .persist()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = fps.as("x").join(fps.as("y"),
         col("x.wmin") === col("y.wmin") && col("x.doc_id") < col("y.doc_id"))
