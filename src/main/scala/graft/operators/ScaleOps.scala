@@ -13,21 +13,35 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Document-frequency cap for shingle inverted indexes: a shingle in
+    * more than this many documents (stopword n-grams) is dropped before
+    * pair generation, bounding the self-join fanout per key at CAP² and
+    * making the candidate count provably linear-ish in corpus size. The
+    * Jaccard is then computed over the capped shingle space on BOTH
+    * engines, so results still hash-match. */
+  val ShingleDfCap = 100
+
   /** q40 — n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are
-    * doc pairs sharing ≥1 shingle (inverted-index join — work scales with
-    * true shingle collisions, not |docs|²), then exact Jaccard ≥ 0.5.
+    * doc pairs sharing ≥1 (informative) shingle — an inverted-index join
+    * whose work scales with true shingle collisions, not |docs|², with
+    * hot shingles removed by the df-cap — then exact Jaccard ≥ 0.5.
     * This is the ground-truth dedup; q35 is its sub-linear approximation. */
   def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = tok.join(broadcast(dict), "tok")
+    val sh0 = tok.join(broadcast(dict), "tok")
       .withColumn("h1", lead(col("h"), 1).over(wp))
       .withColumn("h2", lead(col("h"), 2).over(wp))
       .filter(col("h2").isNotNull)
       .select(col("doc_id"), ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
-      .distinct().persist()
+      .distinct()
+    // df-cap: the hot list is tiny (stopword shingles), so the filter is a
+    // broadcast anti-join — one extra map-side-combinable count shuffle
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("sh"))
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -46,8 +60,10 @@ object ScaleOps {
   val q40Sql: String = {
     val shingles = shingleHashesSql(tokenHashesSql(tokensSql("text")))
     s"""WITH g AS (SELECT doc_id, $shingles AS shl FROM documents),
-       |e AS (SELECT doc_id, unnest(shl) AS sh FROM g),
-       |sz AS (SELECT doc_id, len(shl) AS n FROM g),
+       |e0 AS (SELECT doc_id, unnest(shl) AS sh FROM g),
+       |dfreq AS (SELECT sh, COUNT(*) AS df FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN dfreq USING (sh) WHERE df <= $ShingleDfCap),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
        |common AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id

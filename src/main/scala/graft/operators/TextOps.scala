@@ -211,13 +211,20 @@ object TextOps {
     // 2. 3-gram shingle hashes via lead() over token position — one
     //    shuffle keyed by doc_id, linear in corpus size.
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingles = tok.join(broadcast(dict), "tok")
+    val sh0 = tok.join(broadcast(dict), "tok")
       .withColumn("h1", lead(col("h"), 1).over(wp))
       .withColumn("h2", lead(col("h"), 2).over(wp))
       .filter(col("h2").isNotNull)
       .select(col("doc_id"),
         ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
       .distinct()
+    // 2b. df-cap (ScaleOps.ShingleDfCap): stopword shingles sit in huge
+    //     posting lists and blow up both the band-bucket collision count
+    //     and the verify-side set intersections; dropping them bounds all
+    //     downstream work. The hot list is tiny → broadcast anti-join.
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
+    val shingles = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     // 3. MinHash signatures as plain min-aggregates (map-side partial agg);
     //    shingle set kept for the exact-Jaccard verify step.
     val sigAggs = (0 until 8).map(i =>
@@ -249,8 +256,11 @@ object TextOps {
 
   val q35Sql: String = {
     val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
-    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh FROM documents),
-       |f AS (SELECT * FROM t WHERE len(sh) > 0),
+    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
+       |e AS (SELECT doc_id, unnest(sh0) AS s FROM t),
+       |dfreq AS (SELECT s, COUNT(*) AS df FROM e GROUP BY 1),
+       |f AS (SELECT doc_id, list(s) AS sh FROM e JOIN dfreq USING (s)
+       |      WHERE df <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
        |sigs AS (SELECT doc_id, sh, $sigs FROM f),
        |bands AS (
        |  SELECT doc_id, sh, b AS band,
