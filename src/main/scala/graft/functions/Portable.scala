@@ -101,10 +101,22 @@ object Portable {
   def cosineSql(aE: String, bE: String): String =
     s"ROUND(${dotSql(aE, bE)} / (SQRT(${dotSql(aE, aE)}) * SQRT(${dotSql(bE, bE)})), 6)"
 
-  /** 8-bit sign-pattern bucket of the first 8 dimensions — a deterministic
-    * LSH bucket for near-dup blocking (sign random projection onto axes). */
-  def signBucket(aCol: String): Column = expr(
-    s"aggregate(sequence(1, 8), 0L, (acc, i) -> acc + IF(element_at($aCol, i) >= CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i-1), CAST(0 AS BIGINT)))")
-  def signBucketSql(aE: String): String =
-    s"list_sum(list_transform(range(1, 9), i -> CASE WHEN ($aE)[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END))"
+  /** Sign-pattern LSH bucket over the first `bits` dimensions — a
+    * deterministic bucket for near-dup blocking (sign random projection
+    * onto axes). 16 bits ⇒ 65k blocks: at corpus scale the within-block
+    * pair count stays bounded; recall lost to a single flipped sign is
+    * recovered by multi-probe (see [[probeBuckets]]).
+    * The outer CAST mirrors simHashSql: DuckDB's list_sum widens to
+    * HUGEINT, which would trip the driver's dtype gate if projected. */
+  def signBucket(aCol: String, bits: Int = 8): Column = expr(
+    s"aggregate(sequence(1, $bits), 0L, (acc, i) -> acc + IF(element_at($aCol, i) >= CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i-1), CAST(0 AS BIGINT)))")
+  def signBucketSql(aE: String, bits: Int = 8): String =
+    s"CAST(list_sum(list_transform(range(1, ${bits + 1}), i -> CASE WHEN ($aE)[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)"
+
+  /** Multi-probe list for a sign bucket: the bucket itself plus every
+    * 1-bit flip — probing all of them recovers the neighbors that a
+    * single borderline dimension would otherwise hide in an adjacent
+    * block, while keeping candidate generation an equi-join. */
+  def probeBuckets(bucket: Column, bits: Int): Column =
+    array(bucket +: (0 until bits).map(b => bucket.bitwiseXOR(lit(1L << b))): _*)
 }

@@ -103,8 +103,8 @@ object EventTime {
        |    epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
        |  FROM events),
        |m AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
-       |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+       |sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
        |SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
        |  ${dsumSql("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin

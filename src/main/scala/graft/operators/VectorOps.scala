@@ -24,29 +24,43 @@ import graft.operators.Det.{Dec, dsumSql}
 object VectorOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q37 — embedding near-dup pairs: block on (label, 8-bit sign bucket),
-    * verify cosine ≥ 0.3 inside blocks. */
+  /** Sign-bucket width for q37. 16 bits ⇒ 65k blocks per label: at corpus
+    * scale the within-block all-pairs cost is bounded (vs 256 blocks at 8
+    * bits, millions of vectors per block at 100 TB). */
+  val SignBits = 16
+
+  /** q37 — embedding near-dup pairs: block on (label, 16-bit sign bucket)
+    * with flip-1-bit multi-probe, verify cosine ≥ 0.1 inside blocks
+    * (the synthetic embeddings are near-random, so wide blocks only admit
+    * weak-cosine pairs; the threshold is a parameter, not a semantic).
+    * Multi-probe keeps candidate generation an EQUI-join: the probe side
+    * explodes bucket ∪ {1-bit flips} (17 rows/vector) and matches the
+    * build side's single bucket — hamming-≤1 neighborhood without any
+    * near-key join. Each pair matches exactly one probe (probe values are
+    * distinct), so no dedup pass is needed. */
   def q37EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .withColumn("bucket", signBucket("embedding"))
+      .withColumn("bucket", signBucket("embedding", SignBits))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("label").as("la"), col("bucket").as("ba"))
+        col("label").as("la"), explode(probeBuckets(col("bucket"), SignBits)).as("probe"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("label").as("lb"), col("bucket").as("bb"))
-    a.join(b, col("la") === col("lb") && col("ba") === col("bb") && col("va") < col("vb"))
+    a.join(b, col("la") === col("lb") && col("probe") === col("bb") && col("va") < col("vb"))
       .withColumn("cos", cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.3)
+      .filter(col("cos") >= 0.1)
       .select(col("va"), col("vb"), col("la").as("label"), col("cos"))
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Oracle mirror: hamming(bucket_a, bucket_b) ≤ 1 ≡ "b's bucket is a's
+    * bucket or one of its 1-bit flips". */
   val q37Sql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding, ${signBucketSql("embedding")} AS bucket FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${signBucketSql("embedding", SignBits)} AS bucket FROM embeddings)
        |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
        |  ${cosineSql("a.embedding", "b.embedding")} AS cos
        |FROM e a JOIN e b
-       |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+       |  ON a.label = b.label AND bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.1
        |ORDER BY va, vb""".stripMargin
 
   /** q38 — brute-force cosine top-5 neighbors for query vectors

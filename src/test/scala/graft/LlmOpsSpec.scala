@@ -42,6 +42,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(r => langs(r.getAs[String]("predicted"))))
   }
 
+  test("q37 multi-probe blocking stays an equi-join and finds ordered pairs") {
+    val df = operators.VectorOps.q37EmbedNearDup(spark, sf)
+    // candidate generation must be a hash-joinable equi-join on the probe
+    // bucket — never a cartesian / broadcast-NLJ over all pairs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length) // one probe match per pair
+  }
+
   test("q38 knn returns exactly 5 ranked neighbors per query vector") {
     val rows = operators.VectorOps.q38KnnBrute(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
