@@ -53,37 +53,57 @@ object EventStream {
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a session
     * CLOSES (and is emitted) when a later event arrives more than 30 min
-    * after it; the open tail session stays in the state store. State per
-    * user is O(1) — the canonical mapGroupsWithState pattern. Flushing
-    * idle sessions without new data requires the EventTimeTimeout variant
-    * (watermark + state.setTimeoutTimestamp); this NoTimeout form never
-    * emits a session that hasn't been superseded. */
+    * after it, OR when the event-time watermark passes the session's
+    * idle deadline (end + gap) with no new data — the EventTimeTimeout
+    * path, so idle users' sessions flush instead of living in the state
+    * store forever. State per user is O(1) — the canonical
+    * mapGroupsWithState pattern. In batch execution timeouts never fire
+    * (Spark semantics), so only superseded sessions are emitted there. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
+    val gapMs = gapUs / 1000
+
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start / 1000),
+        new java.sql.Timestamp(s.end / 1000), s.n, s.sum)
 
     def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      var out = List.empty[SessionOut]
-      var st = state.getOption
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val t = e.ts.getTime * 1000
-        st match {
-          case Some(s) if t - s.end <= gapUs =>
-            st = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            out ::= SessionOut(userId, new java.sql.Timestamp(s.start / 1000),
-              new java.sql.Timestamp(s.end / 1000), s.n, s.sum)
-            st = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            st = Some(SessionState(t, t, 1, e.value))
+      if (state.hasTimedOut) {
+        // watermark passed end+gap with no new events: the idle session closes
+        val s = state.get
+        state.remove()
+        Iterator.single(emit(userId, s))
+      } else {
+        var out = List.empty[SessionOut]
+        var st = state.getOption
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime * 1000
+          st match {
+            case Some(s) if t - s.end <= gapUs =>
+              st = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              out ::= emit(userId, s)
+              st = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              st = Some(SessionState(t, t, 1, e.value))
+          }
         }
+        st.foreach { s =>
+          state.update(s)
+          // idle deadline; clamp above the watermark (Spark rejects a
+          // timeout at/behind it). Batch runs have no watermark — the
+          // timeout is never consulted there, 0 is fine.
+          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+          state.setTimeoutTimestamp(math.max(s.end / 1000 + gapMs, wm + 1))
+        }
+        out.reverseIterator
       }
-      st.foreach(state.update)
-      out.reverseIterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Run a streaming query into an in-memory sink until the source drains —

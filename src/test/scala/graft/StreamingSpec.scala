@@ -31,6 +31,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization flushes an IDLE session once the watermark passes") {
+    import spark.implicits._
+    def write(dir: java.nio.file.Path, name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append")
+        .parquet(dir.resolve(name).toString)
+    val dir = java.nio.file.Files.createTempDirectory("events_sessions")
+    // batch 1: one open session for user 1 (never superseded by later data)
+    write(dir, "f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 2.0)))
+    // batch 2: a far-future event from another user drives the watermark
+    // past user 1's idle deadline (10:40 + 10 min delay)
+    write(dir, "f1", Seq(
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 99, "click", 9.0)))
+    val stream = spark.readStream
+      .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch, in order
+      .parquet(dir.resolve("*").toString)
+      .as[EventStream.Event]
+    val q = EventStream.runToMemory(EventStream.sessionize(stream).toDF(), "sessions")
+    try {
+      val out = spark.table("sessions").as[EventStream.SessionOut].collect()
+      // user 1's session was never superseded — only the event-time
+      // timeout can have emitted it; user 99's stays open (wm < deadline)
+      assert(out.length == 1)
+      val s = out.head
+      assert(s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0)
+      assert(s.sess_end.toString.startsWith("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with correct stats") {
     import spark.implicits._
     val events = Seq(
