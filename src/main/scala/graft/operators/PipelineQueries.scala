@@ -91,15 +91,46 @@ object PipelineQueries {
       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** q74 — MERGE semantics through Medallion.upsert (the refresh the
+    * reference's full-overwrite never had): an incoming batch of changed
+    * orders (even keys, re-priced ×1.1) merged into the existing
+    * snapshot. Updates win by batch_seq, unchanged rows pass through —
+    * one keyed shuffle, no driver-side diffing. */
+  def q74UpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val existing = base.withColumn("batch_seq", lit(1L))
+    val updates = base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("batch_seq", lit(2L))
+    Medallion.upsert(existing, updates,
+        graft.pipeline.TableConfig("orders", Seq("o_orderkey"), Seq("batch_seq")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q74Sql: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS BIGINT) AS batch_seq FROM orders),
+      |updates AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+      |    CAST(2 AS BIGINT) AS batch_seq
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |u AS (SELECT * FROM existing UNION ALL SELECT * FROM updates)
+      |SELECT o_orderkey, o_custkey, o_totalprice, batch_seq
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY batch_seq DESC) AS rn FROM u)
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q70_audit_enrich" -> q70AuditEnrich _,
     "q71_rename_bulk" -> q71RenameBulk _,
     "q72_cast_normalize" -> q72CastNormalize _,
-    "q73_pk_dedup_config" -> q73PkDedupConfig _)
+    "q73_pk_dedup_config" -> q73PkDedupConfig _,
+    "q74_upsert_merge" -> q74UpsertMerge _)
 
   val oracles: Map[String, String] = Map(
     "q70_audit_enrich" -> q70Sql,
     "q71_rename_bulk" -> q71Sql,
     "q72_cast_normalize" -> q72Sql,
-    "q73_pk_dedup_config" -> q73Sql)
+    "q73_pk_dedup_config" -> q73Sql,
+    "q74_upsert_merge" -> q74Sql)
 }

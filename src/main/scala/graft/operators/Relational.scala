@@ -416,6 +416,39 @@ object Relational {
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
   /** All queries in this module, keyed for SparkEntry. */
+  /** q100 — TPC-H Q18 (large-volume customers): the classic big-groupBy +
+    * HAVING + join-back-on-the-agg-result shape. The heavy-order list
+    * (sum qty > 300) is the filtered output of a full lineitem
+    * aggregation — a tiny fraction of orders — so it broadcasts into the
+    * orders join, and the already-tiny qualified-orders side broadcasts
+    * into the customer join: one full shuffle total (the unavoidable
+    * lineitem agg), no large-large joins. */
+  def q100TpchQ18(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = Tables.orders(s, d)
+    val qualified = o.join(broadcast(heavy), o("o_orderkey") === heavy("l_orderkey"))
+    val c = Tables.customer(s, d)
+    c.join(broadcast(qualified), qualified("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q100Sql: String =
+    s"""WITH heavy AS (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${dsumSql("l_quantity")} > 300)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM heavy
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_agg_filter" -> q01AggFilter _,
     "q02_scan_project" -> q02ScanProject _,
@@ -434,7 +467,8 @@ object Relational {
     "q96_tpch_q6" -> q96TpchQ6 _,
     "q97_tpch_q14" -> q97TpchQ14 _,
     "q98_tpch_q10" -> q98TpchQ10 _,
-    "q99_tpch_q7" -> q99TpchQ7 _)
+    "q99_tpch_q7" -> q99TpchQ7 _,
+    "q100_tpch_q18" -> q100TpchQ18 _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -454,5 +488,6 @@ object Relational {
     "q96_tpch_q6" -> q96Sql,
     "q97_tpch_q14" -> q97Sql,
     "q98_tpch_q10" -> q98Sql,
-    "q99_tpch_q7" -> q99Sql)
+    "q99_tpch_q7" -> q99Sql,
+    "q100_tpch_q18" -> q100Sql)
 }
