@@ -155,3 +155,93 @@ class UpsertCompactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.read.parquet(dir).count() == n)
   }
 }
+
+/** Source-connector semantics (probe→skip, retry-then-fail, chunked copy,
+  * size gate) and the config-profile/secret-scope registry — the
+  * reference's SFTP surface modeled over file:// (Connector.scala). */
+class ConnectorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.pipeline.{ConfigRegistry, Connector}
+  import java.nio.file.{Files, Path}
+
+  private def tempRoot(): Path = Files.createTempDirectory("connector")
+
+  private def writeFile(root: Path, name: String, bytes: Array[Byte]): Unit =
+    Files.write(root.resolve(name), bytes)
+
+  test("stat-miss skips the file (None), no staging output") {
+    val root = tempRoot(); val staging = tempRoot()
+    val src = new Connector.LocalSource(root)
+    assert(Connector.fetchToStaging(src, "absent.txt", staging).isEmpty)
+    assert(!Files.exists(staging.resolve("absent.txt")))
+  }
+
+  test("chunked fetch stages the exact bytes with the right chunk count") {
+    val root = tempRoot(); val staging = tempRoot()
+    val payload = Array.tabulate[Byte](2500)(i => (i % 251).toByte)
+    writeFile(root, "claim.txt", payload)
+    val rep = Connector.fetchToStaging(
+      new Connector.LocalSource(root), "claim.txt", staging, chunkSize = 1000).get
+    assert(rep.bytes == 2500 && rep.chunks == 3 && rep.attempts == 1)
+    assert(Files.readAllBytes(staging.resolve("claim.txt")).sameElements(payload))
+  }
+
+  test("transient open failures retry then succeed, reporting the attempts") {
+    val root = tempRoot(); val staging = tempRoot()
+    writeFile(root, "claim.txt", "hello-connector".getBytes)
+    val real = new Connector.LocalSource(root)
+    var failures = 2
+    val flaky = new Connector.RemoteSource {
+      def stat(p: String) = real.stat(p)
+      def open(p: String) = {
+        if (failures > 0) { failures -= 1; sys.error("transient") }
+        real.open(p)
+      }
+    }
+    val rep = Connector.fetchToStaging(flaky, "claim.txt", staging, delayMs = 1).get
+    assert(rep.attempts == 3 && rep.bytes == 15)
+  }
+
+  test("exhausted retries rethrow and leave no staged file") {
+    val root = tempRoot(); val staging = tempRoot()
+    writeFile(root, "claim.txt", "x".getBytes)
+    val real = new Connector.LocalSource(root)
+    val broken = new Connector.RemoteSource {
+      def stat(p: String) = real.stat(p)
+      def open(p: String) = sys.error("down")
+    }
+    assertThrows[RuntimeException](
+      Connector.fetchToStaging(broken, "claim.txt", staging, attempts = 3, delayMs = 1))
+    assert(!Files.exists(staging.resolve("claim.txt")))
+  }
+
+  test("a short read fails the size gate instead of staging a torn file") {
+    val root = tempRoot(); val staging = tempRoot()
+    writeFile(root, "claim.txt", "full-content".getBytes)
+    val real = new Connector.LocalSource(root)
+    val truncating = new Connector.RemoteSource {
+      def stat(p: String) = real.stat(p)
+      def open(p: String) =
+        new java.io.ByteArrayInputStream("full".getBytes) // 4 of 12 bytes
+    }
+    assertThrows[IllegalArgumentException](
+      Connector.fetchToStaging(truncating, "claim.txt", staging, attempts = 1, delayMs = 1))
+    assert(!Files.exists(staging.resolve("claim.txt")))
+  }
+
+  test("workspace→scope resolution: non-prod marker, prod, and fallback") {
+    assert(ConfigRegistry.scopeFor(Some("adb.6.example.net")) == "cdt-scope")
+    assert(ConfigRegistry.scopeFor(Some("adb.prod.example.net")) == "prd-scope")
+    assert(ConfigRegistry.scopeFor(None) == "prd-scope") // reference's try/except default
+  }
+
+  test("profile resolution unpacks the credential blob; misses carry context") {
+    val store: ConfigRegistry.SecretStore = Map(
+      ("prd-scope", "claims-sftp") -> Map("url" -> "sftp.example.net", "port" -> "22", "user" -> "svc"))
+    val p = ConfigRegistry.resolveProfile(store, "prd-scope", "claims-sftp")
+    assert(p.host == "sftp.example.net" && p.port == 22 && p.user == "svc")
+    assert(p.secretRef == "prd-scope/claims-sftp")
+    val miss = intercept[NoSuchElementException](
+      ConfigRegistry.resolveProfile(store, "cdt-scope", "claims-sftp"))
+    assert(miss.getMessage.contains("cdt-scope"))
+  }
+}
