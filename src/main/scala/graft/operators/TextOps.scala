@@ -322,9 +322,15 @@ object TextOps {
     graft.functions.TextExpressions.register(s)
     // winnow_fp returns the DISTINCT minima per doc, so (doc_id, wmin)
     // pairs are already unique after the explode
-    val fps = Tables.documents(s, d)
+    val fps0 = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("winnow_fp(lower(text))")).as("wmin"))
-      .persist()
+    // df-cap, exactly as in the shingle joins (ScaleOps.ShingleDfCap):
+    // boilerplate phrases put one fingerprint in hundreds of docs, and the
+    // pair join is quadratic per hot key (11M pairs at sf0.1 uncapped,
+    // ~0.15% of fingerprints past the cap). Oracle mirrors the cap.
+    val hot = fps0.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("wmin"))
+    val fps = fps0.join(broadcast(hot), Seq("wmin"), "left_anti").persist()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = fps.as("x").join(fps.as("y"),
         col("x.wmin") === col("y.wmin") && col("x.doc_id") < col("y.doc_id"))
@@ -348,12 +354,14 @@ object TextOps {
        |  SELECT doc_id, pos, ((((((((((((((((((((((a) * 31 + LEAD(a, 1) OVER w) % 1000000007) * 31 + LEAD(a, 2) OVER w) % 1000000007) * 31 + LEAD(a, 3) OVER w) % 1000000007) * 31 + LEAD(a, 4) OVER w) % 1000000007) * 31 + LEAD(a, 5) OVER w) % 1000000007) * 31 + LEAD(a, 6) OVER w) % 1000000007) * 31 + LEAD(a, 7) OVER w) % 1000000007) * 31 + LEAD(a, 8) OVER w) % 1000000007) * 31 + LEAD(a, 9) OVER w) % 1000000007) * 31 + LEAD(a, 10) OVER w) % 1000000007) * 31 + LEAD(a, 11) OVER w) % 1000000007 AS h
        |  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |g AS (SELECT * FROM gram WHERE h IS NOT NULL),
-       |fp AS (
+       |fp0 AS (
        |  SELECT DISTINCT doc_id, wmin FROM (
        |    SELECT doc_id,
        |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
        |      LEAD(h, 7) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS is_full
        |    FROM g) WHERE is_full)
+       |, dfreq AS (SELECT wmin, COUNT(*) AS df FROM fp0 GROUP BY 1)
+       |, fp AS (SELECT fp0.doc_id, fp0.wmin FROM fp0 JOIN dfreq USING (wmin) WHERE df <= ${ScaleOps.ShingleDfCap})
        |, sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
        |pairs AS (
        |  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS n_common

@@ -86,6 +86,21 @@ object Connector {
       Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       FetchReport(name, bytes, chunks, attempt)
     }
+
+  /** Post-run staging cleanup (`linehaul_source_to_bronze.py:167-180`):
+    * delete staged files and any abandoned fetch temps left by a killed
+    * run. Returns the number of entries removed; an absent directory is a
+    * no-op (the reference guards with an existence check). */
+  def cleanupStaging(stagingDir: Path): Int = {
+    if (!Files.isDirectory(stagingDir)) return 0
+    val entries = Files.list(stagingDir)
+    try {
+      val it = entries.iterator()
+      var n = 0
+      while (it.hasNext) { Files.deleteIfExists(it.next()); n += 1 }
+      n
+    } finally entries.close()
+  }
 }
 
 /** Connection-profile / secret-scope registry (`config.py:7-17,77-82`).

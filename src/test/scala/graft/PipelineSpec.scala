@@ -228,6 +228,16 @@ class ConnectorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!Files.exists(staging.resolve("claim.txt")))
   }
 
+  test("staging cleanup removes staged files and abandoned fetch temps") {
+    val root = tempRoot(); val staging = tempRoot()
+    writeFile(root, "claim.txt", "abc".getBytes)
+    Connector.fetchToStaging(new Connector.LocalSource(root), "claim.txt", staging)
+    writeFile(staging, "other.txt.__fetch_tmp", "torn".getBytes) // killed-run leftover
+    assert(Connector.cleanupStaging(staging) == 2)
+    assert(!Files.exists(staging.resolve("claim.txt")))
+    assert(Connector.cleanupStaging(tempRoot().resolve("absent")) == 0) // no-op
+  }
+
   test("workspace→scope resolution: non-prod marker, prod, and fallback") {
     assert(ConfigRegistry.scopeFor(Some("adb.6.example.net")) == "cdt-scope")
     assert(ConfigRegistry.scopeFor(Some("adb.prod.example.net")) == "prd-scope")
