@@ -440,6 +440,12 @@ object TextOps {
       .withColumn("next_id", lead(col("doc_id"), 1).over(w))
       .withColumn("next_t", lead(col("t"), 1).over(w))
       .filter(col("next_id").isNotNull)
+      // the pairing window has one partition per lang (5) — spread the
+      // O(len²) DP projection below across every core. The partition count
+      // must be EXPLICIT: a bare repartition(col) is REPARTITION_BY_COL,
+      // which AQE coalesces to 1 for small inputs and the DP goes
+      // single-threaded.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("lang"), col("doc_id"), col("next_id"),
         levenshtein(col("t"), col("next_t")).cast("long").as("edit_dist"),
         round(lit(1.0) - levenshtein(col("t"), col("next_t")) /
