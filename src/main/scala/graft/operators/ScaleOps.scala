@@ -149,7 +149,41 @@ object ScaleOps {
     plain.union(strata).orderBy(col("method"), col("l_returnflag"))
   }
 
+  /** q56 — deterministic stratified training-mix selection: each source
+    * gets a quota (even-numbered sources 40%, odd 10%) and rows are
+    * admitted by a content-stable key bucket (doc_id mod 10), so the mix
+    * is reproducible across runs/engines — no RNG, no shuffle beyond the
+    * per-source count agg. The corpus-mixing primitive of a training
+    * pipeline, with the q93 seeded-sampling twin for the RNG variant. */
+  def q56TrainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    val quota = when(srcNum % 2 === 0, lit(4L)).otherwise(lit(1L))
+    docs
+      .withColumn("picked", (pmod(col("doc_id"), lit(10)) < quota).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("picked")).as("n_selected"),
+        round(sum(col("picked")).cast("double") / count(lit(1)), 6).as("ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q56Sql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    CASE WHEN (doc_id % 10) <
+      |      (CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 2 = 0
+      |            THEN 4 ELSE 1 END)
+      |      THEN 1 ELSE 0 END AS picked
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(picked) AS BIGINT) AS n_selected,
+      |  ROUND(CAST(SUM(picked) AS DOUBLE) / COUNT(*), 6) AS ratio
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_train_mix" -> q56TrainMix _,
     "q40_ngram_jaccard" -> q40NgramJaccard _,
     "q41_salted_agg" -> q41SaltedAgg _,
     "q46_percentiles" -> q46Percentiles _,
@@ -157,6 +191,7 @@ object ScaleOps {
     "q93_sample" -> q93Sample _)
 
   val oracles: Map[String, String] = Map(
+    "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,
     "q41_salted_agg" -> q41Sql,
     "q46_percentiles" -> q46Sql)

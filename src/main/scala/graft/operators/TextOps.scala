@@ -254,9 +254,15 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
-  val q35Sql: String = {
+  /** The q35 LSH pipeline as a CTE chain, shared by q35's oracle and
+    * q55's (which clusters q35's verified pairs). */
+  private val lshJacExpr: String =
+    """ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+      |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6)""".stripMargin
+
+  private val lshCandidateCtes: String = {
     val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
-    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
+    s"""t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
        |e AS (SELECT doc_id, unnest(sh0) AS s FROM t),
        |dfreq AS (SELECT s, COUNT(*) AS df FROM e GROUP BY 1),
        |f AS (SELECT doc_id, list(s) AS sh FROM e JOIN dfreq USING (s)
@@ -270,15 +276,71 @@ object TextOps {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id)
-       |SELECT da, db,
-       |  ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) AS jac
-       |FROM cand
-       |WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) >= 0.5
-       |ORDER BY da, db""".stripMargin
+       |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val q35Sql: String =
+    s"""WITH $lshCandidateCtes
+       |SELECT da, db, $lshJacExpr AS jac
+       |FROM cand
+       |WHERE $lshJacExpr >= 0.5
+       |ORDER BY da, db""".stripMargin
+
+  /** q55 — duplicate-cluster assembly: connected components over the
+    * verified near-dup pair graph (q35's output), so each group of
+    * mutually-near documents gets one canonical cluster id (the min
+    * doc_id) — the step that turns pairwise dedup into keep-one-per-
+    * cluster selection in a training pipeline.
+    *
+    * Implementation is iterative min-label propagation (the standard
+    * distributed CC algorithm): each round every vertex takes the min of
+    * its own label and its neighbors', until a fixpoint. Rounds are
+    * driver-iterated like any iterative algorithm (k-means, Pregel), but
+    * per-round work is two small joins and the convergence probe is an
+    * aggregate — no data ever collects to the driver. Round count is
+    * bounded by the dup-graph diameter (dup clusters are tiny by nature;
+    * the iteration cap is a safety net, convergence is checked). The
+    * oracle computes the same components with a recursive CTE. */
+  def q55DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = q35MinHashLsh(s, d).select(col("da"), col("db"))
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db"))).persist()
+    var labels = edges.select(col("da").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels, edges("db") === labels("id"))
+        .groupBy(edges("da").as("nid")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       |pairs AS (SELECT da, db FROM cand WHERE $lshJacExpr >= 0.5),
+       |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+       |verts AS (SELECT DISTINCT da AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eg.da, re.r FROM edges eg JOIN reach re ON re.id = eg.db
+       |),
+       |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT id AS doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   /** q36 — SimHash: 30-bit locality-sensitive content hash per doc +
     * exact-collision group sizes (hamming-0 dup candidates). */
@@ -412,6 +474,37 @@ object TextOps {
        |ORDER BY doc_id, rnk""".stripMargin
   }
 
+  /** BPE-ish pre-tokenization pattern: alpha runs, digit runs, and single
+    * non-alphanumeric marks — the classic byte-pair-encoding pre-split
+    * (GPT-2-style contractions aside). Identical RE semantics in Spark
+    * (java.util.regex) and DuckDB (RE2) for this class-only pattern. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** q54 — token accounting with a BPE-ish regex pre-tokenizer: token
+    * count, distinct-token count, longest token, mean token length per
+    * document. One codegen'd projection — the token-budget estimator a
+    * training pipeline runs before mixing corpora. */
+  def q54BpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_max(transform(col("toks"), t => length(t))).cast("long").as("longest"),
+        round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
+          size(col("toks")), 6).as("mean_len"))
+      .orderBy(col("doc_id"))
+
+  val q54Sql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$BpePattern') AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(list_max(list_transform(toks, t -> len(t))) AS BIGINT) AS longest,
+       |  ROUND(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6) AS mean_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** q90 — scale-path MinHash signatures via builtin xxhash64 (codegen'd,
     * ~10× the portable polynomial hash; not DuckDB-reproducible, so no
     * oracle — the driver records a rows-only check). */
@@ -478,6 +571,8 @@ object TextOps {
     "q66_winnowing" -> q66Winnowing _,
     "q50_char_ngram_langid" -> q50CharNgramLangId _,
     "q53_tfidf" -> q53TfIdf _,
+    "q54_bpe_tokens" -> q54BpeTokens _,
+    "q55_dup_clusters" -> q55DupClusters _,
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +586,7 @@ object TextOps {
     "q36_simhash" -> q36Sql,
     "q66_winnowing" -> q66Sql,
     "q50_char_ngram_langid" -> q50Sql,
-    "q53_tfidf" -> q53Sql)
+    "q53_tfidf" -> q53Sql,
+    "q54_bpe_tokens" -> q54Sql,
+    "q55_dup_clusters" -> q55Sql)
 }

@@ -28,6 +28,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("q55 dup clusters: ids are cluster minima and every q35 pair is co-clustered") {
+    val labels = operators.TextOps.q55DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.nonEmpty)
+    // the cluster id is the minimum member (canonical representative)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+    // connectivity: each verified near-dup pair lands in one cluster
+    val pairs = operators.TextOps.q35MinHashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+    spark.catalog.clearCache()
+  }
+
   test("q36 simhash is a 30-bit value") {
     val rows = operators.TextOps.q36SimHash(spark, sf).collect()
     assert(rows.nonEmpty)
