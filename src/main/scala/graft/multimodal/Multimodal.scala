@@ -55,6 +55,26 @@ object Multimodal {
         lit(16000).as("sampleRate"),
         (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
 
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_len: Long, frame_sum: Long)
+
+  /** Frame sampling: decode up to `framesPerItem` frames per record and
+    * emit one row per frame — the video/audio sampling step of a training
+    * pipeline. Same per-partition decoder-init pattern as
+    * [[extractFeatures]]; output cardinality is bounded at
+    * records × framesPerItem regardless of media size. */
+  def sampleFrames(media: Dataset[MediaRecord], framesPerItem: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = StubCodec // real codecs initialize native state here
+      it.flatMap { m =>
+        codec.decodeFrames(m.content, framesPerItem).zipWithIndex.map { case (f, i) =>
+          FrameSample(m.media_id, i, f.length.toLong,
+            f.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+      }
+    }
+  }
+
   /** Feature extraction over binary content: one decoder per PARTITION
     * (the expensive-init pattern), streaming through records. */
   def extractFeatures(media: Dataset[MediaRecord], framesPerItem: Int = 4): Dataset[MediaFeatures] = {

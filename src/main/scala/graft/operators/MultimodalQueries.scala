@@ -61,11 +61,44 @@ object MultimodalQueries {
       |  CAST(LEAST(4, n_bytes) AS BIGINT) AS frames_sampled
       |FROM b ORDER BY media_id""".stripMargin
 
+  /** q57 — frame sampling: one row per sampled frame through the stub
+    * codec (`mapPartitions`, per-partition decoder init, output bounded at
+    * records × frames). Frame boundaries and byte sums are portable
+    * integer arithmetic over the synthesized payload, so the per-frame
+    * rows are oracle-checked like q64's per-record features. */
+  def q57FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      .as[Multimodal.MediaRecord]
+    Multimodal.sampleFrames(media)
+      .toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_len"), col("frame_sum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Oracle mirror of StubCodec.decodeFrames: stride = max(len/4, 1),
+    * frame i = bytes [i*stride, min(i*stride + stride, len)), ascii sums
+    * (ASCII fixture, see q64 note). */
+  val q57Sql: String =
+    """WITH b AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+      |st AS (SELECT media_id, text, n, GREATEST(n // 4, 1) AS s FROM b),
+      |f AS (
+      |  SELECT media_id, i AS frame_idx,
+      |    LEAST(i*s + s, n) - i*s AS frame_len,
+      |    list_sum(list_transform(range(i*s + 1, LEAST(i*s + s, n) + 1), j -> ascii(text[j]))) AS frame_sum
+      |  FROM st, UNNEST(range(0, LEAST(4, n))) AS u(i))
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_len AS BIGINT) AS frame_len, CAST(frame_sum AS BIGINT) AS frame_sum
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_media_meta" -> q63MediaMeta _,
-    "q64_media_features" -> q64MediaFeatures _)
+    "q64_media_features" -> q64MediaFeatures _,
+    "q57_frame_sample" -> q57FrameSample _)
 
   val oracles: Map[String, String] = Map(
     "q63_media_meta" -> q63Sql,
-    "q64_media_features" -> q64Sql)
+    "q64_media_features" -> q64Sql,
+    "q57_frame_sample" -> q57Sql)
 }

@@ -106,6 +106,15 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch q34: keep the
+    * first occurrence of each event_id, with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark` evicts seen-keys older
+    * than the watermark, so state is O(keys per watermark window), not
+    * O(all keys ever) — the only dedup that survives an unbounded
+    * stream). */
+  def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per event_id across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_dedup")
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(dir.resolve(name).toString)
+    write("f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1, "click", 1.0), // in-batch dup
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2, "view", 2.0)))
+    write("f1", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1, "click", 1.0), // cross-batch dup
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 3, "click", 3.0)))
+    val stream = spark.readStream
+      .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(EventStream.dedupEvents(stream), "deduped")
+    try {
+      val ids = spark.table("deduped").select(col("event_id"))
+        .as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with correct stats") {
     import spark.implicits._
     val events = Seq(
