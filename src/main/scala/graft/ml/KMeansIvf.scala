@@ -37,24 +37,33 @@ object KMeansIvf {
   }
 
   /** Train k centroids with `iters` Lloyd iterations. Returns the centroid
-    * table (cluster, cent: array<double>) plus per-iteration inertia. */
-  def fit(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    * table (cluster, cent: array<double>) plus per-iteration inertia.
+    * `trackInertia = false` skips the per-iteration inertia action (one
+    * whole Spark job per iteration) — callers that only want the model
+    * (q67's search path) train in iters jobs instead of 2×iters. */
+  def fit(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
     val spark = data.sparkSession
     import spark.implicits._
+    // every iteration re-scans the training set twice (assign + member
+    // join): pin it for the duration of the fit
+    val cached = data.persist()
     // model state lives on the driver (k x dim doubles): each iteration
     // rebuilds the centroid DF from collected values, truncating lineage
     // so iteration i never replays iterations 1..i-1
-    var model: Seq[(Int, Seq[Double])] = data.orderBy(col(idCol)).limit(k)
+    var model: Seq[(Int, Seq[Double])] = cached.orderBy(col(idCol)).limit(k)
       .select(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("cent"))
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](0) }.toIndexedSeq
     var inertias = List.empty[Double]
     for (_ <- 1 to iters) {
       val centroids = model.toDF("cluster", "cent")
-      val assigned = assign(data, centroids, idCol, vecCol).persist()
-      inertias ::= assigned.agg(sum(col("dist_sq"))).head().getDouble(0)
+      val assigned0 = assign(cached, centroids, idCol, vecCol)
+      val assigned = if (trackInertia) assigned0.persist() else assigned0
+      if (trackInertia)
+        inertias ::= assigned.agg(sum(col("dist_sq"))).head().getDouble(0)
       // new centroid = per-dimension mean of members
-      val members = data.join(assigned.select(col(idCol), col("cluster")), idCol)
+      val members = cached.join(assigned.select(col(idCol), col("cluster")), idCol)
       val updated = members
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
@@ -63,10 +72,11 @@ object KMeansIvf {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("cluster"), expr("transform(dims, d -> d.m)").as("cent"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      assigned.unpersist()
+      if (trackInertia) assigned.unpersist()
       // an empty cluster keeps its previous centroid instead of vanishing
       model = model.map { case (c, prev) => c -> updated.getOrElse(c, prev) }
     }
+    cached.unpersist()
     (model.toDF("cluster", "cent"), inertias.reverse)
   }
 }

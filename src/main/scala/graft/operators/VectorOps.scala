@@ -149,7 +149,7 @@ object VectorOps {
   def q67IvfSearch(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     val e = Tables.embeddings(s, d)
-    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
+    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3, trackInertia = false)
     val centsB = cents.persist()
     val assigned = KMeansIvf.assign(e, centsB, "vec_id", "embedding")
       .select(col("vec_id").as("cid"), col("cluster"))
