@@ -303,9 +303,15 @@ object TextOps {
     * oracle computes the same components with a recursive CTE. */
   def q55DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = q35MinHashLsh(s, d).select(col("da"), col("db"))
-    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db"))).persist()
+    // localCheckpoint (eager) after every round: iterative DataFrames must
+    // truncate lineage, or round r's logical plan embeds the whole LSH
+    // pipeline plus r-1 rounds of joins — analysis/planning cost grows per
+    // round and any partial evaluation replays everything (this took q55
+    // from 20 s to ~2 s at sf0.1 beyond the LSH itself)
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true)
     var labels = edges.select(col("da").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -313,12 +319,10 @@ object TextOps {
         .groupBy(edges("da").as("nid")).agg(min(col("label")).as("nbr"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist()
-      val changed = next.as("n").join(labels.as("o"), "id")
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist()
       labels = next
-      converged = changed
       rounds += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
