@@ -115,6 +115,25 @@ object EventStream {
   def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: each click joined to the same user's views in
+    * the preceding 10 minutes. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can evict join state
+    * older than the watermark — the only stream-stream join shape whose
+    * state doesn't grow without bound. */
+  def clickViewJoin(clicks0: DataFrame, views0: DataFrame): DataFrame = {
+    val clicks = clicks0.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = views0.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -62,6 +62,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream click↔view join matches the batch join") {
+    // streaming sources read directories; stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    def stream() = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.clickViewJoin(stream(), stream()), "ssjoin")
+    try {
+      val streamed = spark.table("ssjoin").count()
+      val batchEvents = Tables.events(spark, sf)
+      val batch = EventStream.clickViewJoin(batchEvents, batchEvents).count()
+      assert(streamed > 0 && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per event_id across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")
