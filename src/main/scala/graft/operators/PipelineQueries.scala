@@ -120,7 +120,48 @@ object PipelineQueries {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY batch_seq DESC) AS rn FROM u)
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  /** q75 — the WHOLE medallion write path as one hash-checked query:
+    * stage orders to CSV → source-to-bronze (audit enrich + partitioned
+    * parquet write with historic routing) → bronze-to-silver (timestamp
+    * normalization, active flag, rename projection, PK dedup, historic +
+    * current sinks) → read the silver partition back. The oracle states
+    * the same end state declaratively over the original parquet, so every
+    * write/read hop (CSV round-trip, partitioned bronze, silver overwrite)
+    * must be lossless for the hash to match. Numeric CSV round-trips are
+    * exact (shortest-repr doubles); the timestamp column is left out of
+    * the staged projection — CSV timestamp formats are a parity hazard
+    * and P4 is graded separately (q72). */
+  def q75MedallionE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("medallion_e2e")
+    val csv = tmp.resolve("staged").toString
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Tables.orders(s, d).select(cols.map(col): _*)
+      .coalesce(1).write.mode("overwrite").option("header", true).csv(csv)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+    val today = "20260101"
+    Medallion.runTable(s, csv, tmp.resolve("bronze").toString, tmp.resolve("silver").toString,
+      table = "orders", database = "tms", updatedBy = FixedUser, updatedOn = FixedTs,
+      today = today, schema = Some(schema),
+      cfgOverride = Some(graft.pipeline.TableConfig("orders", Seq("o_orderkey"), Seq("o_orderkey"))))
+    s.read.parquet(tmp.resolve(s"silver/orders/datePart=$today").toString)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("database"), col("year_month").cast("date").as("year_month"),
+        col("region"), col("country"), col("updated_by"), col("updated_on"), col("active"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q75Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'tms' AS database, CAST(NULL AS DATE) AS year_month,
+      |  'NAM' AS region, 'USA' AS country, 'graft' AS updated_by,
+      |  TIMESTAMP '2026-01-01 00:00:00' AS updated_on, 'Y' AS active
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q75_medallion_e2e" -> q75MedallionE2e _,
     "q70_audit_enrich" -> q70AuditEnrich _,
     "q71_rename_bulk" -> q71RenameBulk _,
     "q72_cast_normalize" -> q72CastNormalize _,
@@ -132,5 +173,6 @@ object PipelineQueries {
     "q71_rename_bulk" -> q71Sql,
     "q72_cast_normalize" -> q72Sql,
     "q73_pk_dedup_config" -> q73Sql,
-    "q74_upsert_merge" -> q74Sql)
+    "q74_upsert_merge" -> q74Sql,
+    "q75_medallion_e2e" -> q75Sql)
 }

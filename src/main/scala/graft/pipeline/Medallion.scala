@@ -220,7 +220,8 @@ object Medallion {
       spark: SparkSession, csvPath: String, bronzeBase: String, silverBase: String,
       table: String, database: String, updatedBy: String, updatedOn: Timestamp,
       today: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Option[RunReport] = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      cfgOverride: Option[TableConfig] = None): Option[RunReport] = {
     val t0 = System.nanoTime()
     // explicit schema (readCsv) when the caller knows it — kills the
     // inference scan and makes types deterministic; inference only as the
@@ -233,7 +234,8 @@ object Medallion {
       val bronzeTarget = resolveBronzeTarget(spark, bronzeBase, table, today)
       writeBronze(enriched, bronzeTarget)
       val bronze = spark.read.parquet(bronzeTarget)
-      val cfg = TableConfig.registry.getOrElse(table, TableConfig(table))
+      val cfg = cfgOverride.getOrElse(
+        TableConfig.registry.getOrElse(table, TableConfig(table)))
       val silver = bronzeToSilverDf(bronze, cfg)
       writeSilver(spark, silver, silverBase, table, today)
       val n = staged.count()
