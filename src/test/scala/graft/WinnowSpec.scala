@@ -44,6 +44,24 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fp matches the model on random strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar))
+    } yield cs.mkString
+    val strings = (1 to 60).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val got = strings.toDF("text")
+      .select(expr("winnow_fp(text)").as("fp")).collect().map(_.getSeq[Long](0))
+    strings.zip(got).foreach { case (s, fps) =>
+      assert(fps.toSet == model(s), s"mismatch for: '$s'")
+    }
+  }
+
   test("q66 plan contains no per-character explode") {
     val plan = operators.TextOps.q66Winnowing(spark, sf)
       .queryExecution.executedPlan.toString
