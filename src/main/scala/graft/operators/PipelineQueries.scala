@@ -160,7 +160,43 @@ object PipelineQueries {
       |  TIMESTAMP '2026-01-01 00:00:00' AS updated_on, 'Y' AS active
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q76 — Gold claims mart through Gold.claimsMart (the layer the
+    * reference's README leaves "[Coming soon]"), driven by star-schema
+    * stand-ins: orders as the claim table, lineitem as payments and
+    * products. Child rollups pre-aggregate BEFORE the left joins, so the
+    * join inputs are bounded by claim cardinality — never an exploded
+    * claim×payments×products row set. */
+  def q76GoldMart(s: SparkSession, d: String): DataFrame = {
+    val claim = Tables.orders(s, d).select(
+      col("o_orderkey").as("claim_number"), col("o_orderstatus").as("status_code"),
+      col("o_totalprice").as("total_amount"))
+    val payments = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("claim_number"), col("l_extendedprice").as("payment_amount"))
+    val products = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("claim_number"), col("l_quantity").as("line_total"))
+    graft.pipeline.Gold.claimsMart(claim, payments, products)
+      .select(col("claim_number"), col("status_code"), col("total_amount"),
+        col("n_payments"), col("total_paid"), col("n_products"), col("total_line_value"))
+      .orderBy(col("claim_number"))
+  }
+
+  val q76Sql: String = {
+    import graft.operators.Det.dsumSql
+    s"""WITH pay AS (SELECT l_orderkey AS claim_number, COUNT(*) AS n_payments,
+       |  ${dsumSql("l_extendedprice")} AS total_paid FROM lineitem GROUP BY 1),
+       |prod AS (SELECT l_orderkey AS claim_number, COUNT(*) AS n_products,
+       |  ${dsumSql("l_quantity")} AS total_line_value FROM lineitem GROUP BY 1),
+       |c AS (SELECT o_orderkey AS claim_number, o_orderstatus AS status_code,
+       |  o_totalprice AS total_amount FROM orders)
+       |SELECT claim_number, status_code, total_amount,
+       |  COALESCE(n_payments, 0) AS n_payments, COALESCE(total_paid, 0.0) AS total_paid,
+       |  COALESCE(n_products, 0) AS n_products, COALESCE(total_line_value, 0.0) AS total_line_value
+       |FROM c LEFT JOIN pay USING (claim_number) LEFT JOIN prod USING (claim_number)
+       |ORDER BY claim_number""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_gold_mart" -> q76GoldMart _,
     "q75_medallion_e2e" -> q75MedallionE2e _,
     "q70_audit_enrich" -> q70AuditEnrich _,
     "q71_rename_bulk" -> q71RenameBulk _,
@@ -174,5 +210,6 @@ object PipelineQueries {
     "q72_cast_normalize" -> q72Sql,
     "q73_pk_dedup_config" -> q73Sql,
     "q74_upsert_merge" -> q74Sql,
-    "q75_medallion_e2e" -> q75Sql)
+    "q75_medallion_e2e" -> q75Sql,
+    "q76_gold_mart" -> q76Sql)
 }
