@@ -113,9 +113,17 @@ object Medallion {
 
   /** Bronze sink: Parquet, partitioned by year_month, overwrite
     * (`linehaul_source_to_bronze.py:136-141`). Partitioned writes keep
-    * partition pruning available to every downstream month-filtered scan. */
-  def writeBronze(df: DataFrame, targetPath: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy("year_month").parquet(targetPath)
+    * partition pruning available to every downstream month-filtered scan.
+    * Write hygiene for scale: zstd (better ratio than snappy at similar
+    * scan cost) and a per-file record cap so one fat input split can't
+    * produce a multi-GB file that defeats downstream split parallelism.
+    * Codec/row-group layout never affects values — oracle parity holds. */
+  def writeBronze(df: DataFrame, targetPath: String,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("year_month").parquet(targetPath)
 
   /** Silver transform: timestamp normalization → active flag → single-
     * projection rename → PK dedup (the reference's full-load branch,
