@@ -20,6 +20,10 @@ object Connector {
   /** 5 MB, the reference's chunk size (`mm_source_to_bronze.py:57`). */
   val DefaultChunkSize: Int = 5000000
 
+  /** 200 s, the reference's download watchdog cap
+    * (`linehaul_source_to_bronze.py:80`). */
+  val DefaultFetchTimeoutMs: Long = 200000L
+
   final case class FileStat(size: Long, modifiedMs: Long)
 
   /** Minimal remote transport: probe + sequential read. */
@@ -56,17 +60,50 @@ object Connector {
     (bytes, chunks)
   }
 
+  /** Download watchdog (`linehaul_source_to_bronze.py:47-62,80`): the
+    * reference runs each download on a thread and `join`s with a 200 s
+    * timeout so a hung transport read can't wedge the whole run. Same
+    * shape here: the copy runs on a daemon worker; if it hasn't finished
+    * within `timeoutMs`, the input stream is closed (which unblocks a
+    * read stuck inside the transport), the worker is interrupted, and a
+    * TimeoutException feeds the caller's retry loop. */
+  private def copyWithWatchdog(
+      in: InputStream, out: OutputStream, chunkSize: Int, timeoutMs: Long): (Long, Long) = {
+    @volatile var result: Either[Throwable, (Long, Long)] = null
+    val worker = new Thread(() => {
+      result =
+        try Right(copyChunked(in, out, chunkSize))
+        catch { case t: Throwable => Left(t) }
+    }, "graft-fetch-worker")
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(math.max(1L, timeoutMs))
+    if (worker.isAlive) {
+      try in.close() catch { case _: Throwable => () }
+      worker.interrupt()
+      throw new java.util.concurrent.TimeoutException(
+        s"fetch exceeded watchdog timeout of $timeoutMs ms")
+    }
+    result match {
+      case Right(v) => v
+      case Left(e)  => throw e
+    }
+  }
+
   /** Probe → retrying chunked fetch → staged file → size gate.
     *
     * Returns None when the stat probe misses (the reference SKIPS absent
     * files rather than failing the run); throws after `attempts` failed
-    * fetches (`Medallion.retry` semantics). The fetch writes to a temp
-    * name and renames into place only after the size gate passes, so a
-    * torn download can never be read as a staged file. */
+    * fetches (`Medallion.retry` semantics). Each fetch attempt is bounded
+    * by the download watchdog (`timeoutMs`); a hung transport read times
+    * out, feeds the retry loop, and fails cleanly after `attempts`. The
+    * fetch writes to a temp name and renames into place only after the
+    * size gate passes, so a torn download can never be read as a staged
+    * file. */
   def fetchToStaging(
       src: RemoteSource, remotePath: String, stagingDir: Path,
       chunkSize: Int = DefaultChunkSize, attempts: Int = 3,
-      delayMs: Long = 0): Option[FetchReport] =
+      delayMs: Long = 0, timeoutMs: Long = DefaultFetchTimeoutMs): Option[FetchReport] =
     src.stat(remotePath).map { st =>
       Files.createDirectories(stagingDir)
       val name = remotePath.split('/').last
@@ -78,7 +115,7 @@ object Connector {
         val in = src.open(remotePath)
         try {
           val out = Files.newOutputStream(tmp)
-          try copyChunked(in, out, chunkSize) finally out.close()
+          try copyWithWatchdog(in, out, chunkSize, timeoutMs) finally out.close()
         } finally in.close()
       }
       require(bytes == st.size,

@@ -228,6 +228,61 @@ class ConnectorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!Files.exists(staging.resolve("claim.txt")))
   }
 
+  test("a hung transport read hits the download watchdog, retries, then fails cleanly") {
+    val root = tempRoot(); val staging = tempRoot()
+    writeFile(root, "claim.txt", "content-that-never-arrives".getBytes)
+    val real = new Connector.LocalSource(root)
+    var opens = 0
+    // a stream whose read blocks until the watchdog closes it — the hung
+    // SFTP get the reference guards with its 200 s thread-join timeout
+    val stalling = new Connector.RemoteSource {
+      def stat(p: String) = real.stat(p)
+      def open(p: String) = {
+        opens += 1
+        new java.io.InputStream {
+          private val lock = new Object
+          @volatile private var closed = false
+          def read(): Int = {
+            lock.synchronized { while (!closed) lock.wait() }
+            throw new java.io.IOException("stream closed by watchdog")
+          }
+          override def close(): Unit = lock.synchronized { closed = true; lock.notifyAll() }
+        }
+      }
+    }
+    val t0 = System.nanoTime()
+    assertThrows[java.util.concurrent.TimeoutException](
+      Connector.fetchToStaging(stalling, "claim.txt", staging,
+        attempts = 2, delayMs = 1, timeoutMs = 150))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(opens == 2, s"each retry must reopen the transport (opens=$opens)")
+    assert(elapsedMs < 5000, s"watchdog must bound the wait (took $elapsedMs ms)")
+    assert(!Files.exists(staging.resolve("claim.txt")))
+  }
+
+  test("a slow-but-live fetch inside the watchdog budget still succeeds") {
+    val root = tempRoot(); val staging = tempRoot()
+    val payload = "slow-but-fine".getBytes
+    writeFile(root, "claim.txt", payload)
+    val real = new Connector.LocalSource(root)
+    val slow = new Connector.RemoteSource {
+      def stat(p: String) = real.stat(p)
+      def open(p: String) = {
+        val inner = real.open(p)
+        new java.io.InputStream {
+          def read(): Int = { Thread.sleep(5); inner.read() }
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            Thread.sleep(5); inner.read(b, off, math.min(len, 4))
+          }
+          override def close(): Unit = inner.close()
+        }
+      }
+    }
+    val rep = Connector.fetchToStaging(slow, "claim.txt", staging, timeoutMs = 60000).get
+    assert(rep.bytes == payload.length)
+    assert(Files.readAllBytes(staging.resolve("claim.txt")).sameElements(payload))
+  }
+
   test("staging cleanup removes staged files and abandoned fetch temps") {
     val root = tempRoot(); val staging = tempRoot()
     writeFile(root, "claim.txt", "abc".getBytes)
