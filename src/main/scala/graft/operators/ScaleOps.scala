@@ -136,7 +136,9 @@ object ScaleOps {
 
   /** q93 — seeded sampling (Bernoulli `sample` + stratified `sampleBy`):
     * deterministic within Spark for a fixed seed but engine-specific RNG,
-    * so rows-only check. The training-pipeline downsampling primitive. */
+    * so rows-only check. The training-pipeline downsampling primitive.
+    * q79 is its hash-checked twin: the same stratified selection made
+    * engine-portable by replacing the RNG with a content-stable bucket. */
   def q93Sample(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val plain = li.sample(withReplacement = false, 0.1, seed = 42)
@@ -148,6 +150,39 @@ object ScaleOps {
       .withColumn("method", lit("stratified"))
     plain.union(strata).orderBy(col("method"), col("l_returnflag"))
   }
+
+  /** q79 — deterministic stratified sampling, the oracle-able half of q93:
+    * per-stratum rates (A 5%, N 20%, R 5%) admitted by a content-stable
+    * bucket of the row key (`(l_orderkey*131 + l_linenumber) mod 100`)
+    * instead of an RNG draw, so both engines select the exact same rows
+    * and the result hash-matches. Same single-pass shape as `sampleBy` —
+    * one projection + one bounded agg, no shuffle beyond the group-by —
+    * and reproducible across runs, engines, and cluster sizes (RNG
+    * sampling is seed×partition-layout dependent; this is not). */
+  def q79StratifiedDet(s: SparkSession, d: String): DataFrame = {
+    val quota = when(col("l_returnflag") === "N", lit(20L)).otherwise(lit(5L))
+    Tables.lineitem(s, d)
+      .withColumn("picked",
+        (pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(100)) < quota).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("picked")).as("n_selected"),
+        round(sum(col("picked")).cast("double") / count(lit(1)), 6).as("ratio"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q79Sql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag,
+      |    CASE WHEN (l_orderkey * 131 + l_linenumber) % 100 <
+      |      (CASE WHEN l_returnflag = 'N' THEN 20 ELSE 5 END)
+      |      THEN 1 ELSE 0 END AS picked
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_total,
+      |  CAST(SUM(picked) AS BIGINT) AS n_selected,
+      |  ROUND(CAST(SUM(picked) AS DOUBLE) / COUNT(*), 6) AS ratio
+      |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q56 — deterministic stratified training-mix selection: each source
     * gets a quota (even-numbered sources 40%, odd 10%) and rows are
@@ -187,6 +222,7 @@ object ScaleOps {
     "q40_ngram_jaccard" -> q40NgramJaccard _,
     "q41_salted_agg" -> q41SaltedAgg _,
     "q46_percentiles" -> q46Percentiles _,
+    "q79_stratified_det" -> q79StratifiedDet _,
     "q92_sketches" -> q92Sketches _,
     "q93_sample" -> q93Sample _)
 
@@ -194,5 +230,6 @@ object ScaleOps {
     "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,
     "q41_salted_agg" -> q41Sql,
-    "q46_percentiles" -> q46Sql)
+    "q46_percentiles" -> q46Sql,
+    "q79_stratified_det" -> q79Sql)
 }

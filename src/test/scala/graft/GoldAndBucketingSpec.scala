@@ -55,6 +55,26 @@ class GoldAndBucketingSpec extends AnyFunSuite {
       Medallion.failOnEmpty(Seq(Medallion.RunReport("claim", "db", 0, 0.1))))
   }
 
+  test("q77 plan prunes bronze partitions: non-empty PartitionFilters, pruned scan") {
+    val df = operators.PipelineQueries.q77PartitionPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"),
+      s"expected a pushed partition filter on year_month:\n${plan.take(1200)}")
+    assert(plan.contains("year_month"), plan.take(800))
+    // 12 month-partitions of 1996 → 12 distinct year_month values survive
+    assert(df.count() == 12)
+  }
+
+  test("q78 bucketed join: SMJ + agg run with no hash-partition exchange") {
+    val df = operators.PipelineQueries.q78BucketedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle:\n${plan.take(1500)}")
+    assert(df.count() > 0)
+  }
+
   test("bucketed tables sort-merge join with NO shuffle exchange") {
     val s2 = spark.newSession() // warehouse.dir is static; default ./spark-warehouse
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
