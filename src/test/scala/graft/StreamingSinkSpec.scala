@@ -49,4 +49,52 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(out.select(countDistinct(col("event_id"))).head().getLong(0) == all.count(),
       "no duplicated event_ids across restarts")
   }
+
+  test("sessionize state survives a kill-and-restart between micro-batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sess_restart")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+    val outDir = s"$root/out"; val ckDir = s"$root/ck"
+
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.parquet(srcDir.resolve(name).toString)
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.resolve("*").toString)
+        .as[EventStream.Event]
+      EventStream.sessionize(stream).toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // batch 1: an OPEN session for user 1 (2 events, ends 10:10)
+    write("f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 2.0)))
+    val q1 = startQuery(); q1.awaitTermination()
+
+    // kill/restart: batch 2 CONTINUES the session (10:20, gap < 30 min),
+    // then a far event supersedes it. The emitted session can only have
+    // n_events=3 / start=10:00 if the flatMapGroupsWithState state store
+    // was recovered from the checkpoint — a lost state would emit a
+    // 1-event session starting 10:20 instead.
+    write("f1", Seq(
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 1, "click", 4.0),
+      EventStream.Event(4, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 9.0)))
+    val q2 = startQuery(); q2.awaitTermination()
+
+    val sessions = spark.read.parquet(outDir).as[EventStream.SessionOut].collect()
+    assert(sessions.length == 1, sessions.mkString("; "))
+    val s = sessions.head
+    assert(s.user_id == 1 && s.n_events == 3 && s.sum_value == 7.0)
+    assert(s.sess_start.toString.startsWith("2024-01-01 10:00:00"))
+    assert(s.sess_end.toString.startsWith("2024-01-01 10:20:00"))
+  }
 }
