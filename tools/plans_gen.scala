@@ -2,18 +2,47 @@ import java.nio.file.{Files, Paths}
 val d = "/root/testdata/sf0.1"
 val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sort_topk",
   "q35_minhash_lsh","q91_knn_native_expr","q94_asof_native","q44_range_join_binned",
-  "q66_winnowing","q37_embed_neardup","q100_tpch_q18")
+  "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
+  "q78_bucketed_join")
 val sb = new StringBuilder
 sb.append("# PLANS — physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
 sb.append("pushdown + column pruning, broadcast joins, partial aggregation,\n")
 sb.append("TakeOrderedAndProject top-k, the custom DotProductF and WinnowFingerprintsF\n")
-sb.append("codegen expressions, the multi-probe LSH equi-join, and the native\n")
-sb.append("AsOfJoin exec. Regenerate with tools/gen_plans.sh.\n")
+sb.append("codegen expressions, the multi-probe LSH equi-join, the native\n")
+sb.append("AsOfJoin exec, partition pruning over the bronze layer (q77:\n")
+sb.append("non-empty PartitionFilters), the bucketed shuffle-free join (q78: SMJ\n")
+sb.append("with zero hash exchanges), and the executed AQE skew-split plan\n")
+sb.append("(skew=true). Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
   val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
   sb.append(s"\n## $k\n\n```\n")
+  sb.append(p.linesIterator.take(45).mkString("\n"))
+  sb.append("\n```\n")
+}
+// Runtime AQE skew-split evidence (AqeSkewSpec's shape, executed so the
+// FINAL adaptive plan shows the skew=true partition splits): 95% of left
+// rows share one key; shrunk thresholds let sf-local data trigger the
+// same OptimizeSkewedJoin path a 100 TB hot key would.
+{
+  import org.apache.spark.sql.functions._
+  val s2 = spark.newSession()
+  s2.conf.set("spark.sql.adaptive.enabled", "true")
+  s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+  s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+  s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+  s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+  s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  s2.conf.set("spark.sql.shuffle.partitions", "8")
+  val left = s2.range(0, 200000)
+    .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+  val right = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+  val joined = left.join(right, "k")
+  joined.collect() // executes THIS QueryExecution so AQE finalizes it
+  val p = joined.queryExecution.executedPlan.toString
+  sb.append("\n## aqe_skew_join (executed — final adaptive plan)\n\n```\n")
   sb.append(p.linesIterator.take(45).mkString("\n"))
   sb.append("\n```\n")
 }
