@@ -37,6 +37,10 @@ object ScaleOps {
       .filter(col("h2").isNotNull)
       .select(col("doc_id"), ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
       .distinct()
+      // both the hot-shingle count and the anti-join read this relation;
+      // without the persist the tokenize+window pipeline runs twice
+      // (measured 2.2 s → 1.7 s at sf0.1). Harness clearCache() releases it.
+      .persist()
     // df-cap: the hot list is tiny (stopword shingles), so the filter is a
     // broadcast anti-join — one extra map-side-combinable count shuffle
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -64,7 +64,14 @@ object VectorOps {
        |ORDER BY va, vb""".stripMargin
 
   /** q38 — brute-force cosine top-5 neighbors for query vectors
-    * (vec_id < 8) against the whole corpus. */
+    * (vec_id < 8) against the whole corpus.
+    *
+    * SCALE GUARD: `broadcast(c)` ships the WHOLE corpus to every task —
+    * deliberate here (this is the exactness baseline and q67's recall
+    * ground truth, and the fixture corpus is small), but it does not
+    * survive a real corpus. Past broadcast size (~1 GB of vectors), the
+    * baseline itself must run against a SAMPLED corpus, or switch to the
+    * scale path: q37 (sign-bucket LSH) / q39+q67 (IVF cells). */
   def q38KnnBrute(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 8)
@@ -124,7 +131,9 @@ object VectorOps {
   /** q91 — q38 re-run on the codegen'd [[graft.functions.VectorExpressions
     * .DotProductF]] custom Catalyst expression instead of the HOF cosine.
     * Identical accumulation order ⇒ identical results ⇒ it shares q38's
-    * oracle — a custom codegen expression that still hash-matches DuckDB. */
+    * oracle — a custom codegen expression that still hash-matches DuckDB.
+    * Same SCALE GUARD as q38: the corpus broadcast is baseline-tier only —
+    * sample the corpus or use the q37/q39/q67 bucketed paths at scale. */
   def q91KnnNative(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     import graft.functions.VectorExpressions.cosineF
