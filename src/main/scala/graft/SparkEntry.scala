@@ -25,7 +25,8 @@ object SparkEntry {
       operators.PipelineQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.ScaleOps.queries ++
-      operators.Joins2.queries
+      operators.Joins2.queries ++
+      operators.Tpch2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.PipelineQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       operators.ScaleOps.oracles ++
-      operators.Joins2.oracles
+      operators.Joins2.oracles ++
+      operators.Tpch2.oracles
 }

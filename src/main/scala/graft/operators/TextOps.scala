@@ -563,7 +563,71 @@ object TextOps {
       |FROM p WHERE next_id IS NOT NULL
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** q58 — Gopher-style quality-rule filter: per-document boolean rules
+    * (token-count bounds, mean-word-length bounds, alphabetic-character
+    * ratio, minimum distinct-stopword hits — the published Gopher/C4
+    * heuristics, thresholds adapted to the short synthetic fixture docs),
+    * rolled up to per-language pass rates. Unlike q31's *score*, this is
+    * the filter-policy form a training-data pipeline actually applies:
+    * each rule is one codegen'd projection, the rollup is one bounded agg
+    * (≤ #langs rows), so the whole policy is a single linear pass at any
+    * scale. */
+  def q58GopherFilter(s: SparkSession, d: String): DataFrame = {
+    val stop = "'the','a','of','and','to','in'"
+    val b = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("mean_len",
+        length(regexp_replace(col("text"), " ", "")) / col("n_tok"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+      .withColumn("r_words", b(col("n_tok") >= 10 && col("n_tok") <= 80))
+      .withColumn("r_meanlen", b(col("mean_len") >= 3.0 && col("mean_len") <= 10.0))
+      .withColumn("r_alpha", b(col("alpha_ratio") >= 0.6))
+      .withColumn("r_stop",
+        b(expr(s"size(array_distinct(filter(toks, t -> t IN ($stop))))") >= 2))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("r_words")).as("pass_words"),
+        sum(col("r_meanlen")).as("pass_meanlen"),
+        sum(col("r_alpha")).as("pass_alpha"),
+        sum(col("r_stop")).as("pass_stop"),
+        sum(col("r_words") * col("r_meanlen") * col("r_alpha") * col("r_stop")).as("pass_all"))
+      .orderBy(col("lang"))
+  }
+
+  val q58Sql: String = {
+    val toks = tokensSql("text")
+    val stop = "'the','a','of','and','to','in'"
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len($toks) AS DOUBLE) AS n_tok,
+       |    len(replace(text, ' ', '')) / CAST(len($toks) AS DOUBLE) AS mean_len,
+       |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / len(text) AS alpha_ratio,
+       |    len(list_distinct(list_filter($toks, x -> x IN ($stop)))) AS n_stop
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang,
+       |    CAST(n_tok >= 10 AND n_tok <= 80 AS BIGINT) AS r_words,
+       |    CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT) AS r_meanlen,
+       |    CAST(alpha_ratio >= 0.6 AS BIGINT) AS r_alpha,
+       |    CAST(n_stop >= 2 AS BIGINT) AS r_stop
+       |  FROM t)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(r_words) AS BIGINT) AS pass_words,
+       |  CAST(SUM(r_meanlen) AS BIGINT) AS pass_meanlen,
+       |  CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha,
+       |  CAST(SUM(r_stop) AS BIGINT) AS pass_stop,
+       |  CAST(SUM(r_words * r_meanlen * r_alpha * r_stop) AS BIGINT) AS pass_all
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_gopher_filter" -> q58GopherFilter _,
     "q49_levenshtein" -> q49Levenshtein _,
     "q30_token_stats" -> q30TokenStats _,
     "q31_quality_score" -> q31Quality _,
@@ -580,6 +644,7 @@ object TextOps {
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
+    "q58_gopher_filter" -> q58Sql,
     "q49_levenshtein" -> q49Sql,
     "q30_token_stats" -> q30Sql,
     "q31_quality_score" -> q31Sql,
