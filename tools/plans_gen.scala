@@ -3,7 +3,7 @@ val d = "/root/testdata/sf0.1"
 val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sort_topk",
   "q35_minhash_lsh","q91_knn_native_expr","q94_asof_native","q44_range_join_binned",
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
-  "q78_bucketed_join")
+  "q78_bucketed_join","q101_tpch_q5","q106_tpch_q19")
 val sb = new StringBuilder
 sb.append("# PLANS — physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -12,8 +12,11 @@ sb.append("TakeOrderedAndProject top-k, the custom DotProductF and WinnowFingerp
 sb.append("codegen expressions, the multi-probe LSH equi-join, the native\n")
 sb.append("AsOfJoin exec, partition pruning over the bronze layer (q77:\n")
 sb.append("non-empty PartitionFilters), the bucketed shuffle-free join (q78: SMJ\n")
-sb.append("with zero hash exchanges), and the executed AQE skew-split plan\n")
-sb.append("(skew=true). Regenerate with tools/gen_plans.sh.\n")
+sb.append("with zero hash exchanges), the executed AQE skew-split plan\n")
+sb.append("(skew=true), the all-dims-broadcast TPC-H Q5 (q101: five broadcast\n")
+sb.append("joins, lineitem the only streamed side), and disjunctive-predicate\n")
+sb.append("pushdown (q106: OR-of-ANDs factored into per-scan PushedFilters plus\n")
+sb.append("a join residual). Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
   val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
