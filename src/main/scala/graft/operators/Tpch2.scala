@@ -236,17 +236,22 @@ object Tpch2 {
        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
   /** q107 — TPC-H Q22 (global sales opportunity): customers in a target
-    * nation set with above-average positive balance and no orders —
+    * nation set with above-average positive balance and no urgent orders —
     * scalar aggregate subquery + anti-join + final group. Adapted: no
     * `c_phone` in the fixture, so the country-code prefix set becomes a
-    * `c_nationkey IN (...)` set; the balance average is exact-decimal on
-    * both sides so the `>` filter can't diverge. */
+    * `c_nationkey IN (...)` set, and the anti-join target is
+    * priority-filtered orders (the fixture generator gives every customer
+    * at least one order, so the classic no-orders form is empty at every
+    * scale); the balance average is exact-decimal on both sides so the
+    * `>` filter can't diverge. */
   def q107TpchQ22(s: SparkSession, d: String): DataFrame = {
     val nations = Seq(1, 3, 5, 7, 9)
     val c = Tables.customer(s, d).filter(col("c_nationkey").isin(nations: _*))
     val avgBal = c.filter(col("c_acctbal") > 0.0)
       .agg(davg(col("c_acctbal")).as("avg_bal"))
-    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
     c.join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
@@ -263,7 +268,9 @@ object Tpch2 {
        |  AND c_acctbal > (
        |    SELECT ${davgSql("c_acctbal")} FROM customer
        |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
-       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
        |GROUP BY 1 ORDER BY cntrycode""".stripMargin
 
   val queries: Map[String, Q] = Map(
