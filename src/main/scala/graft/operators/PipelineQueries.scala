@@ -235,6 +235,11 @@ object PipelineQueries {
 
   /** Which input dir the bucketed tables were built from (rebuild on change). */
   @volatile private var bucketedFor: Option[String] = None
+  /** Data dir of the current bucketed copy — deleted on rebuild: the
+    * tables are external (`option("path")`), so DROP TABLE alone would
+    * leave each superseded copy of the two largest tables in /tmp for the
+    * process lifetime when a JVM alternates input dirs. */
+  @volatile private var bucketedDir: Option[java.nio.file.Path] = None
 
   /** Write orders/lineitem bucketed+sorted on the join key, once per input
     * dir — the recurring-workload layout SCALING.md names as the q04 fix. */
@@ -245,6 +250,11 @@ object PipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
       s.sql("DROP TABLE IF EXISTS graft_li_b")
       s.sql("DROP TABLE IF EXISTS graft_o_b")
+      bucketedDir.foreach { old =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        catch { case _: java.io.IOException => () }
+      }
+      bucketedDir = Some(java.nio.file.Paths.get(tmp))
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .write.mode("overwrite").option("path", s"$tmp/li_b")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")

@@ -107,19 +107,29 @@ object Connector {
     src.stat(remotePath).map { st =>
       Files.createDirectories(stagingDir)
       val name = remotePath.split('/').last
-      val tmp = stagingDir.resolve(name + ".__fetch_tmp")
       val dest = stagingDir.resolve(name)
       var attempt = 0
-      val (bytes, chunks) = Medallion.retry(attempts, delayMs) {
+      // Each attempt writes a DISTINCT temp file: after a watchdog timeout
+      // the abandoned worker thread may still hold an open descriptor to
+      // its temp and complete a stale in-flight write through it — reusing
+      // one path would let that write corrupt the next attempt's bytes.
+      // Stale temps are swept by cleanupStaging.
+      val (bytes, chunks, tmp) = Medallion.retry(attempts, delayMs) {
         attempt += 1
+        val t = stagingDir.resolve(s"$name.__fetch_tmp$attempt")
         val in = src.open(remotePath)
-        try {
-          val out = Files.newOutputStream(tmp)
-          try copyWithWatchdog(in, out, chunkSize, timeoutMs) finally out.close()
-        } finally in.close()
+        val (b, c) =
+          try {
+            val out = Files.newOutputStream(t)
+            try copyWithWatchdog(in, out, chunkSize, timeoutMs) finally out.close()
+          } finally in.close()
+        (b, c, t)
       }
-      require(bytes == st.size,
-        s"short fetch for $remotePath: got $bytes bytes, expected ${st.size}")
+      // Gate on the staged file's ACTUAL size, not just the copy-loop
+      // count, so nothing another writer did to the inode can slip past.
+      require(bytes == st.size && Files.size(tmp) == st.size,
+        s"short fetch for $remotePath: got $bytes bytes " +
+          s"(file ${Files.size(tmp)}), expected ${st.size}")
       Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       FetchReport(name, bytes, chunks, attempt)
     }

@@ -5,7 +5,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
   "q78_bucketed_join","q101_tpch_q5","q106_tpch_q19")
 val sb = new StringBuilder
-sb.append("# PLANS — physical plans of headline queries (sf0.1, generated)\n\n")
+sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
 sb.append("pushdown + column pruning, broadcast joins, partial aggregation,\n")
 sb.append("TakeOrderedAndProject top-k, the custom DotProductF and WinnowFingerprintsF\n")
@@ -45,7 +45,7 @@ keys.foreach { k =>
   val joined = left.join(right, "k")
   joined.collect() // executes THIS QueryExecution so AQE finalizes it
   val p = joined.queryExecution.executedPlan.toString
-  sb.append("\n## aqe_skew_join (executed — final adaptive plan)\n\n```\n")
+  sb.append("\n## aqe_skew_join (executed -- final adaptive plan)\n\n```\n")
   sb.append(p.linesIterator.take(45).mkString("\n"))
   sb.append("\n```\n")
 }
