@@ -233,6 +233,76 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY year_month""".stripMargin
   }
 
+  /** q80 — DYNAMIC partition pruning over the same partitioned bronze:
+    * q77 prunes statically (the month range is in the query text); here
+    * the surviving months are only known by joining a quarter-filtered
+    * month dimension, so Spark computes them at runtime from the dim's
+    * broadcast and skips every other partition directory — the fact scan
+    * plans with `PartitionFilters: [dynamicpruningexpression(...)]`.
+    * This is the standard star-schema shape at 100 TB: the fact is
+    * partitioned on a key the user never filters directly; without DPP
+    * the dimension filter reads all seven years. */
+  def q80DppJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(stagedOrdersBronze(s, d))
+    val dim = Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("dim_month"))
+      .distinct()
+      .filter(quarter(col("dim_month")) === 1)
+    fact.join(broadcast(dim), col("year_month") === col("dim_month"))
+      .groupBy(col("year_month").cast("date").as("year_month"))
+      .agg(count(lit(1)).as("n"), graft.operators.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("year_month"))
+  }
+
+  val q80Sql: String = {
+    import graft.operators.Det.dsumSql
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS year_month,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE quarter(o_orderdate) = 1
+       |GROUP BY 1 ORDER BY year_month""".stripMargin
+  }
+
+  /** One JSON staging per input dir and process (same rationale as
+    * [[bronzeCache]]: staging is setup, not the graded read path). */
+  private val jsonStageCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q81 — JSON source scan (§2.1 beyond parquet/CSV): stage events as
+    * line-delimited JSON once per input dir, read it back with an
+    * EXPLICIT schema (inference costs a second full pass — never at
+    * 100 TB), and aggregate. The oracle reads the original parquet, so
+    * the JSON write→read round trip must be lossless for the hash to
+    * match (Jackson shortest-repr doubles round-trip exactly; the
+    * ns-precision timestamp stays out of the projection — JSON timestamp
+    * formats are the q72-class parity hazard, graded separately). */
+  def q81JsonSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = jsonStageCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("json_stage").resolve("events").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(dir)
+      dir
+    })
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    s.read.schema(schema).json(staged)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.operators.Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q81Sql: String = {
+    import graft.operators.Det.dsumSql
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   /** Which input dir the bucketed tables were built from (rebuild on change). */
   @volatile private var bucketedFor: Option[String] = None
   /** Data dir of the current bucketed copy — deleted on rebuild: the
@@ -313,6 +383,8 @@ object PipelineQueries {
     "q76_gold_mart" -> q76GoldMart _,
     "q77_partition_pruned" -> q77PartitionPruned _,
     "q78_bucketed_join" -> q78BucketedJoin _,
+    "q80_dpp_join" -> q80DppJoin _,
+    "q81_json_source" -> q81JsonSource _,
     "q75_medallion_e2e" -> q75MedallionE2e _,
     "q70_audit_enrich" -> q70AuditEnrich _,
     "q71_rename_bulk" -> q71RenameBulk _,
@@ -329,5 +401,7 @@ object PipelineQueries {
     "q75_medallion_e2e" -> q75Sql,
     "q76_gold_mart" -> q76Sql,
     "q77_partition_pruned" -> q77Sql,
-    "q78_bucketed_join" -> q78Sql)
+    "q78_bucketed_join" -> q78Sql,
+    "q80_dpp_join" -> q80Sql,
+    "q81_json_source" -> q81Sql)
 }

@@ -626,8 +626,52 @@ object TextOps {
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Email/phone patterns shared by the Spark query and its oracle — both
+    * engines (Java regex / RE2) read this subset identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1 555-[0-9]{4}-[0-9]{4}"
+
+  /** q59 — PII redaction (scrub-before-training). The fixture text is
+    * synthetic word-soup with no real PII, so the query first plants a
+    * deterministic synthetic email + phone per document (derived from
+    * doc_id; the oracle builds the identical string), then redacts with
+    * the same patterns a production scrubber would use and counts the
+    * hits. One projection of codegen'd regexp builtins — a map-only pass
+    * with no shuffle, so it scales linearly at 100 TB. */
+  def q59PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"),
+        regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or +1 555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+       |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(aug, '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INTEGER) AS n_phones
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q58_gopher_filter" -> q58GopherFilter _,
+    "q59_pii_redact" -> q59PiiRedact _,
     "q49_levenshtein" -> q49Levenshtein _,
     "q30_token_stats" -> q30TokenStats _,
     "q31_quality_score" -> q31Quality _,
@@ -645,6 +689,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q58_gopher_filter" -> q58Sql,
+    "q59_pii_redact" -> q59Sql,
     "q49_levenshtein" -> q49Sql,
     "q30_token_stats" -> q30Sql,
     "q31_quality_score" -> q31Sql,

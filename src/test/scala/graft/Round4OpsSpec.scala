@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 graded additions: PII redaction (q59), dynamic partition
+  * pruning (q80), JSON source scan (q81). */
+class Round4OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q59 plants then fully redacts one email and one phone per document") {
+    val rows = operators.TextOps.q59PiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1, s"doc ${r.get(0)}: email count")
+      assert(r.getAs[Int]("n_phones") == 1, s"doc ${r.get(0)}: phone count")
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@"), "email survived redaction")
+      assert(!red.contains("+1 555-"), "phone survived redaction")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+    }
+  }
+
+  test("q80 prunes fact partitions dynamically from the dimension filter") {
+    val df = operators.PipelineQueries.q80DppJoin(spark, sf)
+    val rows = df.collect()
+    // Q1 months only — and the scan must carry a runtime pruning filter
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[java.sql.Date]("year_month").toLocalDate.getMonthValue
+      assert(m <= 3, s"non-Q1 month survived: $m")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in scan:\n$plan")
+  }
+
+  test("q80 matches the statically-filtered equivalent") {
+    val viaDpp = operators.PipelineQueries.q80DppJoin(spark, sf)
+      .collect().map(_.toString).sorted
+    val direct = Tables.orders(spark, sf)
+      .filter(quarter(col("o_orderdate")) === 1)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("year_month"))
+      .agg(count(lit(1)).as("n"),
+        operators.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .collect().map(_.toString).sorted
+    assert(viaDpp.sameElements(direct))
+  }
+
+  test("q81 JSON round trip is lossless vs the parquet-direct aggregate") {
+    val viaJson = operators.PipelineQueries.q81JsonSource(spark, sf)
+      .collect().map(_.toString).sorted
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        operators.Det.dsum(col("value")).as("sum_value"))
+      .collect().map(_.toString).sorted
+    assert(viaJson.nonEmpty && viaJson.sameElements(direct))
+  }
+}

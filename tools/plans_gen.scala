@@ -3,7 +3,7 @@ val d = "/root/testdata/sf0.1"
 val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sort_topk",
   "q35_minhash_lsh","q91_knn_native_expr","q94_asof_native","q44_range_join_binned",
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
-  "q78_bucketed_join","q101_tpch_q5","q106_tpch_q19")
+  "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -12,7 +12,12 @@ sb.append("TakeOrderedAndProject top-k, the custom DotProductF and WinnowFingerp
 sb.append("codegen expressions, the multi-probe LSH equi-join, the native\n")
 sb.append("AsOfJoin exec, partition pruning over the bronze layer (q77:\n")
 sb.append("non-empty PartitionFilters), the bucketed shuffle-free join (q78: SMJ\n")
-sb.append("with zero hash exchanges), the executed AQE skew-split plan\n")
+sb.append("with zero hash exchanges), dynamic partition pruning (q80:\n")
+sb.append("dynamicpruningexpression in the fact scan's PartitionFilters,\n")
+sb.append("computed at runtime from the quarter-filtered month dim's\n")
+sb.append("broadcast), the runtime bloom-filter join pruning plan\n")
+sb.append("(bloom_filter_might_contain injected on the fact scan by a\n")
+sb.append("selective dim filter), the executed AQE skew-split plan\n")
 sb.append("(skew=true), the all-dims-broadcast TPC-H Q5 (q101: five broadcast\n")
 sb.append("joins, lineitem the only streamed side), and disjunctive-predicate\n")
 sb.append("pushdown (q106: OR-of-ANDs factored into per-scan PushedFilters plus\n")
@@ -46,6 +51,26 @@ keys.foreach { k =>
   joined.collect() // executes THIS QueryExecution so AQE finalizes it
   val p = joined.queryExecution.executedPlan.toString
   sb.append("\n## aqe_skew_join (executed -- final adaptive plan)\n\n```\n")
+  sb.append(p.linesIterator.take(45).mkString("\n"))
+  sb.append("\n```\n")
+}
+// Runtime bloom-filter join pruning (RuntimeBloomFilterSpec's shape): a
+// selective dim filter injects bloom_filter_might_contain on the fact
+// side so non-matching rows die at the scan — shown here on the real
+// lineitem⋈orders shapes at sf0.1.
+{
+  import org.apache.spark.sql.functions._
+  val s3 = spark.newSession()
+  s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+  s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+  s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+  s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  val li = graft.Tables.lineitem(s3, d)
+  val o = graft.Tables.orders(s3, d).filter(col("o_totalprice") > 450000.0)
+  val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  val p = j.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+  sb.append("\n## runtime_bloom_filter_join (bloom_filter_might_contain on the fact scan)\n\n```\n")
   sb.append(p.linesIterator.take(45).mkString("\n"))
   sb.append("\n```\n")
 }
