@@ -26,6 +26,25 @@ object Connector {
 
   final case class FileStat(size: Long, modifiedMs: Long)
 
+  /** Transport tuning (`linehaul_source_to_bronze.py:24-27`): connect
+    * timeout 60 s, banner timeout 200 s, keepalive every 30 s; connection
+    * established with 3 attempts 5 s apart (`:19-33`). There is no SSH
+    * client in this environment, so these are the configuration surface a
+    * transport implementation consumes — the retry-then-fail *shape*
+    * around connect is real ([[connectTransport]]). */
+  final case class TransportTuning(
+      connectTimeoutMs: Long = 60000L,
+      bannerTimeoutMs: Long = 200000L,
+      keepaliveIntervalMs: Long = 30000L,
+      connectAttempts: Int = 3,
+      connectRetryDelayMs: Long = 5000L)
+
+  /** The reference's connect_to_sftp loop: up to `connectAttempts` calls,
+    * `connectRetryDelayMs` apart, then fail with the last error. */
+  def connectTransport[A](tuning: TransportTuning = TransportTuning())(
+      connect: TransportTuning => A): A =
+    Medallion.retry(tuning.connectAttempts, tuning.connectRetryDelayMs)(connect(tuning))
+
   /** Minimal remote transport: probe + sequential read. */
   trait RemoteSource {
     /** None = file absent (the reference's `sftp.stat` try/except). */

@@ -293,6 +293,27 @@ class ConnectorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Connector.cleanupStaging(tempRoot().resolve("absent")) == 0) // no-op
   }
 
+  test("connectTransport retries the reference's 3-attempt shape and carries the tuning") {
+    // defaults mirror linehaul_source_to_bronze.py:24-27 (timeout=60,
+    // banner_timeout=200, keepalive 30 s) and :19-33 (3 retries, 5 s apart)
+    val t = Connector.TransportTuning()
+    assert(t.connectTimeoutMs == 60000L && t.bannerTimeoutMs == 200000L &&
+      t.keepaliveIntervalMs == 30000L && t.connectAttempts == 3 && t.connectRetryDelayMs == 5000L)
+    var calls = 0
+    val fast = t.copy(connectRetryDelayMs = 1)
+    val session = Connector.connectTransport(fast) { tuning =>
+      assert(tuning.bannerTimeoutMs == 200000L) // tuning reaches the connect fn
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("banner timeout")
+      "connected"
+    }
+    assert(session == "connected" && calls == 3)
+    calls = 0
+    val ex = intercept[java.io.IOException](
+      Connector.connectTransport(fast)(_ => { calls += 1; throw new java.io.IOException("down") }))
+    assert(ex.getMessage == "down" && calls == 3) // fail after 3, last error surfaced
+  }
+
   test("workspace→scope resolution: non-prod marker, prod, and fallback") {
     assert(ConfigRegistry.scopeFor(Some("adb.6.example.net")) == "cdt-scope")
     assert(ConfigRegistry.scopeFor(Some("adb.prod.example.net")) == "prd-scope")
