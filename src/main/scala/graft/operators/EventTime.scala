@@ -109,13 +109,55 @@ object EventTime {
        |  ${dsumSql("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin
 
+  /** q83 — time-grid gap fill + forward fill (resample): per user, build
+    * the complete hourly grid between that user's first and last active
+    * hour, left-join the hourly aggregates, and carry the last observed
+    * sum forward across empty hours. The grid explodes to at most
+    * users × span-hours rows (bounded, never data-dependent blowup); the
+    * join and the fill window both partition by user, so at 100 TB this
+    * is one shuffle on user_id and a linear in-partition pass — the
+    * standard per-entity resampling shape for feature pipelines. */
+  def q83GapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(fill).as("filled_sum"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val q83Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS hour,
+       |    COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+       |  FROM hourly GROUP BY user_id)
+       |SELECT g.user_id, g.hour,
+       |  COALESCE(h.n_events, 0) AS n_events,
+       |  last_value(h.sum_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       |ORDER BY g.user_id, g.hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q83_gap_fill" -> q83GapFill _,
     "q60_tumbling_window" -> q60Tumbling _,
     "q61_sliding_window" -> q61Sliding _,
     "q62_sessionize" -> q62Sessionize _,
     "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q83_gap_fill" -> q83Sql,
     "q60_tumbling_window" -> q60Sql,
     "q61_sliding_window" -> q61Sql,
     "q62_sessionize" -> q62Sql,

@@ -191,7 +191,32 @@ object Joins2 {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q82 — null-safe equi-join (`<=>`): urgent orders are collapsed to a
+    * NULL key on both sides; the null-safe condition keeps them paired
+    * (a plain `=` drops every NULL row — the classic silent data loss in
+    * key-nullable joins). `EqualNullSafe` is still an equi-key to the
+    * planner, so the dim side broadcasts and no shuffle appears —
+    * null-safe semantics cost nothing at 100 TB. */
+  def q82NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.orders(s, d)
+      .select(col("o_orderkey"), expr("nullif(o_orderpriority, '1-URGENT')").as("k"))
+    val dim = l.select(col("k")).distinct()
+      .select(col("k").as("dk"), coalesce(col("k"), lit("URGENT_NULL")).as("k_label"))
+    l.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy(col("k_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_label"))
+  }
+
+  val q82Sql: String =
+    """WITH l AS (SELECT nullif(o_orderpriority, '1-URGENT') AS k FROM orders),
+      |d AS (SELECT DISTINCT k AS dk, COALESCE(k, 'URGENT_NULL') AS k_label FROM l)
+      |SELECT k_label, COUNT(*) AS n
+      |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.dk
+      |GROUP BY 1 ORDER BY k_label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_null_safe_join" -> q82NullSafeJoin _,
     "q42_outer_join" -> q42OuterJoin _,
     "q43_setops_all" -> q43SetOpsAll _,
     "q44_range_join_binned" -> q44RangeJoinBinned _,
@@ -200,6 +225,7 @@ object Joins2 {
     "q48_array_functions" -> q48ArrayFunctions _)
 
   val oracles: Map[String, String] = Map(
+    "q82_null_safe_join" -> q82Sql,
     "q42_outer_join" -> q42Sql,
     "q43_setops_all" -> q43Sql,
     "q44_range_join_binned" -> q44Sql,

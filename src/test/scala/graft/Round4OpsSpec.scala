@@ -47,6 +47,33 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(viaDpp.sameElements(direct))
   }
 
+  test("q82 null-safe join keeps the NULL-key rows a plain equi-join drops") {
+    val rows = operators.Joins2.q82NullSafeJoin(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.orders(spark, sf).count(), "every order must survive the join")
+    assert(rows.exists(_.getAs[String]("k_label") == "URGENT_NULL"),
+      "NULL-key group must be present")
+    // the broadcast dim keeps the plan shuffle-free on the probe side
+    val plan = operators.Joins2.q82NullSafeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q83 grid is complete per user, gaps are zero-count, fill is monotone-defined") {
+    val rows = operators.EventTime.q83GapFill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // contiguous hourly grid per user; filled_sum never null (first hour
+    // always has data by construction: the span starts at an active hour)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val hours = rs.map(_.getAs[java.sql.Timestamp]("hour").getTime).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+        "grid has holes or duplicates")
+    }
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("filled_sum"))))
+    // gap rows exist at this sf and carry the previous observed sum
+    assert(rows.exists(_.getAs[Long]("n_events") == 0L))
+  }
+
   test("q81 JSON round trip is lossless vs the parquet-direct aggregate") {
     val viaJson = operators.PipelineQueries.q81JsonSource(spark, sf)
       .collect().map(_.toString).sorted
