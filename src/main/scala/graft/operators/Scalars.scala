@@ -242,7 +242,75 @@ object Scalars {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** q84 — unpivot/melt (the inverse of q27's pivot): three lineitem
+    * measures fold into (measure, value) rows via `Dataset.unpivot`.
+    * Narrow transform — no shuffle, output exactly 3× input, codegen'd
+    * Expand underneath — so it scales as a map-only pass. */
+  def q84Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  val q84Sql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** q85 — statistical aggregates (mean / sample stddev / correlation)
+    * computed from exact decimal MOMENTS instead of the built-in
+    * `stddev_samp`/`corr`: the builtins merge per-partition running
+    * moments, so their low-order bits depend on partition order and can
+    * never hash-match a single-threaded oracle. Summing x, y, x², y², xy
+    * as order-independent decimals and applying the closed formulas once
+    * per group is deterministic on both engines — and is also the right
+    * 100 TB shape: five map-side-combinable sums, one tiny final
+    * projection. Every intermediate is cast to double before arithmetic
+    * so both engines execute the identical IEEE expression tree. */
+  def q85StatsMoments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+      .select(col("l_linestatus"),
+        col("n").cast("long").as("n_rows"),
+        (col("sx") / col("n")).as("mean_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q85Sql: String =
+    s"""WITH m AS (
+       |  SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${dsumSql("l_quantity")} AS sx,
+       |    ${dsumSql("l_extendedprice")} AS sy,
+       |    ${dsumSql("l_quantity*l_quantity")} AS sxx,
+       |    ${dsumSql("l_extendedprice*l_extendedprice")} AS syy,
+       |    ${dsumSql("l_quantity*l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_linestatus, CAST(n AS BIGINT) AS n_rows,
+       |  sx/n AS mean_qty,
+       |  sqrt((sxx - sx*sx/n)/(n-1)) AS std_qty,
+       |  (n*sxy - sx*sy)/(sqrt(n*sxx - sx*sx)*sqrt(n*syy - sy*sy)) AS corr_qty_price
+       |FROM m ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_unpivot" -> q84Unpivot _,
+    "q85_stats_moments" -> q85StatsMoments _,
     "q51_null_semantics" -> q51NullSemantics _,
     "q52_regex_extract" -> q52RegexExtract _,
     "q69_range_frame" -> q69RangeFrame _,
@@ -255,6 +323,8 @@ object Scalars {
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q84_unpivot" -> q84Sql,
+    "q85_stats_moments" -> q85Sql,
     "q51_null_semantics" -> q51Sql,
     "q52_regex_extract" -> q52Sql,
     "q69_range_frame" -> q69Sql,

@@ -74,6 +74,31 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_events") == 0L))
   }
 
+  test("q84 unpivot emits exactly 3 measure rows per lineitem, values intact") {
+    val n = Tables.lineitem(spark, sf).count()
+    val up = operators.Scalars.q84Unpivot(spark, sf)
+    assert(up.count() == 3 * n)
+    val measures = up.select("measure").distinct().collect().map(_.getString(0)).sorted
+    assert(measures.sameElements(Array("l_discount", "l_extendedprice", "l_quantity")))
+  }
+
+  test("q85 moment formulas agree with Spark's builtin estimators to 1e-9") {
+    import org.apache.spark.sql.functions.{corr => scorr, stddev_samp, avg}
+    val got = operators.Scalars.q85StatsMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy(col("l_linestatus"))
+      .agg(avg(col("l_quantity")).as("m"), stddev_samp(col("l_quantity")).as("s"),
+        scorr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, g) =>
+      val r = ref(k)
+      assert(math.abs(g.getAs[Double]("mean_qty") - r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(g.getAs[Double]("std_qty") - r.getAs[Double]("s")) < 1e-9)
+      assert(math.abs(g.getAs[Double]("corr_qty_price") - r.getAs[Double]("c")) < 1e-9)
+    }
+  }
+
   test("q81 JSON round trip is lossless vs the parquet-direct aggregate") {
     val viaJson = operators.PipelineQueries.q81JsonSource(spark, sf)
       .collect().map(_.toString).sorted
