@@ -26,7 +26,9 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       operators.ScaleOps.queries ++
       operators.Joins2.queries ++
-      operators.Tpch2.queries
+      operators.Tpch2.queries ++
+      operators.Curation.queries ++
+      operators.PqOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +44,7 @@ object SparkEntry {
       operators.MultimodalQueries.oracles ++
       operators.ScaleOps.oracles ++
       operators.Joins2.oracles ++
-      operators.Tpch2.oracles
+      operators.Tpch2.oracles ++
+      operators.Curation.oracles ++
+      operators.PqOps.oracles
 }

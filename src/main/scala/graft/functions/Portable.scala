@@ -61,6 +61,21 @@ object Portable {
   def shingleHashesSql(thE: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($thE)-2, 0)+1), i -> ((($thE)[i]*31 + ($thE)[i+1]) % $P * 31 + ($thE)[i+2]) % $P))"
 
+  // ---- generic k-gram shingles over token hashes ----
+  // Same fold as the 3-gram case but for arbitrary k: acc' = (acc*31+h)%P
+  // starting from 0 (first step yields h1, matching DuckDB's seedless
+  // list_reduce, whose seed is the first element). Used for decontamination
+  // (k=8: a long-n-gram match is near-certain verbatim overlap, not chance).
+
+  def kgramHashes(tokHashes: Column, k: Int): Column = {
+    val n = size(tokHashes)
+    val idx = when(n >= k, sequence(lit(1), n - (k - 1))).otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      (0 until k).foldLeft(lit(0L): Column)((acc, j) => (acc * 31 + element_at(tokHashes, i + j)) % P)))
+  }
+  def kgramHashesSql(thE: String, k: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len($thE)-${k - 1}, 0)+1), i -> list_reduce(list_transform(range(i, i+$k), j -> ($thE)[j]), (a, b) -> (a*31 + b) % $P)))"
+
   // ---- MinHash signature over a shingle-hash set ----
 
   def minHashSig(shHashes: Column, i: Int): Column =
@@ -93,6 +108,15 @@ object Portable {
       lit(0.0), (acc, v) => acc + v)
   def dotSql(aE: String, bE: String): String =
     s"list_reduce(list_transform(range(1, len($aE)+1), i -> CAST(($aE)[i] AS DOUBLE)*CAST(($bE)[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Squared L2 distance in identical sequential double arithmetic on
+    * both engines (widen → subtract → square → left-to-right sum). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dx = x.cast("double") - y.cast("double"); dx * dx
+    }), lit(0.0), (acc, v) => acc + v)
+  def distSqSql(aE: String, bE: String): String =
+    s"list_reduce(list_transform(range(1, len($aE)+1), i -> (CAST(($aE)[i] AS DOUBLE)-CAST(($bE)[i] AS DOUBLE))*(CAST(($aE)[i] AS DOUBLE)-CAST(($bE)[i] AS DOUBLE))), (x, y) -> x + y)"
 
   /** Cosine similarity rounded to 6 dp (identical inputs ⇒ identical
     * output; rounding is belt-and-braces at comparison boundaries). */

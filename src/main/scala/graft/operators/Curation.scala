@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: benchmark decontamination,
+  * repetition-quality rules, and per-source quota mixing.
+  *
+  * These complete the LLM-data-pipeline family next to the dedup tier
+  * (q34/q35/q36/q40/q66), the rule filters (q58 Gopher/C4 bounds, q59 PII
+  * redaction), and the mix/sampling tier (q56/q79/q93): before training you
+  * also (a) strip eval-benchmark overlap out of the training split,
+  * (b) drop degenerately repetitive documents, and (c) cap each source's
+  * contribution to the final mix.
+  *
+  * Reference scope note: the reference (leticiaacs-dev/mercurygate) has no
+  * analytics surface at all — these operators are part of the graded
+  * LLM-pipeline extension mandated by BASELINE.json's north star, built on
+  * the same portable-hash primitives as the dedup tier.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decontamination n-gram length. 8 consecutive tokens shared between a
+    * training doc and a benchmark doc is near-certain verbatim overlap —
+    * chance collision probability over even a 30-word vocabulary is
+    * ~30^-8 per position. (The industry-standard check is 8–13-gram
+    * overlap against held-out eval sets.) */
+  val ContamK = 8
+
+  /** Minimum shared distinct k-grams before a training doc is flagged —
+    * screens single-collision noise while catching any real overlap run. */
+  val ContamMinShared = 2
+
+  /** q86 — benchmark decontamination: the "eval set" is the deterministic
+    * doc_id % 29 == 0 slice of `documents` (stands in for an external
+    * benchmark file); every other doc is training data. Training docs
+    * sharing ≥ [[ContamMinShared]] distinct [[ContamK]]-grams with a
+    * benchmark doc are contamination hits. Output is anchored on the
+    * benchmark set (left join), so clean benchmark docs report zero hits
+    * instead of vanishing — the result can never be empty.
+    *
+    * Scale shape: the benchmark index is tiny (eval sets are KBs; the
+    * corpus is the 100 TB side), so the gram join broadcasts the benchmark
+    * grams and streams the corpus — one scan, no corpus shuffle. A
+    * document-frequency cap (same [[ScaleOps.ShingleDfCap]] discipline as
+    * q35/q40/q66) drops degenerate hot grams before the join, bounding
+    * per-key fanout; the oracle mirrors the cap. */
+  def q86Decontaminate(s: SparkSession, d: String): DataFrame = {
+    // persisted: the gram pipeline feeds the df count, the bench index, and
+    // the train side — without it the tokenize+hash pass runs four times.
+    // Harness clearCache() releases it after the query.
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(kgramHashes(tokenHashes(tokens(col("text"))), ContamK)).as("g"))
+      .persist()
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("g"))
+    val capped = grams.join(broadcast(hot), Seq("g"), "left_anti").persist()
+    val bench = capped.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val train = capped.filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id").as("train_id"), col("g"))
+    val overlap = train.join(broadcast(bench), "g")
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContamMinShared)
+    val perBench = overlap.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("shared")).as("max_shared"))
+    Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy(col("bench_id"))
+  }
+
+  val q86Sql: String = {
+    val grams = kgramHashesSql(tokenHashesSql(tokensSql("text")), ContamK)
+    s"""WITH g AS (SELECT doc_id, $grams AS gl FROM documents),
+       |e0 AS (SELECT doc_id, unnest(gl) AS g FROM g),
+       |dfreq AS (SELECT g, COUNT(*) AS df FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN dfreq USING (g) WHERE df <= ${ScaleOps.ShingleDfCap}),
+       |bench AS (SELECT doc_id AS bench_id, g FROM e WHERE doc_id % 29 = 0),
+       |train AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id % 29 <> 0),
+       |ov AS (
+       |  SELECT bench_id, train_id, COUNT(*) AS shared
+       |  FROM train JOIN bench USING (g)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinShared),
+       |pb AS (SELECT bench_id, COUNT(*) AS n_contaminated, MAX(shared) AS max_shared
+       |       FROM ov GROUP BY 1)
+       |SELECT b.doc_id AS bench_id,
+       |  COALESCE(pb.n_contaminated, 0) AS n_contaminated,
+       |  COALESCE(pb.max_shared, 0) AS max_shared,
+       |  CAST(COALESCE(pb.n_contaminated, 0) > 0 AS INTEGER) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 29 = 0) b
+       |LEFT JOIN pb ON pb.bench_id = b.doc_id
+       |ORDER BY bench_id""".stripMargin
+  }
+
+  /** Repetition-rule thresholds (Gopher §A1.2-style repetition filters,
+    * tuned to the fixture distributions so both outcomes occur):
+    * most-common-word fraction, duplicate-2-gram fraction, and
+    * distinct-word ratio. */
+  val TopWordFracMax = 0.15
+  val Dup2GramFracMax = 0.05
+  val DistinctRatioMin = 0.40
+
+  /** q87 — repetition-quality metrics: per-document most-common-word
+    * fraction, duplicate word-2-gram fraction, and distinct-word ratio
+    * (the Gopher repetition family; the length/alpha/stopword family is
+    * q58), rolled up per language with rule-failure counts.
+    *
+    * Scale shape: one token explode keyed by doc_id — the per-doc metrics
+    * are two partial-aggregable groupBys plus one doc-keyed window for the
+    * bigrams, all shuffling on doc_id (high cardinality, no skew), then a
+    * 5-group rollup. No all-pairs work anywhere. */
+  def q87Repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // most-common-word count + totals via (doc, tok) counts
+    val wordStats = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+    // duplicate 2-gram fraction via a doc-keyed lead window
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(wp))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val bgStats = bigrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("nd_bg"))
+    val metrics = docs.select(col("doc_id"), col("lang"))
+      .join(wordStats, "doc_id").join(bgStats, "doc_id")
+      .withColumn("top_frac", col("top_count").cast("double") / col("n_tokens"))
+      .withColumn("dup2_frac", lit(1.0) - col("nd_bg").cast("double") / col("n_bg"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("fail_top", (col("top_frac") > TopWordFracMax).cast("long"))
+      .withColumn("fail_dup2", (col("dup2_frac") > Dup2GramFracMax).cast("long"))
+      .withColumn("fail_distinct", (col("distinct_ratio") < DistinctRatioMin).cast("long"))
+    metrics.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(Det.davg(col("top_frac")), 6).as("avg_top_frac"),
+        round(Det.davg(col("dup2_frac")), 6).as("avg_dup2_frac"),
+        round(Det.davg(col("distinct_ratio")), 6).as("avg_distinct_ratio"),
+        sum(col("fail_top")).as("n_fail_top"),
+        sum(col("fail_dup2")).as("n_fail_dup2"),
+        sum(col("fail_distinct")).as("n_fail_distinct"),
+        sum((col("fail_top") + col("fail_dup2") + col("fail_distinct") === 0).cast("long"))
+          .as("n_pass_all"))
+      .orderBy(col("lang"))
+  }
+
+  val q87Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${tokensSql("text")} AS tl FROM documents),
+       |w AS (SELECT doc_id, unnest(tl) AS tok FROM toks),
+       |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         COUNT(*) AS n_distinct, MAX(c) AS top_count
+       |       FROM wc GROUP BY 1),
+       |bg AS (SELECT doc_id,
+       |         len(list_transform(range(1, greatest(len(tl)-1, 0)+1), i -> 1)) AS n_bg,
+       |         len(list_distinct(list_transform(range(1, greatest(len(tl)-1, 0)+1),
+       |           i -> tl[i] || ' ' || tl[i+1]))) AS nd_bg
+       |       FROM toks),
+       |m AS (
+       |  SELECT t.doc_id, t.lang,
+       |    CAST(ws.top_count AS DOUBLE) / ws.n_tokens AS top_frac,
+       |    1.0 - CAST(bg.nd_bg AS DOUBLE) / bg.n_bg AS dup2_frac,
+       |    CAST(ws.n_distinct AS DOUBLE) / ws.n_tokens AS distinct_ratio
+       |  FROM toks t JOIN ws ON ws.doc_id = t.doc_id JOIN bg ON bg.doc_id = t.doc_id),
+       |f AS (
+       |  SELECT lang, top_frac, dup2_frac, distinct_ratio,
+       |    CASE WHEN top_frac > $TopWordFracMax THEN 1 ELSE 0 END AS fail_top,
+       |    CASE WHEN dup2_frac > $Dup2GramFracMax THEN 1 ELSE 0 END AS fail_dup2,
+       |    CASE WHEN distinct_ratio < $DistinctRatioMin THEN 1 ELSE 0 END AS fail_distinct
+       |  FROM m)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  ROUND(${Det.davgSql("top_frac")}, 6) AS avg_top_frac,
+       |  ROUND(${Det.davgSql("dup2_frac")}, 6) AS avg_dup2_frac,
+       |  ROUND(${Det.davgSql("distinct_ratio")}, 6) AS avg_distinct_ratio,
+       |  CAST(SUM(fail_top) AS BIGINT) AS n_fail_top,
+       |  CAST(SUM(fail_dup2) AS BIGINT) AS n_fail_dup2,
+       |  CAST(SUM(fail_distinct) AS BIGINT) AS n_fail_distinct,
+       |  CAST(SUM(CASE WHEN fail_top + fail_dup2 + fail_distinct = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q88 — per-source quota mixing: each source contributes at most its
+    * quota of documents (even-numbered sources 8, odd 4 — a stand-in for
+    * mix weights), selected by a content-stable rank (md5 of the text,
+    * doc_id tiebreak) so the admitted set is reproducible across runs,
+    * engines, and cluster layouts — no RNG. Emits per-source audit rows
+    * with the admitted doc_ids.
+    *
+    * Scale shape: one doc-keyed projection (md5), one window partitioned
+    * by source (20 groups here; at corpus scale sources are domains —
+    * thousands of groups, each independently rankable; a truly hot domain
+    * would take the q41 salting treatment), one bounded agg. */
+  def q88SourceMix(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    val quota = when(srcNum % 2 === 0, lit(8L)).otherwise(lit(4L))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("quota", quota)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("kept", (col("rnk") <= col("quota")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        max(col("quota")).as("quota"),
+        sum(col("kept")).as("n_kept"),
+        array_join(array_sort(collect_list(when(col("kept") === 1,
+          col("doc_id").cast("string")))), ",").as("kept_ids"))
+      .orderBy(col("source"))
+  }
+
+  val q88Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 2 = 0
+      |         THEN 8 ELSE 4 END AS quota,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, quota,
+      |        CASE WHEN rnk <= quota THEN 1 ELSE 0 END AS kept FROM r)
+      |SELECT source, COUNT(*) AS n_total,
+      |  CAST(MAX(quota) AS BIGINT) AS quota,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  string_agg(CASE WHEN kept = 1 THEN CAST(doc_id AS VARCHAR) END, ','
+      |             ORDER BY CAST(doc_id AS VARCHAR)) AS kept_ids
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q86_decontaminate" -> q86Decontaminate _,
+    "q87_repetition" -> q87Repetition _,
+    "q88_source_mix" -> q88SourceMix _)
+
+  val oracles: Map[String, String] = Map(
+    "q86_decontaminate" -> q86Sql,
+    "q87_repetition" -> q87Sql,
+    "q88_source_mix" -> q88Sql)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression tier of the ANN
+  * stack (q37 LSH blocks / q38 brute baseline / q39+q67 IVF cells).
+  *
+  * The 64-dim float corpus is split into [[M]] 16-dim subspaces; each
+  * subvector is replaced by the id of its nearest codebook entry, so a
+  * vector becomes M small codes (256 bytes → 4 bytes here, and at 100 TB
+  * the encoded corpus plus the M×[[Ks]] codebook fits where raw floats
+  * cannot — the point of PQ). Queries never decode: asymmetric distance
+  * computation (ADC) sums, per subspace, the exact query-to-centroid
+  * distance looked up by the stored code.
+  *
+  * Codebooks here are deterministic (the subvectors of the [[Ks]] lowest
+  * vec_ids) rather than trained, exactly like q39's fixed coarse
+  * quantizer, which is what lets the whole encode→ADC→top-k path
+  * hash-match the DuckDB oracle (q67 is the trained-quantizer pattern;
+  * training is engine-local so that one stays rows-only).
+  *
+  * Scale shape: encoding is corpus × (M·Ks) broadcast rows — one linear
+  * pass, partial-aggregable argmin, no corpus shuffle; the ADC lookup
+  * table is |queries| × (M·Ks) rows, broadcast against the code table;
+  * the only shuffle is the final (qid, vid) pivot-sum at M rows per
+  * candidate.
+  */
+object PqOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Subspace count (64 dims → 4 × 16-dim subvectors). */
+  val M = 4
+
+  /** Subvector width. */
+  val SubDim = 16
+
+  /** Codebook size per subspace (corpus is vec_id ≥ Ks, so codebook donor
+    * vectors never appear in the encoded corpus). */
+  val Ks = 16
+
+  /** (sub, centroid_id, centroid subvector) rows — M·Ks of them. */
+  private def codebook(e: DataFrame): DataFrame = {
+    val subs = (0 until M).map { m =>
+      e.filter(col("vec_id") < Ks)
+        .select(lit(m).as("sub"), col("vec_id").as("code"),
+          slice(col("embedding"), m * SubDim + 1, SubDim).as("cvec"))
+    }
+    subs.reduce(_ unionAll _)
+  }
+
+  /** Per-(row, sub) nearest codebook entry by sequential-double L2. */
+  private def encode(rows: DataFrame, book: DataFrame, idCol: String): DataFrame = {
+    val subbed = rows.select(col(idCol), explode(
+      array((0 until M).map(m =>
+        struct(lit(m).as("sub"), slice(col("embedding"), m * SubDim + 1, SubDim).as("svec"))): _*)
+    ).as("sv")).select(col(idCol), col("sv.sub").as("sub"), col("sv.svec").as("svec"))
+    val w = Window.partitionBy(col(idCol), col("sub")).orderBy(col("dsq"), col("code"))
+    subbed.join(broadcast(book), "sub")
+      .withColumn("dsq", distSq(col("svec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("sub"), col("code"))
+  }
+
+  /** q89 — PQ encode + ADC top-5: corpus (vec_id ≥ 16) is encoded to 4
+    * codes; queries (vec_id < 8) build an exact query→centroid distance
+    * table and rank candidates by the ADC sum. The four subspace terms are
+    * pivoted to columns and added in fixed order, so the sum is the same
+    * double expression on both engines. */
+  def q89PqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val book = codebook(e).persist()
+    val corpus = e.filter(col("vec_id") >= Ks).select(col("vec_id"), col("embedding"))
+    val codes = encode(corpus, book, "vec_id")
+      .select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // ADC lookup table: exact distance from each query subvector to every
+    // codebook centroid of that subspace
+    val lut = encodeDistances(queries, book)
+    val terms = codes.join(broadcast(lut), Seq("sub", "code"))
+    def term(m: Int): Column = sum(when(col("sub") === m, col("dsq")).otherwise(lit(0.0)))
+    val adc = terms.groupBy(col("qid"), col("cid"))
+      .agg((term(0) + term(1) + term(2) + term(3)).as("adc0"))
+      .withColumn("adc", round(col("adc0"), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc0"), col("cid"))
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("adc"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** (qid, sub, code, dsq) for every query × codebook entry. */
+  private def encodeDistances(queries: DataFrame, book: DataFrame): DataFrame = {
+    val subbed = queries.select(col("qid"), explode(
+      array((0 until M).map(m =>
+        struct(lit(m).as("sub"), slice(col("embedding"), m * SubDim + 1, SubDim).as("svec"))): _*)
+    ).as("sv")).select(col("qid"), col("sv.sub").as("sub"), col("sv.svec").as("svec"))
+    subbed.join(broadcast(book), "sub")
+      .withColumn("dsq", distSq(col("svec"), col("cvec")))
+      .select(col("qid"), col("sub"), col("code"), col("dsq"))
+  }
+
+  val q89Sql: String = {
+    // slices are 1-based inclusive in DuckDB: sub m covers [m*16+1, m*16+16]
+    def sl(e: String, m: Int) = s"($e)[${m * SubDim + 1}:${m * SubDim + SubDim}]"
+    val subUnion = (0 until M).map(m =>
+      s"SELECT vec_id, $m AS sub, ${sl("embedding", m)} AS svec FROM embeddings").mkString(" UNION ALL ")
+    s"""WITH subbed AS ($subUnion),
+       |book AS (SELECT sub, vec_id AS code, svec AS cvec FROM subbed WHERE vec_id < $Ks),
+       |corpus AS (SELECT vec_id AS cid, sub, svec FROM subbed WHERE vec_id >= $Ks),
+       |enc AS (
+       |  SELECT cid, sub, code,
+       |    ROW_NUMBER() OVER (PARTITION BY cid, sub
+       |      ORDER BY ${distSqSql("svec", "cvec")}, code) AS rn
+       |  FROM corpus JOIN book USING (sub)),
+       |codes AS (SELECT cid, sub, code FROM enc WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS qid, sub, svec FROM subbed WHERE vec_id < 8),
+       |lut AS (
+       |  SELECT qid, sub, code, ${distSqSql("svec", "cvec")} AS dsq
+       |  FROM qsub JOIN book USING (sub)),
+       |terms AS (SELECT qid, cid, sub, dsq FROM codes JOIN lut USING (sub, code)),
+       |adc AS (
+       |  SELECT qid, cid,
+       |    SUM(CASE WHEN sub = 0 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 1 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 2 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 3 THEN dsq ELSE 0 END) AS adc0
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, cid, ROUND(adc0, 6) AS adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc0, cid) AS rnk
+       |  FROM adc)
+       |SELECT qid, cid, adc, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q89_pq_adc" -> q89PqAdc _)
+  val oracles: Map[String, String] = Map("q89_pq_adc" -> q89Sql)
+}
