@@ -29,6 +29,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // optional comma-separated query-name filter (local profiling only;
+    // the driver never sets it, so per-round benches always run everything)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // kill any stale result from a previous (possibly crashed) run first
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
     catch { case _: Throwable => () }
@@ -52,7 +56,9 @@ object Bench {
 
     // a failed query records -1 (never a small elapsed time that would
     // read as a speedup) and is listed in "failed"
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case e: Throwable =>

@@ -50,12 +50,25 @@ object Curation {
     * q35/q40/q66) drops degenerate hot grams before the join, bounding
     * per-key fanout; the oracle mirrors the cap. */
   def q86Decontaminate(s: SparkSession, d: String): DataFrame = {
-    // persisted: the gram pipeline feeds the df count, the bench index, and
-    // the train side — without it the tokenize+hash pass runs four times.
-    // Harness clearCache() releases it after the query.
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(kgramHashes(tokenHashes(tokens(col("text"))), ContamK)).as("g"))
+    // Dict-encode tokens (hash each DISTINCT token once via a broadcast
+    // dict — per-occurrence interpreted polyHash is 20-50× slower; same
+    // pattern as q35/q40), then fold 8-grams from 7 lead() windows.
+    // Persisted: the gram pipeline feeds the df count, the bench index,
+    // and the train side. Harness clearCache() releases it.
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 until ContamK).foldLeft(tok.join(broadcast(dict), "tok")) {
+      (df, i) => df.withColumn(s"h$i", lead(col("h"), i).over(wp))
+    }
+    val gram = (1 until ContamK).foldLeft(col("h")) {
+      (acc, i) => (acc * 31 + col(s"h$i")) % P
+    }
+    val grams = withLeads
+      .filter(col(s"h${ContamK - 1}").isNotNull)
+      .select(col("doc_id"), gram.as("g"))
+      .distinct()
       .persist()
     val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ScaleOps.ShingleDfCap).select(col("g"))
