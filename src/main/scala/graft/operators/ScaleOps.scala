@@ -90,9 +90,10 @@ object ScaleOps {
     Tables.lineitem(s, d)
       .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(8)))
       .groupBy(col("l_returnflag"), col("salt"))
-      .agg(sum(col("l_quantity").cast(Det.Dec)).as("part_qty"), count(lit(1)).as("part_n"))
+      .agg(sum(Det.fixed6(col("l_quantity"))).as("part_qty6"), count(lit(1)).as("part_n"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("part_qty")).cast("double").as("sum_qty"), sum(col("part_n")).as("n"))
+      .agg((sum(col("part_qty6").cast(Det.Acc)).cast("double") / lit(1000000.0)).as("sum_qty"),
+        sum(col("part_n")).as("n"))
       .orderBy(col("l_returnflag"))
 
   val q41Sql: String =

@@ -19,11 +19,11 @@ object Gold {
     val pay = payments.groupBy(col("claim_number"))
       .agg(
         count(lit(1)).as("n_payments"),
-        sum(col("payment_amount").cast(graft.operators.Det.Dec)).cast("double").as("total_paid"))
+        graft.operators.Det.dsum(col("payment_amount")).as("total_paid"))
     val prod = products.groupBy(col("claim_number"))
       .agg(
         count(lit(1)).as("n_products"),
-        sum(col("line_total").cast(graft.operators.Det.Dec)).cast("double").as("total_line_value"))
+        graft.operators.Det.dsum(col("line_total")).as("total_line_value"))
     claim
       .join(pay, Seq("claim_number"), "left")
       .join(prod, Seq("claim_number"), "left")
@@ -38,6 +38,6 @@ object Gold {
       .groupBy(col("month"), col("status_code"))
       .agg(
         count(lit(1)).as("n_claims"),
-        sum(col("total_amount").cast(graft.operators.Det.Dec)).cast("double").as("claim_value"))
+        graft.operators.Det.dsum(col("total_amount")).as("claim_value"))
       .orderBy(col("month"), col("status_code"))
 }
