@@ -3,7 +3,8 @@ val d = "/root/testdata/sf0.1"
 val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sort_topk",
   "q35_minhash_lsh","q91_knn_native_expr","q94_asof_native","q44_range_join_binned",
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
-  "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19")
+  "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
+  "q86_decontaminate","q89_pq_adc")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -21,7 +22,11 @@ sb.append("selective dim filter), the executed AQE skew-split plan\n")
 sb.append("(skew=true), the all-dims-broadcast TPC-H Q5 (q101: five broadcast\n")
 sb.append("joins, lineitem the only streamed side), and disjunctive-predicate\n")
 sb.append("pushdown (q106: OR-of-ANDs factored into per-scan PushedFilters plus\n")
-sb.append("a join residual). Regenerate with tools/gen_plans.sh.\n")
+sb.append("a join residual), the decontamination gram join (q86: dict-encoded\n")
+sb.append("grams, broadcast bench index + broadcast df-cap anti-join), and the\n")
+sb.append("PQ encode/ADC path (q89: broadcast codebook + broadcast lookup\n")
+sb.append("table, corpus never shuffled before the final pivot-sum).\n")
+sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
   val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
