@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Joins2.queries ++
       operators.Tpch2.queries ++
       operators.Curation.queries ++
-      operators.PqOps.queries
+      operators.PqOps.queries ++
+      operators.HistoryOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Joins2.oracles ++
       operators.Tpch2.oracles ++
       operators.Curation.oracles ++
-      operators.PqOps.oracles
+      operators.PqOps.oracles ++
+      operators.HistoryOps.oracles
 }

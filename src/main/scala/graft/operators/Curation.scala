@@ -256,13 +256,75 @@ object Curation {
       |             ORDER BY CAST(doc_id AS VARCHAR)) AS kept_ids
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Perplexity-filter threshold for q109, sitting at ~p05 of the fixture
+    * per-doc average log-probabilities (range −3.70..−3.38), so both
+    * outcomes occur. */
+  val LogProbMin = -3.42
+
+  /** q109 — unigram-LM quality scoring (the CCNet/perplexity-filter
+    * shape): fit a unigram model over the corpus (token → count / total),
+    * score every document by its average token log-probability, flag
+    * low-likelihood documents, roll up per language.
+    *
+    * Per-token log-probs are rounded to 6 dp (libm last-ulp differences
+    * between JVM log and DuckDB ln — the q21 discipline) and summed with
+    * the fixed-point dsum, so scores are bit-identical cross-engine.
+    *
+    * Scale shape: the "model" is the vocabulary table — compact by
+    * Zipf's law even at 100 TB corpus scale (and cappable at top-K) — so
+    * scoring is one broadcast join over a single corpus scan plus one
+    * doc-keyed agg; the model fit itself is one partial-aggregable
+    * groupBy. This is the whole CCNet quality-filter pipeline as two
+    * scans. */
+  def q109UnigramQuality(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    val scored = tok
+      .join(broadcast(vocab), "tok")
+      .join(broadcast(total), lit(true))
+      .withColumn("lp", round(log(col("c").cast("double") / col("n_total")), 6))
+    val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+      .agg((Det.dsum(col("lp")) / count(lit(1))).as("alp"))
+      .withColumn("flagged", (col("alp") < LogProbMin).cast("long"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(Det.davg(col("alp")), 6).as("avg_logprob"),
+        round(min(col("alp")), 6).as("min_logprob"),
+        sum(col("flagged")).as("n_flagged"))
+      .orderBy(col("lang"))
+  }
+
+  val q109Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(LN(CAST(c AS DOUBLE) / (SELECT n_total FROM tot)), 6) AS lp
+       |  FROM toks JOIN vocab USING (tok)),
+       |d AS (
+       |  SELECT doc_id, lang, ${Det.dsumSql("lp")} / COUNT(*) AS alp
+       |  FROM sc GROUP BY 1, 2),
+       |f AS (SELECT lang, alp, CASE WHEN alp < $LogProbMin THEN 1 ELSE 0 END AS flagged FROM d)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  ROUND(${Det.davgSql("alp")}, 6) AS avg_logprob,
+       |  ROUND(MIN(alp), 6) AS min_logprob,
+       |  CAST(SUM(flagged) AS BIGINT) AS n_flagged
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q86_decontaminate" -> q86Decontaminate _,
     "q87_repetition" -> q87Repetition _,
-    "q88_source_mix" -> q88SourceMix _)
+    "q88_source_mix" -> q88SourceMix _,
+    "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
     "q86_decontaminate" -> q86Sql,
     "q87_repetition" -> q87Sql,
-    "q88_source_mix" -> q88Sql)
+    "q88_source_mix" -> q88Sql,
+    "q109_unigram_quality" -> q109Sql)
 }
