@@ -316,13 +316,64 @@ object Curation {
        |  CAST(SUM(flagged) AS BIGINT) AS n_flagged
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Target context length (tokens) for q110 sequence packing. */
+  val PackLen = 512L
+
+  /** q110 — greedy sequence packing: documents are laid out contiguously
+    * in a deterministic, content-stable order (md5, doc_id tiebreak)
+    * within each language stream, and a document's pack is the context
+    * window its starting offset falls into (straddle allowed — the
+    * standard concat-then-chunk pretraining layout). Reported per pack:
+    * document count, token count, and fill ratio vs [[PackLen]].
+    *
+    * Scale shape: one token-count projection, one window cumsum
+    * partitioned by the stream key (languages here; shard keys at corpus
+    * scale — make the stream key (lang, shard) and packing stays
+    * embarrassingly parallel per shard), one bounded agg. Integer
+    * arithmetic only, so cross-engine parity is exact. */
+  def q110SeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      // explicit floor: Spark's double->long cast truncates but DuckDB's
+      // rounds; floor() is identical on both
+      .withColumn("pack_id", floor((col("cum_end") - col("n_tok")) / PackLen))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")).cast("double") / PackLen, 6).as("fill_ratio"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val q110Sql: String = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tok FROM documents),
+       |c AS (
+       |  SELECT lang, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+       |  FROM t),
+       |p AS (SELECT lang, n_tok, CAST(floor((cum_end - n_tok) / $PackLen) AS BIGINT) AS pack_id FROM c)
+       |SELECT lang, pack_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / $PackLen, 6) AS fill_ratio
+       |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_seq_pack" -> q110SeqPack _,
     "q86_decontaminate" -> q86Decontaminate _,
     "q87_repetition" -> q87Repetition _,
     "q88_source_mix" -> q88SourceMix _,
     "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
+    "q110_seq_pack" -> q110Sql,
     "q86_decontaminate" -> q86Sql,
     "q87_repetition" -> q87Sql,
     "q88_source_mix" -> q88Sql,

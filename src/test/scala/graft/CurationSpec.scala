@@ -95,6 +95,25 @@ class CurationSpec extends AnyFunSuite {
     val again = operators.Curation.q88SourceMix(spark, sf).collect()
     assert(out.map(_.getString(4)).toSeq == again.map(_.getString(4)).toSeq)
   }
+
+  test("q110 packing conserves tokens; packs are contiguous per lang") {
+    val out = operators.Curation.q110SeqPack(spark, sf).collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(3)).sum == totalTokens)
+    // contiguity holds iff every doc is shorter than PackLen (a longer doc
+    // straddles whole windows and legitimately skips pack ids) — guard on
+    // that precondition instead of assuming fixture shape
+    val maxDoc = Tables.documents(spark, sf)
+      .select(max(size(graft.functions.Portable.tokens(col("text"))))).collect()(0).getInt(0)
+    if (maxDoc < operators.Curation.PackLen) {
+      out.groupBy(_.getString(0)).foreach { case (_, packs) =>
+        val ids = packs.map(_.getLong(1)).sorted
+        assert(ids.head == 0L && ids.toSeq == (0L until ids.length))
+      }
+    }
+  }
 }
 
 /** q89 product quantization: when corpus vectors are verbatim copies of
