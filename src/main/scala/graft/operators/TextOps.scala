@@ -317,12 +317,15 @@ object TextOps {
     while (!converged && rounds < 20) {
       val nbrMin = edges.join(labels, edges("db") === labels("id"))
         .groupBy(edges("da").as("nid")).agg(min(col("label")).as("nbr"))
+      // carry the previous label through the update so the convergence
+      // probe is a filter over the (already-materialized) checkpoint
+      // instead of a second join against the old labels
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
