@@ -49,6 +49,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kgramHashes: equals the reference fold-model; count and range laws hold") {
+    import graft.functions.Portable
+    val tokGen = Gen.listOfN(20, Gen.choose(0, 12).map(i => s"t$i"))
+    samples(tokGen, 8).foreach { toks =>
+      val k = 8
+      def ph(s: String): Long =
+        s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Portable.P)
+      val model = toks.map(ph).sliding(k).filter(_.length == k)
+        .map(_.foldLeft(0L)((a, h) => (a * 31 + h) % Portable.P)).toSeq.distinct
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(Portable.kgramHashes(
+          Portable.tokenHashes(Portable.tokens(col("text"))), k).as("g"))
+        .collect()(0).getSeq[Long](0)
+      assert(got == model)
+      got.foreach(h => assert(h >= 0 && h < Portable.P))
+    }
+  }
+
+  test("dsum: partition-layout independent and equal to the 6dp fixed-point model") {
+    val valGen = Gen.listOfN(300, Gen.choose(-1e7, 1e7))
+    samples(valGen, 4).foreach { vs =>
+      def model: Double = vs.map(v => math.floor(v * 1e6 + 0.5).toLong).sum / 1e6
+      val results = Seq(1, 3, 7).map { parts =>
+        spark.createDataset(vs).repartition(parts).toDF("v")
+          .agg(graft.operators.Det.dsum(col("v"))).collect()(0).getDouble(0)
+      }
+      // identical across partition layouts (the whole point of dsum)...
+      assert(results.distinct.length == 1)
+      // ...and equal to the sequential fixed-point model
+      assert(results.head == model)
+    }
+  }
+
   test("polyHash: stable, in [0, P), equals the reference fold for random ASCII strings") {
     val strGen = Gen.listOfN(20, Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
     samples(strGen, 4).filter(_.nonEmpty).foreach { strs =>
