@@ -27,6 +27,7 @@ object SparkEntry {
       operators.ScaleOps.queries ++
       operators.Joins2.queries ++
       operators.Tpch2.queries ++
+      operators.Tpch3.queries ++
       operators.Curation.queries ++
       operators.PqOps.queries ++
       operators.HistoryOps.queries
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.ScaleOps.oracles ++
       operators.Joins2.oracles ++
       operators.Tpch2.oracles ++
+      operators.Tpch3.oracles ++
       operators.Curation.oracles ++
       operators.PqOps.oracles ++
       operators.HistoryOps.oracles

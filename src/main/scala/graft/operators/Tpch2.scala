@@ -5,10 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Det._
 
-/** Second TPC-H batch (q101–q107): the remaining queries expressible on
-  * the fixture schema. Q2/Q9/Q11/Q16/Q20 need `partsupp` (no fixture);
-  * Q4/Q12/Q21 need `l_commitdate`/`l_receiptdate` (not generated) — both
-  * gaps documented in SURVEY §2. Q13/Q19/Q22 are lightly adapted where
+/** Second TPC-H batch (q101–q107). Q2/Q9/Q11/Q16/Q20 need `partsupp` (no
+  * fixture — documented in SURVEY §2); Q4/Q12/Q21 (which need
+  * `l_commitdate`/`l_receiptdate`) are adapted in [[Tpch3]]. Q13/Q19/Q22 are lightly adapted where
   * the classic predicate column is absent (`o_comment`, `p_container`,
   * `c_phone`); the adapted predicate is noted per query and mirrored
   * exactly in the oracle.
