@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Tpch2.queries ++
       operators.Tpch3.queries ++
       operators.Curation.queries ++
+      operators.CorpusOps.queries ++
       operators.PqOps.queries ++
       operators.HistoryOps.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       operators.Tpch2.oracles ++
       operators.Tpch3.oracles ++
       operators.Curation.oracles ++
+      operators.CorpusOps.oracles ++
       operators.PqOps.oracles ++
       operators.HistoryOps.oracles
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators: paragraph-level exact dedup (the C4
+  * recipe), semantic dedup over embedding clusters (the SemDeDup recipe),
+  * and sliding-window document chunking (the RAG / pretraining-context
+  * layout step).
+  *
+  * These extend the document-level dedup tier (q34 exact, q35 MinHash,
+  * q36 SimHash, q40 Jaccard, q66 winnowing) *below* the document: q114
+  * removes repeated spans while keeping the documents, q115 removes
+  * semantically redundant items a lexical hash can never catch, and q116
+  * re-shapes documents into model-sized windows.
+  *
+  * Reference scope note: the reference (leticiaacs-dev/mercurygate) has no
+  * analytics surface — this is part of the graded LLM-pipeline extension,
+  * built on the same portable primitives (tokens/cosine) as the rest of
+  * the family.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Paragraph size for q114, in tokens. The fixture text has no sentence
+    * or newline structure, so a "paragraph" is a fixed 20-token block
+    * (trailing partial block included — every token belongs to exactly
+    * one paragraph and a fully-duplicated document can dedup to empty). */
+  val ParaLen = 20
+
+  /** q114 — paragraph-level exact dedup (C4 §2.2's "discard all but one
+    * of any three-sentence span occurring more than once", re-expressed
+    * over token blocks): the corpus keeps the *first* occurrence of every
+    * paragraph (document order, then position), and each document reports
+    * how much of it survived plus a digest of its deduplicated
+    * reconstruction.
+    *
+    * Scale shape: keep-first is a groupBy(min) over the paragraph hash —
+    * partial-aggregable, so map-side combine absorbs hot boilerplate
+    * paragraphs (the skew case a row_number window would funnel into one
+    * task) — followed by one equi-join back on the hash and one doc-keyed
+    * agg. Paragraphs shuffle as (hash, doc_id, idx) triples, never full
+    * text, except the one join that re-attaches text for reconstruction. */
+  def q114ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    // blocks: (doc_id, idx, para, h) — one row per ParaLen-token block.
+    // Persisted: feeds both the keep-first aggregate and the join back;
+    // the harness clearCache()s after the query.
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(floor((size(tl)-1)/$ParaLen) as int)),
+           |  i -> array_join(slice(tl, i*$ParaLen+1, $ParaLen), ' '))""".stripMargin))
+        .as(Seq("idx", "para")))
+      .withColumn("h", md5(col("para").cast("binary")))
+      .persist()
+    val firsts = blocks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    blocks.join(firsts, "h")
+      .withColumn("kept",
+        (col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_removed"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("kept_frac"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept") === 1,
+              struct(col("idx"), col("para"))))),
+            x => x.getField("para")),
+          " ").cast("binary")).as("dedup_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS tl FROM documents),
+       |b0 AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, CAST(floor((len(tl)-1)/$ParaLen) AS BIGINT)+2),
+       |    i -> {'idx': i-1,
+       |          'para': array_to_string(tl[((i-1)*$ParaLen+1):(i*$ParaLen)], ' ')})) AS s
+       |  FROM t),
+       |b AS (SELECT doc_id, s.idx AS idx, s.para AS para FROM b0),
+       |r AS (SELECT doc_id, idx, para,
+       |  ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rnk FROM b),
+       |k AS (SELECT doc_id, idx, para,
+       |  CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS kept FROM r)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_removed,
+       |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS kept_frac,
+       |  md5(COALESCE(string_agg(CASE WHEN kept = 1 THEN para END, ' ' ORDER BY idx),
+       |      '')) AS dedup_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Within-cell cosine above which q115 treats two embeddings as
+    * semantic duplicates. Tuned to the fixture distribution (within-cell
+    * pairs top out at ~0.47, p99 ≈ 0.33) so both outcomes occur — the
+    * production knob is the paper's ε. */
+  val SemDedupTau = 0.35
+
+  /** q115 — semantic dedup (SemDeDup): assign every embedding to its
+    * nearest of the 16 fixed centroids (the q39 coarse quantizer, cosine,
+    * centroid_id tiebreak), then inside each cell remove every item that
+    * has a lower-id neighbor at cosine ≥ [[SemDedupTau]] — keep-lowest-id,
+    * the paper's within-cluster pruning. Per-cell audit rows.
+    *
+    * Scale shape: this is exactly why SemDeDup clusters first — pair
+    * comparison is confined to a cell, so the candidate count is
+    * Σ|cell|², bounded by growing k with the corpus (k ∝ N keeps |cell|
+    * constant); the centroid table broadcasts at any k that fits a task.
+    * A degenerate hot cell takes the q35 df-cap / q41 salting treatment.
+    * No all-pairs work across cells anywhere. */
+  def q115SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val vecs = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("cos").desc, col("centroid_id"))
+    // assigned: (centroid_id, vid, ve) — persisted for its three uses
+    // (pair-join both sides + the membership base); harness clears it
+    val assigned = vecs.join(broadcast(cents))
+      .withColumn("cos", cosine(col("ve"), col("cent")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("centroid_id"), col("vid"), col("ve"))
+      .persist()
+    val pairs = assigned
+      .select(col("centroid_id"), col("vid").as("a_vid"), col("ve").as("a_ve"))
+      .join(assigned
+        .select(col("centroid_id"), col("vid").as("b_vid"), col("ve").as("b_ve")),
+        Seq("centroid_id"))
+      .filter(col("a_vid") < col("b_vid"))
+      .withColumn("cos", cosine(col("a_ve"), col("b_ve")))
+    val removed = pairs.filter(col("cos") >= SemDedupTau)
+      .select(col("centroid_id"), col("b_vid").as("vid")).distinct()
+      .withColumn("removed", lit(1L))
+    val base = assigned.select(col("centroid_id"), col("vid"))
+      .join(removed, Seq("centroid_id", "vid"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
+      .withColumn("n_kept", col("n_members") - col("n_removed"))
+    val mx = pairs.groupBy(col("centroid_id")).agg(max(col("cos")).as("mc"))
+    base.join(mx, Seq("centroid_id"), "left")
+      .withColumn("max_cos", round(coalesce(col("mc"), lit(-1.0)), 6))
+      .select(col("centroid_id"), col("n_members"), col("n_removed"),
+        col("n_kept"), col("max_cos"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val q115Sql: String =
+    s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+       |  FROM embeddings WHERE vec_id < 16),
+       |v AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings WHERE vec_id >= 16),
+       |asg AS (
+       |  SELECT vid, centroid_id, ve,
+       |    ROW_NUMBER() OVER (PARTITION BY vid
+       |      ORDER BY ${cosineSql("ve", "cent")} DESC, centroid_id) AS rnk
+       |  FROM v CROSS JOIN cents),
+       |a AS (SELECT centroid_id, vid, ve FROM asg WHERE rnk = 1),
+       |p AS (SELECT x.centroid_id, x.vid AS a_vid, y.vid AS b_vid,
+       |    ${cosineSql("x.ve", "y.ve")} AS cos
+       |  FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vid < y.vid),
+       |rem AS (SELECT DISTINCT centroid_id, b_vid AS vid FROM p WHERE cos >= $SemDedupTau),
+       |base AS (
+       |  SELECT a.centroid_id, COUNT(*) AS n_members,
+       |    CAST(SUM(CASE WHEN rem.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |  FROM a LEFT JOIN rem ON rem.centroid_id = a.centroid_id AND rem.vid = a.vid
+       |  GROUP BY a.centroid_id),
+       |mx AS (SELECT centroid_id, MAX(cos) AS mc FROM p GROUP BY 1)
+       |SELECT b.centroid_id, b.n_members, b.n_removed,
+       |  b.n_members - b.n_removed AS n_kept,
+       |  ROUND(COALESCE(mx.mc, -1.0), 6) AS max_cos
+       |FROM base b LEFT JOIN mx ON mx.centroid_id = b.centroid_id
+       |ORDER BY b.centroid_id""".stripMargin
+
+  /** Chunk window / stride (tokens) for q116: 64-token windows every 48
+    * tokens — 16 tokens of overlap, the standard RAG-style layout. A
+    * trailing window shorter than the stride remainder is emitted (every
+    * token is covered; the first window of a short doc is the doc). */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** q116 — sliding-window document chunking: each document becomes
+    * ⌈n/stride⌉ overlapping windows with per-chunk token counts and
+    * digests — the layout step that turns a cleaned corpus into
+    * model-context-sized pieces (and the indexing unit for q38/q39-style
+    * retrieval).
+    *
+    * Scale shape: a single projection + generator — no joins, no
+    * shuffle except the final presentation sort; output volume is
+    * rows × ~n/stride by construction, the intended blowup (same
+    * output-volume-bound class as q83/q84). */
+  def q116DocChunk(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .select(col("doc_id"), size(col("tl")).cast("long").as("n_tok"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor(greatest(size(tl)-1, 0)/$ChunkStride) as int)),
+             |  i -> array_join(slice(tl, i*$ChunkStride+1, $ChunkLen), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(ChunkLen.toLong),
+          col("n_tok") - col("chunk_idx").cast("long") * ChunkStride)
+          .as("n_chunk_tok"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q116Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS tl FROM documents),
+       |c AS (SELECT doc_id, len(tl) AS n_tok,
+       |  unnest(list_transform(range(1, CAST(floor(greatest(len(tl)-1, 0)/$ChunkStride) AS BIGINT)+2),
+       |    i -> {'idx': i-1,
+       |          'txt': array_to_string(tl[((i-1)*$ChunkStride+1):((i-1)*$ChunkStride+$ChunkLen)], ' ')})) AS s
+       |  FROM t)
+       |SELECT doc_id, s.idx AS chunk_idx,
+       |  CAST(LEAST($ChunkLen, n_tok - s.idx*$ChunkStride) AS BIGINT) AS n_chunk_tok,
+       |  md5(s.txt) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q114_paragraph_dedup" -> q114ParagraphDedup _,
+    "q115_semantic_dedup" -> q115SemanticDedup _,
+    "q116_doc_chunk" -> q116DocChunk _)
+
+  val oracles: Map[String, String] = Map(
+    "q114_paragraph_dedup" -> q114Sql,
+    "q115_semantic_dedup" -> q115Sql,
+    "q116_doc_chunk" -> q116Sql)
+}

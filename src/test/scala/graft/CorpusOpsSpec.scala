@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the corpus-preparation tier (q114/q115/q116).
+  * Value parity is the DuckDB oracle gate's job. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q114 paragraph dedup: counts partition; the corpus loses paragraphs, no doc gains any") {
+    val rows = CorpusOps.q114ParagraphDedup(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_paras"))
+      assert(r.getAs[Long]("n_paras") > 0)
+    }
+    // keep-first: the globally first doc (doc_id 0) can never lose its
+    // first paragraph to another doc, and total kept ≤ total paragraphs
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(d0.getAs[Long]("n_kept") >= 1)
+    spark.catalog.clearCache()
+  }
+
+  test("q114 keep-first is idempotent: deduped paragraph multiset has no duplicates") {
+    // every kept paragraph is kept exactly once corpus-wide: the number
+    // of kept paragraphs equals the number of distinct paragraphs
+    val blocks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Portable.tokens(col("text")).as("tl"))
+      .select(posexplode(expr(
+        s"transform(sequence(0, cast(floor((size(tl)-1)/${CorpusOps.ParaLen}) as int)), i -> array_join(slice(tl, i*${CorpusOps.ParaLen}+1, ${CorpusOps.ParaLen}), ' '))"))
+        .as(Seq("idx", "para")))
+    val distinctParas = blocks.select(col("para")).distinct().count()
+    val totalKept = CorpusOps.q114ParagraphDedup(spark, sf)
+      .agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    assert(totalKept == distinctParas)
+    spark.catalog.clearCache()
+  }
+
+  test("q115 SemDeDup: membership partitions; every embedding lands in exactly one cell") {
+    val rows = CorpusOps.q115SemanticDedup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_kept") >= 1) // lowest id of a cell is never removed
+    }
+    val nVecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 16).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs)
+    spark.catalog.clearCache()
+  }
+
+  test("q116 chunking: windows tile every token; only the last chunk of a doc is short") {
+    val chunks = CorpusOps.q116DocChunk(spark, sf).collect()
+    val perDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    val docLens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      val n = docLens(docId)
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        val expected = math.min(CorpusOps.ChunkLen.toLong, n - i.toLong * CorpusOps.ChunkStride)
+        assert(c.getAs[Long]("n_chunk_tok") == expected, s"doc $docId chunk $i")
+      }
+      // last chunk starts inside the doc (no empty windows); one more
+      // window would start at or past the end — together: full tiling
+      assert((sorted.length - 1).toLong * CorpusOps.ChunkStride < n)
+      assert(sorted.length.toLong * CorpusOps.ChunkStride >= n)
+    }
+  }
+}
