@@ -4,7 +4,8 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q35_minhash_lsh","q91_knn_native_expr","q94_asof_native","q44_range_join_binned",
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
   "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
-  "q86_decontaminate","q89_pq_adc")
+  "q86_decontaminate","q89_pq_adc","q113_tpch_q21","q114_paragraph_dedup",
+  "q115_semantic_dedup")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -25,7 +26,12 @@ sb.append("pushdown (q106: OR-of-ANDs factored into per-scan PushedFilters plus\
 sb.append("a join residual), the decontamination gram join (q86: dict-encoded\n")
 sb.append("grams, broadcast bench index + broadcast df-cap anti-join), and the\n")
 sb.append("PQ encode/ADC path (q89: broadcast codebook + broadcast lookup\n")
-sb.append("table, corpus never shuffled before the final pivot-sum).\n")
+sb.append("table, corpus never shuffled before the final pivot-sum), the\n")
+sb.append("adapted TPC-H Q21 (q113: semi+anti self-joins over the join-once\n")
+sb.append("flagged relation, supplier dim broadcast), paragraph dedup (q114:\n")
+sb.append("partial-aggregable keep-first -- HashAggregate pair on the block\n")
+sb.append("hash, no window over the corpus), and SemDeDup (q115: broadcast\n")
+sb.append("centroids; the only shuffle keys are cell ids).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
