@@ -228,13 +228,63 @@ object CorpusOps {
        |  md5(s.txt) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Documents per training batch for q118. */
+  val BatchDocs = 16
+
+  /** q118 — length-bucketed batching: within each language stream,
+    * documents are ordered by token count (doc_id tiebreak) and grouped
+    * into [[BatchDocs]]-doc batches, so each batch pads to its own max
+    * length instead of the corpus max — the standard dynamic-batching
+    * trick that cuts padding waste. Per batch: size, max/total tokens,
+    * padding waste and pad fraction.
+    *
+    * Scale shape: one token-count projection + one window rank per
+    * stream key + one bounded agg — the q110 pattern; at corpus scale
+    * key by (lang, shard) and batching is independent per shard. Integer
+    * arithmetic end-to-end except the final pad fraction. */
+  def q118LengthBatching(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("batch_id", floor((row_number().over(w) - lit(1)) / BatchDocs))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+      .withColumn("pad_frac",
+        round(col("pad_waste").cast("double") / (col("n_docs") * col("max_tok")), 6))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  val q118Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, len(${tokensSql("text")}) AS n_tok FROM documents),
+       |r AS (SELECT lang, n_tok,
+       |  CAST(floor((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) - 1)
+       |    / $BatchDocs) AS BIGINT) AS batch_id
+       |  FROM t),
+       |b AS (
+       |  SELECT lang, batch_id, COUNT(*) AS n_docs,
+       |    CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+       |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+       |  FROM r GROUP BY 1, 2)
+       |SELECT lang, batch_id, n_docs, max_tok, sum_tok,
+       |  n_docs * max_tok - sum_tok AS pad_waste,
+       |  ROUND(CAST(n_docs * max_tok - sum_tok AS DOUBLE) / (n_docs * max_tok), 6) AS pad_frac
+       |FROM b ORDER BY lang, batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q114_paragraph_dedup" -> q114ParagraphDedup _,
     "q115_semantic_dedup" -> q115SemanticDedup _,
-    "q116_doc_chunk" -> q116DocChunk _)
+    "q116_doc_chunk" -> q116DocChunk _,
+    "q118_length_batching" -> q118LengthBatching _)
 
   val oracles: Map[String, String] = Map(
     "q114_paragraph_dedup" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,
-    "q116_doc_chunk" -> q116Sql)
+    "q116_doc_chunk" -> q116Sql,
+    "q118_length_batching" -> q118Sql)
 }

@@ -139,6 +139,97 @@ object PqOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q89_pq_adc" -> q89PqAdc _)
-  val oracles: Map[String, String] = Map("q89_pq_adc" -> q89Sql)
+  /** Target dimensionality for q117's random projection (64 → 16). */
+  val RpDim = 16
+
+  /** Deterministic ±1 entry of the q117 projection matrix, as engine SQL.
+    * Achlioptas's database-friendly sign matrix with the RNG replaced by
+    * a two-round multiply-xor-shift mix of the (row, col) index, so both
+    * engines build the identical matrix from pure BIGINT arithmetic (all
+    * intermediates < 2^63; bit 16 is taken, never bit 0 — the parity of
+    * any odd-multiplier product preserves input parity, which collapses
+    * the matrix to rank 1). Full rank 16 and random-equivalent distortion
+    * verified against a seeded-RNG matrix on the fixture. */
+  private def signSpark(iE: String, jE: String): String = {
+    val h0 = s"pmod((($iE) * 64 + ($jE)) * 2654435761, 4294967296)"
+    val h1 = s"pmod(($h0) ^ shiftright($h0, 16), 2147483648)"
+    val h2 = s"pmod(($h1) * 2246822519, 4294967296)"
+    s"(case when pmod(shiftright($h2, 16), 2) = 0 then 1.0D else -1.0D end)"
+  }
+  private def signDuck(iE: String, jE: String): String = {
+    val h0 = s"((($iE) * 64 + ($jE)) * 2654435761) % 4294967296"
+    val h1 = s"(xor(($h0), (($h0) >> 16))) % 2147483648"
+    val h2 = s"((($h1) * 2246822519) % 4294967296)"
+    s"(CASE WHEN ((($h2) >> 16) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+  }
+
+  /** q117 — Johnson–Lindenstrauss random projection: compress every
+    * embedding 64 → [[RpDim]] dims with the deterministic ±1 sign matrix
+    * of [[signSpark]]/[[signDuck]], then report, per label, how well
+    * cosine survives the 4× compression over the consecutive-id pair
+    * sample (the q49 bounded linear pairing).
+    *
+    * Scale shape: projection is a pure per-row map — one corpus scan, no
+    * shuffle, no model state at all (the matrix is arithmetic, not data).
+    * This is the cheap precursor tier of the ANN stack: 4× narrower
+    * vectors make every downstream q37/q39/q89 pass 4× lighter. The
+    * distortion report pairs row i with row i+1 — linear, never
+    * all-pairs. */
+  def q117RandomProjection(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val proj = expr(
+      s"""transform(sequence(0, ${RpDim - 1}), i ->
+         |  aggregate(sequence(1, $dim), cast(0.0 as double), (acc, j) ->
+         |    acc + cast(element_at(embedding, j) as double) *
+         |      ${signSpark("i", "j")})
+         |  / ${math.sqrt(RpDim)}D)""".stripMargin)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"), proj.as("pv"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_ve"), col("pv").as("a_pv"))
+    val b = e.select((col("vec_id") - 1).as("a_id"),
+      col("embedding").as("b_ve"), col("pv").as("b_pv"))
+    a.join(b, "a_id")
+      .withColumn("cos64", cosine(col("a_ve"), col("b_ve")))
+      .withColumn("cos16", cosine(col("a_pv"), col("b_pv")))
+      .withColumn("adiff", round(abs(col("cos64") - col("cos16")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(Det.davg(col("cos64")), 6).as("avg_cos_orig"),
+        round(Det.davg(col("cos16")), 6).as("avg_cos_proj"),
+        round(Det.davg(col("adiff")), 6).as("avg_abs_diff"),
+        round(max(col("adiff")), 6).as("max_abs_diff"))
+      .orderBy(col("label"))
+  }
+
+  val q117Sql: String = {
+    val proj = (e: String) =>
+      s"""list_transform(range(0, $RpDim), i ->
+         |  list_reduce(list_transform(range(1, 65), j ->
+         |    CAST(($e)[j] AS DOUBLE) *
+         |      ${signDuck("i", "j")}),
+         |    (x, y) -> x + y) / ${math.sqrt(RpDim)})""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${proj("embedding")} AS pv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.label,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cos64,
+       |    ${cosineSql("a.pv", "b.pv")} AS cos16
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+       |m AS (SELECT label, cos64, cos16, ROUND(ABS(cos64 - cos16), 6) AS adiff FROM p)
+       |SELECT label, COUNT(*) AS n_pairs,
+       |  ROUND(${Det.davgSql("cos64")}, 6) AS avg_cos_orig,
+       |  ROUND(${Det.davgSql("cos16")}, 6) AS avg_cos_proj,
+       |  ROUND(${Det.davgSql("adiff")}, 6) AS avg_abs_diff,
+       |  ROUND(MAX(adiff), 6) AS max_abs_diff
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q89_pq_adc" -> q89PqAdc _,
+    "q117_random_projection" -> q117RandomProjection _)
+  val oracles: Map[String, String] = Map(
+    "q89_pq_adc" -> q89Sql,
+    "q117_random_projection" -> q117Sql)
 }

@@ -50,6 +50,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q117 random projection: compression keeps cosine within JL distortion") {
+    val rows = graft.operators.PqOps.q117RandomProjection(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 64→16 dims with tau spread ~1/sqrt(16): distortion is bounded but
+      // non-trivial; a broken sign matrix shows up as |diff| ≈ |cos64|
+      assert(r.getAs[Double]("max_abs_diff") < 0.9)
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+    // pairs are consecutive ids: exactly n-1 across all labels
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n - 1)
+  }
+
+  test("q118 length batching: batches partition each stream; padding never negative") {
+    val rows = graft.operators.CorpusOps.q118LengthBatching(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= CorpusOps.BatchDocs)
+      assert(r.getAs[Long]("pad_waste") >= 0)
+      assert(r.getAs[Long]("max_tok") * r.getAs[Long]("n_docs") >= r.getAs[Long]("sum_tok"))
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // only the last batch of a stream may be short
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("batch_id"))
+      sorted.dropRight(1).foreach(b =>
+        assert(b.getAs[Long]("n_docs") == CorpusOps.BatchDocs))
+    }
+  }
+
   test("q116 chunking: windows tile every token; only the last chunk of a doc is short") {
     val chunks = CorpusOps.q116DocChunk(spark, sf).collect()
     val perDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
