@@ -150,12 +150,6 @@ object PqOps {
     * any odd-multiplier product preserves input parity, which collapses
     * the matrix to rank 1). Full rank 16 and random-equivalent distortion
     * verified against a seeded-RNG matrix on the fixture. */
-  private def signSpark(iE: String, jE: String): String = {
-    val h0 = s"pmod((($iE) * 64 + ($jE)) * 2654435761, 4294967296)"
-    val h1 = s"pmod(($h0) ^ shiftright($h0, 16), 2147483648)"
-    val h2 = s"pmod(($h1) * 2246822519, 4294967296)"
-    s"(case when pmod(shiftright($h2, 16), 2) = 0 then 1.0D else -1.0D end)"
-  }
   private def signDuck(iE: String, jE: String): String = {
     val h0 = s"((($iE) * 64 + ($jE)) * 2654435761) % 4294967296"
     val h1 = s"(xor(($h0), (($h0) >> 16))) % 2147483648"
@@ -165,7 +159,7 @@ object PqOps {
 
   /** q117 — Johnson–Lindenstrauss random projection: compress every
     * embedding 64 → [[RpDim]] dims with the deterministic ±1 sign matrix
-    * of [[signSpark]]/[[signDuck]], then report, per label, how well
+    * of [[signDuck]], then report, per label, how well
     * cosine survives the 4× compression over the consecutive-id pair
     * sample (the q49 bounded linear pairing).
     *
@@ -177,11 +171,23 @@ object PqOps {
     * all-pairs. */
   def q117RandomProjection(s: SparkSession, d: String): DataFrame = {
     val dim = 64
+    // The Spark side bakes the matrix as an array literal (the HOF path
+    // would re-evaluate the integer mix 8× per entry per row); the oracle
+    // recomputes it from the formula, so the hash gate independently
+    // proves literal == construction.
+    val signLit = (0 until RpDim).flatMap { i =>
+      (1 to dim).map { j =>
+        val h0 = ((i.toLong * dim + j) * 2654435761L) % 4294967296L
+        val h1 = (h0 ^ (h0 >> 16)) % 2147483648L
+        val h2 = (h1 * 2246822519L) % 4294967296L
+        if (((h2 >> 16) & 1L) == 0L) "1.0D" else "-1.0D"
+      }
+    }.mkString("array(", ", ", ")")
     val proj = expr(
       s"""transform(sequence(0, ${RpDim - 1}), i ->
          |  aggregate(sequence(1, $dim), cast(0.0 as double), (acc, j) ->
          |    acc + cast(element_at(embedding, j) as double) *
-         |      ${signSpark("i", "j")})
+         |      element_at($signLit, i * $dim + j))
          |  / ${math.sqrt(RpDim)}D)""".stripMargin)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"), proj.as("pv"))

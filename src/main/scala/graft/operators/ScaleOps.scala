@@ -222,7 +222,66 @@ object ScaleOps {
       |  ROUND(CAST(SUM(picked) AS DOUBLE) / COUNT(*), 6) AS ratio
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Bits per dimension for the q119 z-order key. */
+  val ZBits = 8
+
+  /** q119 — z-order (Morton) clustering key: interleave the bits of two
+    * dimension keys (customer bucket × order month) and report, per
+    * z-bucket, how tight the covered rectangle is in both dimensions —
+    * the locality that makes multi-dimensional data skipping work. A
+    * table laid out in z-order keeps parquet row-group min/max spans
+    * narrow on *both* columns, so either predicate prunes (classic
+    * single-column sort gives this for one dimension only); this is
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` as a plain expression.
+    *
+    * Scale shape: the z-value is a pure per-row bit-arithmetic
+    * projection (codegen'd, no shuffle); the layout rewrite it would
+    * drive is a range-partition by z — one shuffle at write time, paid
+    * once, saving every subsequent scan. The locality report is one
+    * bounded agg over 2^[[ZBits]] buckets. */
+  def q119ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(1 << ZBits))
+    val y = pmod(month(col("o_orderdate")) - 1 + (year(col("o_orderdate")) - 1995) * 12,
+      lit(1 << ZBits))
+    val z = (0 until ZBits).map { b =>
+      (shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)).cast("long")
+    }.reduce(_ + _)
+    Tables.orders(s, d)
+      .select(x.cast("long").as("xb"), y.cast("long").as("yb"), z.as("z"))
+      .withColumn("z_bucket", shiftright(col("z"), ZBits))
+      .groupBy(col("z_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+        min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+      .withColumn("span_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("z_bucket"))
+  }
+
+  val q119Sql: String = {
+    val x = s"(o_custkey % ${1 << ZBits})"
+    val y = s"((MONTH(o_orderdate) - 1 + (YEAR(o_orderdate) - 1995) * 12) % ${1 << ZBits})"
+    val z = (0 until ZBits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT CAST($x AS BIGINT) AS xb, CAST($y AS BIGINT) AS yb,
+       |    CAST($z AS BIGINT) AS z
+       |  FROM orders),
+       |b AS (
+       |  SELECT z >> $ZBits AS z_bucket, COUNT(*) AS n_rows,
+       |    MIN(xb) AS min_x, MAX(xb) AS max_x,
+       |    MIN(yb) AS min_y, MAX(yb) AS max_y
+       |  FROM m GROUP BY 1)
+       |SELECT z_bucket, n_rows, min_x, max_x, min_y, max_y,
+       |  (max_x - min_x + 1) * (max_y - min_y + 1) AS span_area
+       |FROM b ORDER BY z_bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_zorder_layout" -> q119ZorderLayout _,
     "q56_train_mix" -> q56TrainMix _,
     "q40_ngram_jaccard" -> q40NgramJaccard _,
     "q41_salted_agg" -> q41SaltedAgg _,
@@ -232,6 +291,7 @@ object ScaleOps {
     "q93_sample" -> q93Sample _)
 
   val oracles: Map[String, String] = Map(
+    "q119_zorder_layout" -> q119Sql,
     "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,
     "q41_salted_agg" -> q41Sql,

@@ -81,6 +81,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 z-order: each z-bucket covers a tight rectangle in BOTH dims") {
+    val zb = graft.operators.ScaleOps.ZBits
+    val rows = graft.operators.ScaleOps.q119ZorderLayout(spark, sf).collect()
+    // fixing the top ZBits of z fixes the top ZBits/2 bits of each dim:
+    // every bucket's rectangle spans at most 2^(ZBits/2) per side — the
+    // two-dimensional locality a single-column sort cannot give
+    val side = 1L << (zb / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < side)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < side)
+      assert(r.getAs[Long]("span_area") <= side * side)
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.orders(spark, sf).count())
+  }
+
   test("q116 chunking: windows tile every token; only the last chunk of a doc is short") {
     val chunks = CorpusOps.q116DocChunk(spark, sf).collect()
     val perDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
