@@ -276,13 +276,76 @@ object CorpusOps {
        |  ROUND(CAST(n_docs * max_tok - sum_tok AS DOUBLE) / (n_docs * max_tok), 6) AS pad_frac
        |FROM b ORDER BY lang, batch_id""".stripMargin
 
+  /** q120 — per-source distribution drift: KL(source ‖ corpus) and
+    * entropy of each source's token distribution — the mix-balancing
+    * diagnostic run before weighting sources into a training mix (a
+    * source with high KL is off-distribution; one with low entropy is
+    * degenerate/boilerplate). Complements q109 (per-document likelihood
+    * under the corpus LM) at the per-source level.
+    *
+    * Per-token log terms are rounded to 6 dp (the q21/q109 libm
+    * discipline) and summed fixed-point, so scores hash-match DuckDB.
+    * The corpus ⊇ every source, so p(tok) > 0 wherever q(tok|src) > 0 —
+    * KL is always finite.
+    *
+    * Scale shape: two partial-aggregable groupBys (corpus vocab, source
+    * vocab) + one broadcast join on the vocabulary (compact by Zipf, the
+    * q109 argument) + one bounded agg per source. One corpus scan. */
+  def q120SourceKl(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = corpus.agg(sum(col("c")).as("n_total"))
+    val bySrc = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val srcTotal = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("n_src"))
+    bySrc
+      .join(broadcast(corpus), "tok")
+      .join(broadcast(srcTotal), "source")
+      .join(broadcast(total), lit(true))
+      .withColumn("qp", col("cs").cast("double") / col("n_src"))
+      .withColumn("pp", col("c").cast("double") / col("n_total"))
+      .withColumn("kl_term", col("qp") * round(log(col("qp") / col("pp")), 6))
+      .withColumn("ent_term", -col("qp") * round(log(col("qp")), 6))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_src")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(Det.dsum(col("kl_term")), 6).as("kl_vs_corpus"),
+        round(Det.dsum(col("ent_term")), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
+  val q120Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |corpus AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM corpus),
+       |bysrc AS (SELECT source, tok, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+       |srctot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_src FROM bysrc GROUP BY 1),
+       |terms AS (
+       |  SELECT b.source, st.n_src,
+       |    (CAST(b.cs AS DOUBLE) / st.n_src) *
+       |      ROUND(LN((CAST(b.cs AS DOUBLE) / st.n_src)
+       |        / (CAST(c.c AS DOUBLE) / (SELECT n_total FROM tot))), 6) AS kl_term,
+       |    -(CAST(b.cs AS DOUBLE) / st.n_src) *
+       |      ROUND(LN(CAST(b.cs AS DOUBLE) / st.n_src), 6) AS ent_term
+       |  FROM bysrc b
+       |  JOIN corpus c USING (tok)
+       |  JOIN srctot st ON st.source = b.source)
+       |SELECT source, MAX(n_src) AS n_tokens, COUNT(*) AS n_vocab,
+       |  ROUND(${Det.dsumSql("kl_term")}, 6) AS kl_vs_corpus,
+       |  ROUND(${Det.dsumSql("ent_term")}, 6) AS entropy
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q120_source_kl" -> q120SourceKl _,
     "q114_paragraph_dedup" -> q114ParagraphDedup _,
     "q115_semantic_dedup" -> q115SemanticDedup _,
     "q116_doc_chunk" -> q116DocChunk _,
     "q118_length_batching" -> q118LengthBatching _)
 
   val oracles: Map[String, String] = Map(
+    "q120_source_kl" -> q120Sql,
     "q114_paragraph_dedup" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,
     "q116_doc_chunk" -> q116Sql,

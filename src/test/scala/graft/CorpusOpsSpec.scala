@@ -81,6 +81,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 source KL: divergence is non-negative (Gibbs); entropy bounded by ln(vocab)") {
+    val rows = graft.operators.CorpusOps.q120SourceKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 6dp term rounding can push an exactly-zero KL a hair negative;
+      // anything beyond rounding noise means the distributions are wrong
+      assert(r.getAs[Double]("kl_vs_corpus") > -1e-4)
+      assert(r.getAs[Double]("entropy") >= 0.0)
+      assert(r.getAs[Double]("entropy") <=
+        math.log(r.getAs[Long]("n_vocab").toDouble) + 1e-4)
+      assert(r.getAs[Long]("n_vocab") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("q119 z-order: each z-bucket covers a tight rectangle in BOTH dims") {
     val zb = graft.operators.ScaleOps.ZBits
     val rows = graft.operators.ScaleOps.q119ZorderLayout(spark, sf).collect()
