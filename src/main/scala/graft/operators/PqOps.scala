@@ -171,24 +171,29 @@ object PqOps {
     * all-pairs. */
   def q117RandomProjection(s: SparkSession, d: String): DataFrame = {
     val dim = 64
-    // The Spark side bakes the matrix as an array literal (the HOF path
-    // would re-evaluate the integer mix 8× per entry per row); the oracle
-    // recomputes it from the formula, so the hash gate independently
-    // proves literal == construction.
-    val signLit = (0 until RpDim).flatMap { i =>
+    // The Spark side bakes the matrix as a typedlit array Literal — built
+    // once, never re-evaluated (a string-expr array(...) stays a
+    // CreateArray rebuilt per access, and the formula-in-lambda HOF path
+    // re-evaluates the integer mix 8× per entry per row). The oracle
+    // recomputes the matrix from the formula, so the hash gate
+    // independently proves literal == construction.
+    val signs: Seq[Double] = (0 until RpDim).flatMap { i =>
       (1 to dim).map { j =>
         val h0 = ((i.toLong * dim + j) * 2654435761L) % 4294967296L
         val h1 = (h0 ^ (h0 >> 16)) % 2147483648L
         val h2 = (h1 * 2246822519L) % 4294967296L
-        if (((h2 >> 16) & 1L) == 0L) "1.0D" else "-1.0D"
+        if (((h2 >> 16) & 1L) == 0L) 1.0 else -1.0
       }
-    }.mkString("array(", ", ", ")")
-    val proj = expr(
-      s"""transform(sequence(0, ${RpDim - 1}), i ->
-         |  aggregate(sequence(1, $dim), cast(0.0 as double), (acc, j) ->
-         |    acc + cast(element_at(embedding, j) as double) *
-         |      element_at($signLit, i * $dim + j))
-         |  / ${math.sqrt(RpDim)}D)""".stripMargin)
+    }
+    val m = typedlit(signs)
+    val proj = transform(
+      sequence(lit(0), lit(RpDim - 1)),
+      i => aggregate(
+        sequence(lit(1), lit(dim)),
+        lit(0.0),
+        (acc, j) => acc +
+          element_at(col("embedding"), j).cast("double") *
+            element_at(m, (i * dim + j).cast("int"))) / lit(math.sqrt(RpDim)))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"), proj.as("pv"))
     val a = e.select(col("vec_id").as("a_id"), col("label"),
