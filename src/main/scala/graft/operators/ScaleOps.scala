@@ -239,14 +239,20 @@ object ScaleOps {
     * drive is a range-partition by z — one shuffle at write time, paid
     * once, saving every subsequent scan. The locality report is one
     * bounded agg over 2^[[ZBits]] buckets. */
+  /** Morton interleave of two [[ZBits]]-bit non-negative keys: bit b of
+    * `x` lands at position 2b, bit b of `y` at 2b+1. */
+  def mortonZ(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until ZBits).map { b =>
+      (shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)).cast("long")
+    }.reduce(_ + _)
+
   def q119ZorderLayout(s: SparkSession, d: String): DataFrame = {
     val x = pmod(col("o_custkey"), lit(1 << ZBits))
     val y = pmod(month(col("o_orderdate")) - 1 + (year(col("o_orderdate")) - 1995) * 12,
       lit(1 << ZBits))
-    val z = (0 until ZBits).map { b =>
-      (shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
-        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)).cast("long")
-    }.reduce(_ + _)
+    val z = mortonZ(x, y)
     Tables.orders(s, d)
       .select(x.cast("long").as("xb"), y.cast("long").as("yb"), z.as("z"))
       .withColumn("z_bucket", shiftright(col("z"), ZBits))

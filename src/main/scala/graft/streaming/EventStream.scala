@@ -134,6 +134,14 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static enrichment: the streaming fact side joined to a batch
+    * dimension. The static side is planned per micro-batch with no join
+    * state at all (nothing to evict — only stream-stream joins hold
+    * state), and broadcasts when small: the canonical way to attach
+    * reference data to a 100 TB/day stream. */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -82,6 +82,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mortonZ: equals the bit-interleave model and decodes back to (x, y)") {
+    import graft.operators.ScaleOps
+    val zb = ScaleOps.ZBits
+    def model(x: Int, y: Int): Long =
+      (0 until zb).map { b =>
+        (((x >> b) & 1).toLong << (2 * b)) | (((y >> b) & 1).toLong << (2 * b + 1))
+      }.sum
+    def decode(z: Long): (Int, Int) = {
+      var (x, y) = (0, 0)
+      (0 until zb).foreach { b =>
+        x |= (((z >> (2 * b)) & 1L) << b).toInt
+        y |= (((z >> (2 * b + 1)) & 1L) << b).toInt
+      }
+      (x, y)
+    }
+    val pairGen = Gen.listOfN(50, for {
+      x <- Gen.choose(0, (1 << zb) - 1)
+      y <- Gen.choose(0, (1 << zb) - 1)
+    } yield (x, y))
+    samples(pairGen, 4).filter(_.nonEmpty).foreach { pairs =>
+      val got = pairs.distinct.toDF("x", "y")
+        .select(col("x"), col("y"), ScaleOps.mortonZ(col("x"), col("y")).as("z"))
+        .collect()
+      got.foreach { r =>
+        val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        assert(z == model(x, y), s"($x, $y)")
+        assert(decode(z) == ((x, y)), s"decode $z")
+      }
+    }
+  }
+
   test("polyHash: stable, in [0, P), equals the reference fold for random ASCII strings") {
     val strGen = Gen.listOfN(20, Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
     samples(strGen, 4).filter(_.nonEmpty).foreach { strs =>

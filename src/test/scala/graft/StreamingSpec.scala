@@ -62,6 +62,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join and keeps unmatched rows") {
+    val dir = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val batchEvents = spark.read.parquet(dir.toString)
+    // static dimension: a tier per user, deliberately missing some users
+    // so the left join's null path is exercised
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .filter(col("user_id") % 3 =!= 0)
+      .withColumn("tier", (col("user_id") % 5).cast("long"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.staticEnrich(stream, dim), "enriched", OutputMode.Append())
+    try {
+      val streamed = spark.table("enriched")
+        .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tier")).collect()
+      val batch = EventStream.staticEnrich(batchEvents, dim)
+        .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tier")).collect()
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+      // unmatched users survive with a null tier
+      assert(streamed.exists(_.isNullAt(0)))
+    } finally q.stop()
+  }
+
   test("stream-stream click↔view join matches the batch join") {
     // streaming sources read directories; stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("events_ssjoin")
