@@ -116,6 +116,58 @@ object Scalars {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q121 — malformed-tolerant JSON ingestion: a deterministic slice of
+    * the input is corrupted (every 7th record loses its last two chars —
+    * standing in for the truncated/garbled lines every real feed
+    * contains), then parsed with the full PERMISSIVE pattern:
+    * `from_json` with `columnNameOfCorruptRecord`, so bad records land in
+    * `_corrupt_record` instead of killing the batch OR being silently
+    * conflated with valid-but-field-missing rows. Per event type: row,
+    * corrupt and parsed counts plus the field sum over parsed rows — the
+    * ingestion error-rate report.
+    *
+    * Scale shape: one projection + one bounded agg; parse failures cost
+    * nothing extra (no exception path — codegen'd parser returns the
+    * corrupt column). */
+  def q121TolerantParse(s: SparkSession, d: String): DataFrame = {
+    val mangled = when(col("event_id") % 7 === 0,
+      expr("substring(props, 1, length(props) - 2)")).otherwise(col("props"))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, _corrupt_record STRING")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), mangled.as("raw"))
+      .withColumn("parsed", from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("corrupt",
+        col("parsed").getField("_corrupt_record").isNotNull.cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("corrupt")).as("n_corrupt"),
+        (count(lit(1)) - sum(col("corrupt"))).as("n_parsed"),
+        sum(when(col("corrupt") === 0, col("parsed").getField("k"))
+          .otherwise(lit(0L))).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q121Sql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 0
+      |         THEN substring(props, 1, length(props) - 2) ELSE props END AS raw
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(raw) THEN 0 ELSE 1 END AS corrupt,
+      |    CASE WHEN json_valid(raw)
+      |         THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) ELSE 0 END AS k
+      |  FROM m)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+      |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_parsed,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q23 — conditional expressions: CASE bucketing + conditional agg. */
   def q23CaseWhen(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -309,6 +361,7 @@ object Scalars {
        |FROM m ORDER BY l_linestatus""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q121_tolerant_parse" -> q121TolerantParse _,
     "q84_unpivot" -> q84Unpivot _,
     "q85_stats_moments" -> q85StatsMoments _,
     "q51_null_semantics" -> q51NullSemantics _,
@@ -323,6 +376,7 @@ object Scalars {
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q121_tolerant_parse" -> q121Sql,
     "q84_unpivot" -> q84Sql,
     "q85_stats_moments" -> q85Sql,
     "q51_null_semantics" -> q51Sql,

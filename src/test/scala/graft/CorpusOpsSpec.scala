@@ -81,6 +81,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 tolerant parse: corrupt = malformed only, never valid-but-field-missing") {
+    import spark.implicits._
+    val rows = graft.operators.Scalars.q121TolerantParse(spark, sf).collect()
+    val (nRows, nCorrupt) =
+      (rows.map(_.getAs[Long]("n_rows")).sum, rows.map(_.getAs[Long]("n_corrupt")).sum)
+    // exactly the event_id % 7 == 0 slice is corrupted
+    val expected = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_id") % 7 === 0).count()
+    assert(nCorrupt == expected && nCorrupt > 0 && nCorrupt < nRows)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_parsed") + r.getAs[Long]("n_corrupt") == r.getAs[Long]("n_rows")))
+    // the disambiguation the _corrupt_record column exists for: a VALID
+    // record missing the field parses with k null, corrupt stays null
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, _corrupt_record STRING")
+    val probe = Seq("""{"x": 1}""", """{"k": 5""", """{"k": 7}""").toDF("raw")
+      .select(from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+      .select(col("p.k").as("k"), col("p._corrupt_record").isNotNull.as("corrupt"))
+      .collect()
+    assert(probe(0).isNullAt(0) && !probe(0).getBoolean(1)) // valid, field missing
+    assert(probe(1).getBoolean(1))                           // malformed
+    assert(probe(2).getLong(0) == 7L && !probe(2).getBoolean(1))
+  }
+
   test("q120 source KL: divergence is non-negative (Gibbs); entropy bounded by ln(vocab)") {
     val rows = graft.operators.CorpusOps.q120SourceKl(spark, sf).collect()
     assert(rows.nonEmpty)
