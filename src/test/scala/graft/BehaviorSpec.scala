@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the behavioral-analytics tier (q122–q126).
+  * Value parity is the DuckDB oracle gate's job. */
+class BehaviorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q122 funnel: step counts shrink monotonically and never exceed the user base") {
+    val r = Behavior.q122Funnel(spark, sf).collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(v >= c && c >= p && p >= 0)
+    assert(v <= users)
+  }
+
+  test("q122 funnel is strictly ordered: conversions <= unordered type co-occurrence") {
+    // unordered upper bound: users having all three types at any times
+    val loose = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("k"))
+      .filter(col("k") === 3).count()
+    val p = Behavior.q122Funnel(spark, sf).collect()(0).getAs[Long]("n_purchase")
+    assert(p <= loose)
+  }
+
+  test("q123 inverted index: df <= tf, postings capped at 10 and sorted ascending") {
+    val rows = Behavior.q123InvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df <= r.getAs[Long]("tf") && df >= 1)
+      val posting = r.getAs[String]("postings").split(',').map(_.toLong)
+      assert(posting.length <= 10 && posting.length == posting.distinct.length)
+      assert(posting.sameElements(posting.sorted))
+      assert(posting.length == math.min(df, 10L))
+    }
+  }
+
+  test("q124 snapshot diff: classes partition the key universe") {
+    val rows = Behavior.q124SnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("class") -> r.getAs[Long]("n")).toMap
+    val o = Tables.orders(spark, sf)
+    val nA = o.filter(col("o_orderdate") < lit("1998-01-01")).count()
+    val nB = o.filter(col("o_orderdate") < lit("1999-01-01"))
+      .filter(col("o_orderkey") % 97 =!= 3).count()
+    // |A ∪ B| = delete+same+update+insert; A = delete+same+update
+    assert(rows.getOrElse("delete", 0L) + rows.getOrElse("same", 0L) +
+      rows.getOrElse("update", 0L) == nA)
+    assert(rows.getOrElse("insert", 0L) + rows.getOrElse("same", 0L) +
+      rows.getOrElse("update", 0L) == nB)
+    assert(rows.getOrElse("update", 0L) > 0 && rows.getOrElse("delete", 0L) > 0)
+  }
+
+  test("q125 retention: offset-0 count equals cohort size; actives never exceed it") {
+    val rows = Behavior.q125RetentionCohort(spark, sf).collect()
+    val base = rows.filter(_.getAs[Int]("month_offset") == 0)
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_active")).toMap
+    // every customer appears in their own cohort's month 0
+    assert(base.values.sum == Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("month_offset") >= 0)
+      assert(r.getAs[Long]("n_active") <= base(r.getAs[String]("cohort")))
+    }
+  }
+
+  test("q126 bitmask: profiles lie in [1,31]; user counts sum to the user base") {
+    val rows = Behavior.q126BitmaskProfile(spark, sf).collect()
+    rows.foreach { r =>
+      val p = r.getAs[Long]("profile")
+      assert(p >= 1L && p <= 31L)
+    }
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+  }
+}
