@@ -59,29 +59,28 @@ object Behavior {
 
   /** q123 — inverted-index build over `documents`: token → document
     * frequency, total term frequency, and a capped posting list (first 10
-    * doc ids). The stats branch is a plain partial-aggregable hash agg;
-    * the postings branch caps BEFORE aggregating (distinct pairs →
-    * per-token row_number ≤ 10 → collect over ≤10 values) so executor
-    * memory per token is bounded even for stopwords that appear in every
-    * document — the unbounded-collect_set-then-slice shape would OOM on a
-    * 100 TB corpus. Both branches and the final join share the `token`
-    * key.
+    * doc ids). ONE aggregation chain: distinct (token, doc_id) pairs with
+    * per-pair term counts, then a single per-token agg computing df / tf /
+    * postings together — no self-join, no second scan, no window sort.
+    * The posting list uses [[graft.functions.SmallestK]] (bounded top-k
+    * TypedImperativeAggregate, O(k) state, map-side combinable), so a
+    * stopword appearing in every document of a 100 TB corpus still costs
+    * 10 longs of aggregation state — where `collect_set`-then-slice
+    * would buffer the whole corpus' doc ids.
     */
   def q123InvertedIndex(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    graft.functions.AggExpressions.register(s)
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val stats = toks.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
-    val postings = toks.select("token", "doc_id").distinct()
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
-      .filter(col("rn") <= 10)
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf_pair"))
       .groupBy("token")
-      .agg(expr(
-        "array_join(transform(sort_array(collect_set(doc_id)), x -> cast(x as string)), ',')")
-        .as("postings"))
-    stats.join(postings, "token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf_pair")).as("tf"),
+        expr("array_join(transform(smallest_k(doc_id, 10), x -> cast(x as string)), ',')")
+          .as("postings"))
       .orderBy(col("df").desc, col("token"))
       .limit(100)
   }
@@ -223,7 +222,49 @@ object Behavior {
       |SELECT profile, COUNT(*) AS n_users
       |FROM p GROUP BY profile ORDER BY profile""".stripMargin
 
+  /** q129 — next-event transition matrix: for each (current, next)
+    * event-type pair, the transition count and row-normalized
+    * probability — the first-order Markov model of user behavior.
+    * `event_id` is the sequence key (the fixture assigns ids in time
+    * order; ordering by the unique id sidesteps timestamp-tie and
+    * ns-vs-µs parity hazards). Scale shape: one repartition-by-user +
+    * sort-within window with O(1) state per row (`lead`), then a
+    * |types|² agg — the window sort is the irreducible cost of sequence
+    * derivation and spills gracefully; everything after is tiny. The
+    * probability is an IEEE double division of two exact counts, so it
+    * hash-matches the oracle bit-for-bit.
+    */
+  def q129Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wType = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wType).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val q129Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type)
+      |SELECT event_type, next_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+      |FROM t ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q129_transitions" -> q129Transitions _,
     "q122_funnel" -> q122Funnel _,
     "q123_inverted_index" -> q123InvertedIndex _,
     "q124_snapshot_diff" -> q124SnapshotDiff _,
@@ -231,6 +272,7 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q129_transitions" -> q129Sql,
     "q122_funnel" -> q122Sql,
     "q123_inverted_index" -> q123Sql,
     "q124_snapshot_diff" -> q124Sql,

@@ -337,7 +337,71 @@ object CorpusOps {
        |  ROUND(${Det.dsumSql("ent_term")}, 6) AS entropy
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** q127 — robust per-source length trim: exact interpolated percentiles
+    * (p05/p95) of `n_chars` per source, then the count of documents
+    * falling outside the band — the quantile-clipping step of a corpus
+    * length filter. Exact `percentile` (not approx) keeps DuckDB
+    * `quantile_cont` parity: both engines compute lower + (upper-lower) *
+    * frac over INTEGER inputs, so the interpolated doubles are
+    * bit-identical. Scale shape: the percentile state is per-(source)
+    * value counts (bounded by the distinct-length domain, ~1e4), the
+    * per-source band table is tiny and broadcast back — two passes, one
+    * broadcast, no window.
+    */
+  def q127PercentileTrim(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bands = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, array(0.05, 0.95))").as("pq"))
+      .select(col("source"), col("pq")(0).as("p05"), col("pq")(1).as("p95"))
+    docs.join(broadcast(bands), "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("p05") ||
+          col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_trim"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"))
+      .orderBy(col("source"))
+  }
+
+  val q127Sql: String =
+    """WITH q AS (
+      |  SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+      |         quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY source)
+      |SELECT d.source AS source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_chars < p05 OR n_chars > p95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_trim,
+      |  MIN(p05) AS p05, MIN(p95) AS p95
+      |FROM documents d JOIN q ON d.source = q.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q128 — per-group winner selection as a partial-aggregable aggregate:
+    * the longest document per source via `max_by` over a strictly-unique
+    * ranking key (`n_chars * 10^7 + doc_id` — doc_id breaks length ties,
+    * so no nondeterministic max_by tie). At 100 TB this is the
+    * replacement for the `row_number() OVER (PARTITION BY ...) = 1`
+    * idiom: a hash agg with an 8-byte accumulator and map-side partials,
+    * versus a full shuffle + per-partition sort of the corpus.
+    */
+  def q128ArgmaxKeep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        expr("max_by(doc_id, n_chars * 10000000 + doc_id)").as("keep_doc"),
+        max(col("n_chars")).as("max_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  val q128Sql: String =
+    """SELECT source,
+      |  arg_max(doc_id, n_chars * 10000000 + doc_id) AS keep_doc,
+      |  MAX(n_chars) AS max_chars, COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q127_percentile_trim" -> q127PercentileTrim _,
+    "q128_argmax_keep" -> q128ArgmaxKeep _,
     "q120_source_kl" -> q120SourceKl _,
     "q114_paragraph_dedup" -> q114ParagraphDedup _,
     "q115_semantic_dedup" -> q115SemanticDedup _,
@@ -345,6 +409,8 @@ object CorpusOps {
     "q118_length_batching" -> q118LengthBatching _)
 
   val oracles: Map[String, String] = Map(
+    "q127_percentile_trim" -> q127Sql,
+    "q128_argmax_keep" -> q128Sql,
     "q120_source_kl" -> q120Sql,
     "q114_paragraph_dedup" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,

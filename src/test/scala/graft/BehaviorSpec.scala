@@ -42,6 +42,22 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("smallest_k equals unbounded collect_set+sort+slice on every group") {
+    import spark.implicits._
+    graft.functions.AggExpressions.register(spark)
+    // 1000 values across 7 groups, with duplicates — far more than k=10
+    val df = (0 until 1000).map(i => (i % 7, (i * 37 % 211).toLong)).toDF("g", "v")
+    val got = df.groupBy("g").agg(expr("smallest_k(v, 10)").as("topk"))
+    val want = df.groupBy("g")
+      .agg(expr("slice(sort_array(collect_set(v)), 1, 10)").as("topk"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // groups smaller than k return all their distinct values
+    val tiny = Seq((1, 5L), (1, 5L), (1, 2L)).toDF("g", "v")
+      .groupBy("g").agg(expr("smallest_k(v, 10)").as("topk"))
+      .collect()(0).getSeq[Long](1)
+    assert(tiny == Seq(2L, 5L))
+  }
+
   test("q124 snapshot diff: classes partition the key universe") {
     val rows = Behavior.q124SnapshotDiff(spark, sf).collect()
       .map(r => r.getAs[String]("class") -> r.getAs[Long]("n")).toMap
@@ -67,6 +83,19 @@ class BehaviorSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Int]("month_offset") >= 0)
       assert(r.getAs[Long]("n_active") <= base(r.getAs[String]("cohort")))
+    }
+  }
+
+  test("q129 transitions: rows sum to events minus users; probabilities sum to 1 per row-type") {
+    val rows = Behavior.q129Transitions(spark, sf).collect()
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sf)
+    val nUsersWithEvents = ev.select("user_id").distinct().count()
+    // each user contributes (events - 1) transitions
+    assert(nTrans == ev.count() - nUsersWithEvents)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, grp) =>
+      val pSum = grp.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-9)
     }
   }
 

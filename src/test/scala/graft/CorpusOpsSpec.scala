@@ -106,6 +106,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(probe(2).getLong(0) == 7L && !probe(2).getBoolean(1))
   }
 
+  test("q127 percentile trim: band is ordered, trim fraction is ~10% by construction") {
+    val rows = graft.operators.CorpusOps.q127PercentileTrim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      assert(p05 <= p95)
+      val (n, trim) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_trim"))
+      // values strictly outside the interpolated band: at most
+      // floor(0.05*(n-1)) + 1 per tail (quantile_cont at position p*(n-1))
+      val tailMax = math.floor(0.05 * (n - 1)).toLong + 1
+      assert(trim <= 2 * tailMax)
+    }
+  }
+
+  test("q128 argmax keep: winner has the group max length; unique-key tiebreak is by doc_id") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.CorpusOps.q128ArgmaxKeep(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val grp = docs.filter(_._1 == src)
+      val maxLen = grp.map(_._3).max
+      assert(r.getAs[Long]("max_chars") == maxLen)
+      // the kept doc is the max-length doc with the LARGEST doc_id
+      val expected = grp.filter(_._3 == maxLen).map(_._2).max
+      assert(r.getAs[Long]("keep_doc") == expected)
+    }
+  }
+
   test("q120 source KL: divergence is non-negative (Gibbs); entropy bounded by ln(vocab)") {
     val rows = graft.operators.CorpusOps.q120SourceKl(spark, sf).collect()
     assert(rows.nonEmpty)

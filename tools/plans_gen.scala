@@ -5,7 +5,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
   "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
   "q86_decontaminate","q89_pq_adc","q113_tpch_q21","q114_paragraph_dedup",
-  "q115_semantic_dedup")
+  "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -31,7 +31,12 @@ sb.append("adapted TPC-H Q21 (q113: semi+anti self-joins over the join-once\n")
 sb.append("flagged relation, supplier dim broadcast), paragraph dedup (q114:\n")
 sb.append("partial-aggregable keep-first -- HashAggregate pair on the block\n")
 sb.append("hash, no window over the corpus), and SemDeDup (q115: broadcast\n")
-sb.append("centroids; the only shuffle keys are cell ids).\n")
+sb.append("centroids; the only shuffle keys are cell ids), the single-pass\n")
+sb.append("inverted-index build (q123: one scan, ObjectHashAggregate with a\n")
+sb.append("partial_smallest_k bounded top-k aggregate -- O(k) posting state\n")
+sb.append("per token -- and a TakeOrderedAndProject cap), and the CDC\n")
+sb.append("snapshot diff (q124: one full-outer sort-merge join on the PK,\n")
+sb.append("then a partial-aggregable class rollup).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
