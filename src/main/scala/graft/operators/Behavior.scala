@@ -263,7 +263,78 @@ object Behavior {
       |    CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
       |FROM t ORDER BY event_type, next_type""".stripMargin
 
+  /** q130 — DAU / rolling-7-day WAU / stickiness: distinct actives per
+    * day, distinct actives over each trailing 7-day window, and their
+    * ratio. Rolling DISTINCT doesn't compose from daily partials, so the
+    * scalable shape is: pre-aggregate to (user, day) pairs (the only
+    * corpus-sized shuffle), then broadcast the tiny day grid and
+    * range-join — each pair lands in ≤7 trailing windows, a bounded
+    * fan-out, and the per-window countDistinct runs over pairs, not raw
+    * events. No |days|² self-join, no per-day rescan.
+    */
+  def q130Stickiness(s: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .join(broadcast(dau.select(col("day").as("d"))),
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val q130Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      |wau AS (
+      |  SELECT g.day AS d, COUNT(DISTINCT ud.user_id) AS wau
+      |  FROM (SELECT day FROM dau) g
+      |  JOIN ud ON ud.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+      |  GROUP BY g.day)
+      |SELECT day, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON day = d ORDER BY day""".stripMargin
+
+  /** q131 — rate-spike detection: hourly event counts per type, compared
+    * to the previous hour via `lag`; a ≥1.5× jump flags a spike. The
+    * window is partitioned by event_type over an hours-bounded series, so
+    * no single-partition global sort; the corpus-sized work is one
+    * (type, hour) pre-aggregate. The ops-alerting twin of the streaming
+    * tumbling-window path (q60).
+    */
+  def q131SpikeDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev", lag(col("n"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("ratio", col("n").cast("double") / col("prev").cast("double"))
+      .withColumn("spike", (col("ratio") >= 1.5).cast("int"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q131Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, h),
+      |l AS (
+      |  SELECT event_type, h, n,
+      |    LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      |  FROM hourly)
+      |SELECT event_type, h, n, prev,
+      |  CAST(n AS DOUBLE) / CAST(prev AS DOUBLE) AS ratio,
+      |  CAST(CAST(n AS DOUBLE) / CAST(prev AS DOUBLE) >= 1.5 AS INT) AS spike
+      |FROM l WHERE prev IS NOT NULL ORDER BY event_type, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_stickiness" -> q130Stickiness _,
+    "q131_spike_detect" -> q131SpikeDetect _,
     "q129_transitions" -> q129Transitions _,
     "q122_funnel" -> q122Funnel _,
     "q123_inverted_index" -> q123InvertedIndex _,
@@ -272,6 +343,8 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q130_stickiness" -> q130Sql,
+    "q131_spike_detect" -> q131Sql,
     "q129_transitions" -> q129Sql,
     "q122_funnel" -> q122Sql,
     "q123_inverted_index" -> q123Sql,

@@ -99,6 +99,30 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 stickiness: wau >= dau, stickiness in (0,1], first day has wau == dau") {
+    val rows = Behavior.q130Stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(wau >= dau && dau > 0)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // the first day's trailing window contains only itself
+    val first = rows.minBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(first.getAs[Long]("wau") == first.getAs[Long]("dau"))
+  }
+
+  test("q131 spike detect: ratio = n/prev; spike flag consistent with 1.5x threshold") {
+    val rows = Behavior.q131SpikeDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n").toDouble / r.getAs[Long]("prev").toDouble
+      assert(math.abs(r.getAs[Double]("ratio") - expect) == 0.0)
+      assert(r.getAs[Int]("spike") == (if (expect >= 1.5) 1 else 0))
+    }
+  }
+
   test("q126 bitmask: profiles lie in [1,31]; user counts sum to the user base") {
     val rows = Behavior.q126BitmaskProfile(spark, sf).collect()
     rows.foreach { r =>
