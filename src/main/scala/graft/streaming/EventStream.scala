@@ -106,6 +106,62 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class FunnelState(tView: Long, tClick: Long)
+  final case class FunnelOut(user_id: Long, step: String, ts: java.sql.Timestamp)
+
+  /** Streaming funnel state machine — the streaming twin of the batch
+    * q122 (view → click → purchase, strictly time-ordered): per user, a
+    * monotone 3-stage state advanced by each event whose type matches the
+    * next expected step AND whose timestamp is strictly later than the
+    * previous step's. Emits one `FunnelOut` per step advancement, so
+    * downstream sees conversions the micro-batch they happen. State is
+    * two longs per in-flight user; a completed funnel removes its state
+    * immediately, and an abandoned one is evicted when the event-time
+    * watermark passes 7 days of inactivity (EventTimeTimeout) — the state
+    * store holds active-ish users, not the all-time user base. */
+  def funnel(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val idleUs = 7L * 24 * 3600 * 1000000
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var out = List.empty[FunnelOut]
+        var st = state.getOption.getOrElse(FunnelState(0L, 0L))
+        var done = false
+        var lastUs = 0L
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime * 1000
+          lastUs = math.max(lastUs, t)
+          e.event_type match {
+            case "view" if st.tView == 0L =>
+              st = FunnelState(t, 0L)
+              out ::= FunnelOut(userId, "view", e.ts)
+            case "click" if st.tView > 0L && st.tClick == 0L && t > st.tView =>
+              st = FunnelState(st.tView, t)
+              out ::= FunnelOut(userId, "click", e.ts)
+            case "purchase" if st.tClick > 0L && !done && t > st.tClick =>
+              done = true
+              out ::= FunnelOut(userId, "purchase", e.ts)
+            case _ => ()
+          }
+        }
+        if (done) state.remove()
+        else {
+          state.update(st)
+          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+          state.setTimeoutTimestamp(math.max(lastUs / 1000 + idleUs / 1000, wm + 1))
+        }
+        out.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch q34: keep the
     * first occurrence of each event_id, with state bounded by the
     * watermark (`dropDuplicatesWithinWatermark` evicts seen-keys older

@@ -62,6 +62,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: conversions emit per micro-batch, strictly ordered, once per user") {
+    import spark.implicits._
+    def write(dir: java.nio.file.Path, name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append")
+        .parquet(dir.resolve(name).toString)
+    val dir = java.nio.file.Files.createTempDirectory("events_funnel")
+    // batch 1: user 1 advances two steps; user 2's click precedes any view
+    write(dir, "f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2, "click", 1.0)))
+    // batch 2: user 1 completes; user 2 gets its first view; user 2's
+    // purchase can't fire (no click after the view yet)
+    write(dir, "f1", Seq(
+      EventStream.Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1, "purchase", 1.0),
+      EventStream.Event(5, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2, "view", 1.0),
+      EventStream.Event(6, java.sql.Timestamp.valueOf("2024-01-01 10:25:00"), 2, "purchase", 1.0)))
+    val stream = spark.readStream
+      .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+      .as[EventStream.Event]
+    val q = EventStream.runToMemory(EventStream.funnel(stream).toDF(), "funnel")
+    try {
+      val out = spark.table("funnel").as[EventStream.FunnelOut].collect()
+      val u1 = out.filter(_.user_id == 1).map(_.step).sorted
+      val u2 = out.filter(_.user_id == 2).map(_.step).sorted
+      assert(u1.toSeq == Seq("click", "purchase", "view"))
+      assert(u2.toSeq == Seq("view")) // pre-view click and pre-click purchase never count
+      assert(out.length == 4)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch join and keeps unmatched rows") {
     val dir = java.nio.file.Files.createTempDirectory("events_enrich")
     java.nio.file.Files.copy(
