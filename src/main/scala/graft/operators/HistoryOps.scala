@@ -67,6 +67,69 @@ object HistoryOps {
       |  CAST(LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS INTEGER) AS is_current
       |FROM runs ORDER BY user_id, version""".stripMargin
 
-  val queries: Map[String, Q] = Map("q108_scd2" -> q108Scd2 _)
-  val oracles: Map[String, String] = Map("q108_scd2" -> q108Sql)
+  /** q132 — point-in-time dimension lookup: each error event joined to
+    * the SCD2 state dimension (q108's run construction over the
+    * NON-error stream) as of the error's timestamp — "what was the user
+    * doing when it broke". Runs on the NATIVE as-of operator
+    * ([[graft.plans.AsOf.join]]): a single (key, time) sort-merge pass,
+    * NOT the key-equi-join + interval-filter shape, which materializes
+    * |facts| × |versions-per-key| intermediate rows before filtering —
+    * quadratic in version count and the classic PIT-lookup scale trap.
+    * Left-join semantics keep errors that precede any state (folded to
+    * 'none'/-1).
+    */
+  def q132PitLookup(s: SparkSession, d: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(s, d)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wSeq))
+      .withColumn("chg",
+        (col("prev_type").isNull || col("prev_type") =!= col("event_type")).cast("long"))
+      .withColumn("version", sum(col("chg")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(unix_micros(min(col("ts"))).as("t_us"))
+      .select(col("user_id"), col("version"), col("event_type"), col("t_us"))
+    val facts = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    graft.plans.AsOf.join(s, facts, dim, "user_id", "t_us",
+        tieBreakCols = Seq("version"))
+      .toDF("event_id", "user_id", "t_us",
+        "r_user_id", "r_version", "r_state", "r_t_us")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("r_version"), lit(-1L)).as("version"),
+        coalesce(col("r_state"), lit("none")).as("state"))
+      .orderBy(col("event_id"))
+  }
+
+  val q132Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE event_type <> 'error'),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM seq),
+      |runs AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |    MIN(ts) AS valid_from
+      |  FROM v GROUP BY 1, 2, 3),
+      |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT f.event_id, f.user_id,
+      |  COALESCE(r.version, -1) AS version,
+      |  COALESCE(r.event_type, 'none') AS state
+      |FROM f ASOF LEFT JOIN runs r
+      |  ON f.user_id = r.user_id AND r.valid_from <= f.ts
+      |ORDER BY f.event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q108_scd2" -> q108Scd2 _,
+    "q132_pit_lookup" -> q132PitLookup _)
+  val oracles: Map[String, String] = Map(
+    "q108_scd2" -> q108Sql,
+    "q132_pit_lookup" -> q132Sql)
 }

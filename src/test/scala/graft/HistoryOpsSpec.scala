@@ -33,6 +33,27 @@ class HistoryOpsSpec extends AnyFunSuite {
     assert(totalEvents == Tables.events(spark, sf).count())
   }
 
+  test("q132 PIT lookup: one row per error; state matches the interval-filter definition") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.HistoryOps.q132PitLookup(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(rows.length == ev.filter(col("event_type") === "error").count())
+    // never an error state (dim excludes errors); 'none' only before any state
+    assert(rows.forall(_.getAs[String]("state") != "error"))
+    // cross-check a sample against the naive interval-filter semantics
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(20).collect()
+    val nonErr = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    errs.foreach { e =>
+      val prior = nonErr.filter(x => x._1 == e.getLong(1) && !x._2.after(e.getTimestamp(2)))
+      val expect = if (prior.isEmpty) "none" else prior.maxBy(_._2.getTime)._3
+      val got = rows.find(_.getAs[Long]("event_id") == e.getLong(0)).get.getAs[String]("state")
+      assert(got == expect, s"event ${e.getLong(0)}: got $got want $expect")
+    }
+  }
+
   test("q109 per-lang rollup partitions the corpus; flags within bounds") {
     val out = operators.Curation.q109UnigramQuality(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
