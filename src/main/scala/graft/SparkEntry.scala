@@ -32,7 +32,8 @@ object SparkEntry {
       operators.CorpusOps.queries ++
       operators.PqOps.queries ++
       operators.HistoryOps.queries ++
-      operators.Behavior.queries
+      operators.Behavior.queries ++
+      operators.Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       operators.CorpusOps.oracles ++
       operators.PqOps.oracles ++
       operators.HistoryOps.oracles ++
-      operators.Behavior.oracles
+      operators.Behavior.oracles ++
+      operators.Profiling.oracles
 }

@@ -69,5 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // library-level registration of the bounded top-k aggregate, so
+    // extension-configured sessions get `smallest_k` in SQL without the
+    // per-query temp-function hook (AggExpressions.register).
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("smallest_k"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SmallestK].getName, "smallest_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SmallestK(exprs.head, exprs(1))))
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Profiling
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the profiling tier (q133/q134).
+  * Value parity is the DuckDB oracle gate's job. */
+class ProfilingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q133 profile: one row per column; distincts and nulls bounded by row count") {
+    val rows = Profiling.q133Profile(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") >= 0 && r.getAs[Long]("n_nulls") <= n)
+      assert(r.getAs[Long]("n_distinct") >= 1 && r.getAs[Long]("n_distinct") <= n)
+      if (!r.isNullAt(r.fieldIndex("min_val")))
+        assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+    // the key column is unique and never null
+    val key = rows.find(_.getAs[String]("col_name") == "o_orderkey").get
+    assert(key.getAs[Long]("n_distinct") == n && key.getAs[Long]("n_nulls") == 0)
+  }
+
+  test("q134 histogram: buckets tile [min,max], counts sum to row count") {
+    val rows = Profiling.q134Histogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    // contiguous buckets share boundaries
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("bucket") > a.getAs[Long]("bucket"))
+        if (b.getAs[Long]("bucket") == a.getAs[Long]("bucket") + 1)
+          assert(math.abs(a.getAs[Double]("hi") - b.getAs[Double]("lo")) < 1e-9)
+      case _ => ()
+    }
+  }
+}
