@@ -449,7 +449,39 @@ object Relational {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  /** q135 — the SQL API surface: the same engine driven through
+    * `spark.sql` over a registered temp view, with a CTE + window in the
+    * SQL text — monthly gross revenue per linestatus and its
+    * month-over-month delta. Catalyst compiles this to the identical
+    * plan a DataFrame chain gets (one proof the library is usable from
+    * pure SQL); the revenue sum is the same 6-dp fixed-point form as the
+    * DataFrame queries so it hash-matches the oracle.
+    */
+  def q135SqlApi(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      s"""WITH monthly AS (
+         |  SELECT l_linestatus, date_trunc('month', l_shipdate) AS mon,
+         |    (CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
+         |  FROM lineitem_v
+         |  GROUP BY l_linestatus, date_trunc('month', l_shipdate))
+         |SELECT l_linestatus, mon, revenue,
+         |  revenue - LAG(revenue, 1, 0.0) OVER (PARTITION BY l_linestatus ORDER BY mon) AS mom_delta
+         |FROM monthly ORDER BY l_linestatus, mon""".stripMargin)
+  }
+
+  val q135Sql: String =
+    """WITH monthly AS (
+      |  SELECT l_linestatus, date_trunc('month', l_shipdate) AS mon,
+      |    (CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
+      |  FROM lineitem
+      |  GROUP BY l_linestatus, date_trunc('month', l_shipdate))
+      |SELECT l_linestatus, mon, revenue,
+      |  revenue - LAG(revenue, 1, 0.0) OVER (PARTITION BY l_linestatus ORDER BY mon) AS mom_delta
+      |FROM monthly ORDER BY l_linestatus, mon""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q135_sql_api" -> q135SqlApi _,
     "q01_agg_filter" -> q01AggFilter _,
     "q02_scan_project" -> q02ScanProject _,
     "q03_join_broadcast" -> q03JoinBroadcast _,
@@ -471,6 +503,7 @@ object Relational {
     "q100_tpch_q18" -> q100TpchQ18 _)
 
   val oracles: Map[String, String] = Map(
+    "q135_sql_api" -> q135Sql,
     "q01_agg_filter" -> q01Sql,
     "q02_scan_project" -> q02Sql,
     "q03_join_broadcast" -> q03Sql,

@@ -360,7 +360,37 @@ object Scalars {
        |  (n*sxy - sx*sy)/(sqrt(n*sxx - sx*sx)*sqrt(n*syy - sy*sy)) AS corr_qty_price
        |FROM m ORDER BY l_linestatus""".stripMargin
 
+  /** q136 — map-typed columns: JSON parsed into `map<string,bigint>`
+    * (schema-free key space — the shape for sparse/ragged properties
+    * where a struct would need every key declared), then map_concat to
+    * derive an entry, transform_values over the whole map, and an
+    * explode to (key, value) rows for a per-key rollup. All map ops are
+    * codegen'd row-local transforms — the only shuffle is the final
+    * |keys|-sized agg.
+    */
+  def q136MapOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), "map<string,bigint>",
+        Map.empty[String, String]))
+      .withColumn("m2", map_concat(col("m"),
+        map(lit("k2"), expr("element_at(m, 'k') * 2"))))
+      .withColumn("m3", expr("transform_values(m2, (k, v) -> v * 2)"))
+      .select(col("event_id"), explode(col("m3")).as(Seq("key", "val")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("total"))
+      .orderBy(col("key"))
+
+  val q136Sql: String =
+    """WITH kv AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT * FROM (
+      |  SELECT 'k' AS key, COUNT(*) AS n, CAST(SUM(k * 2) AS BIGINT) AS total FROM kv
+      |  UNION ALL
+      |  SELECT 'k2', COUNT(*), CAST(SUM(k * 4) AS BIGINT) FROM kv)
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q136_map_ops" -> q136MapOps _,
     "q121_tolerant_parse" -> q121TolerantParse _,
     "q84_unpivot" -> q84Unpivot _,
     "q85_stats_moments" -> q85StatsMoments _,
@@ -376,6 +406,7 @@ object Scalars {
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q136_map_ops" -> q136Sql,
     "q121_tolerant_parse" -> q121Sql,
     "q84_unpivot" -> q84Sql,
     "q85_stats_moments" -> q85Sql,

@@ -25,6 +25,28 @@ class ProfilingSpec extends AnyFunSuite {
     assert(key.getAs[Long]("n_distinct") == n && key.getAs[Long]("n_nulls") == 0)
   }
 
+  test("q135 SQL API: CTE+window SQL text plans and runs; deltas telescope to last revenue") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.q135SqlApi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("l_linestatus")).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_.getAs[java.sql.Timestamp]("mon").getTime)
+      // lag default 0.0 on the first row: delta telescoping recovers the
+      // final month's revenue exactly (all-double arithmetic)
+      val sumDeltas = sorted.map(_.getAs[Double]("mom_delta")).sum
+      assert(math.abs(sumDeltas - sorted.last.getAs[Double]("revenue")) < 1e-6)
+    }
+  }
+
+  test("q136 map ops: derived key doubles the base; counts equal the event count") {
+    val rows = graft.operators.Scalars.q136MapOps(spark, sf).collect()
+      .map(r => r.getAs[String]("key") -> (r.getAs[Long]("n"), r.getAs[Long]("total"))).toMap
+    val n = Tables.events(spark, sf).count()
+    assert(rows.keySet == Set("k", "k2"))
+    assert(rows("k")._1 == n && rows("k2")._1 == n)
+    assert(rows("k2")._2 == 2 * rows("k")._2)
+  }
+
   test("q134 histogram: buckets tile [min,max], counts sum to row count") {
     val rows = Profiling.q134Histogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 9))

@@ -113,6 +113,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SmallestK: any partitioning + merge order equals sorted-distinct-take-k") {
+    import graft.functions.SmallestK
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = SmallestK(Literal(0L), Literal(10))
+    val dataGen = for {
+      xs <- Gen.listOfN(80, Gen.choose(-500L, 500L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, 80))
+    } yield (xs, cuts.sorted)
+    samples(dataGen, 8).foreach { case (xs, cuts) =>
+      // split xs into ragged chunks, build one buffer per chunk via
+      // update, then merge in chunk order — simulating map-side partials
+      val bounds = (0 +: cuts :+ xs.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+      val bufs = chunks.map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach { v =>
+          b.add(v); if (b.size > 10) b.pollLast()
+        }
+        // serialization round-trip must be lossless at every partial
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = {
+        val it = merged.iterator(); Iterator.continually(it)
+          .takeWhile(_.hasNext).map(_.next().longValue()).toList
+      }
+      assert(got == xs.distinct.sorted.take(10))
+    }
+  }
+
   test("polyHash: stable, in [0, P), equals the reference fold for random ASCII strings") {
     val strGen = Gen.listOfN(20, Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
     samples(strGen, 4).filter(_.nonEmpty).foreach { strs =>
