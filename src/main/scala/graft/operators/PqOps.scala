@@ -237,10 +237,58 @@ object PqOps {
        |FROM m GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** q137 — int8 scalar quantization of the embedding corpus: per-dim
+    * [min, max] bounds, quantize each coordinate to 0..255, and report
+    * per-dim reconstruction error (max + 6-dp fixed-point mean). The
+    * 4× memory compression baseline under PQ (q89): bounds are a
+    * |dims|-row aggregate broadcast back; quantize/reconstruct are
+    * row-local codegen arithmetic — the corpus shuffles once to (dim)
+    * for bounds and once for the error rollup, both |dims|-bounded.
+    * Float→double widening and the (x-mn)/scale arithmetic are IEEE
+    * identical cross-engine, so even max_err hash-matches.
+    */
+  def q137Int8Quant(s: SparkSession, d: String): DataFrame = {
+    val flat = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val bounds = flat.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    flat.join(broadcast(bounds), "dim")
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("q",
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(greatest(floor((col("x") - col("mn")) / col("scale") + lit(0.5)),
+            lit(0.0)), lit(255.0)).cast("long")))
+      .withColumn("err", abs(col("x") - (col("mn") + col("q") * col("scale"))))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("err")), 6).as("max_err"),
+        round(Det.davg(col("err")), 6).as("avg_err"))
+      .orderBy(col("dim"))
+  }
+
+  val q137Sql: String =
+    s"""WITH flat AS (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, 65) r(i)),
+       |b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY dim),
+       |q AS (
+       |  SELECT flat.dim AS dim, x, mn, (mx - mn) / 255.0 AS scale,
+       |    CASE WHEN (mx - mn) / 255.0 = 0.0 THEN 0
+       |         ELSE CAST(LEAST(GREATEST(FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5),
+       |           0.0), 255.0) AS BIGINT) END AS qv
+       |  FROM flat JOIN b ON flat.dim = b.dim),
+       |e AS (SELECT dim, ABS(x - (mn + qv * scale)) AS err FROM q)
+       |SELECT dim, COUNT(*) AS n,
+       |  ROUND(MAX(err), 6) AS max_err,
+       |  ROUND(${Det.davgSql("err")}, 6) AS avg_err
+       |FROM e GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q137_int8_quant" -> q137Int8Quant _,
     "q89_pq_adc" -> q89PqAdc _,
     "q117_random_projection" -> q117RandomProjection _)
   val oracles: Map[String, String] = Map(
+    "q137_int8_quant" -> q137Sql,
     "q89_pq_adc" -> q89Sql,
     "q117_random_projection" -> q117Sql)
 }

@@ -119,11 +119,45 @@ object Profiling {
       |  MIN(mn) + (bucket + 1) * MIN(w) AS hi
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q138 — join-key skew diagnostics: the top-10 heaviest `o_custkey`
+    * keys with their share of the table and a suggested salt factor
+    * (how many subkeys spread the key to the average partition load at
+    * 32 shuffle partitions). The report a pipeline runs BEFORE a big
+    * join to decide between AQE skew handling and explicit salting —
+    * one partial-aggregable count + a 10-row top-k
+    * (TakeOrderedAndProject); pure integer/IEEE arithmetic so it
+    * hash-matches.
+    */
+  def q138SkewDiag(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val counts = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val tot = o.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("salt_factor",
+        greatest(lit(1L),
+          ceil(col("n").cast("double") / (col("total").cast("double") / lit(32.0)))
+            .cast("long")))
+      .select(col("o_custkey"), col("n"), col("share"), col("salt_factor"))
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  val q138Sql: String =
+    """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+      |t AS (SELECT COUNT(*) AS total FROM orders)
+      |SELECT o_custkey, n,
+      |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |  GREATEST(1, CAST(CEIL(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / 32.0)) AS BIGINT)) AS salt_factor
+      |FROM c, t ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q133_profile" -> q133Profile _,
-    "q134_histogram" -> q134Histogram _)
+    "q134_histogram" -> q134Histogram _,
+    "q138_skew_diag" -> q138SkewDiag _)
 
   val oracles: Map[String, String] = Map(
     "q133_profile" -> q133Sql,
-    "q134_histogram" -> q134Sql)
+    "q134_histogram" -> q134Sql,
+    "q138_skew_diag" -> q138Sql)
 }

@@ -47,6 +47,42 @@ class ProfilingSpec extends AnyFunSuite {
     assert(rows("k2")._2 == 2 * rows("k")._2)
   }
 
+  test("q137 int8 quant: error bounded by half a quantization step per dim") {
+    val rows = graft.operators.PqOps.q137Int8Quant(spark, sf).collect()
+    assert(rows.length == 64)
+    val flat = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("embedding")).as(Seq("dim", "x")))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble))
+    val bounds = flat.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).min, xs.map(_._2).max)).toMap
+    rows.foreach { r =>
+      val dim = r.getAs[Int]("dim")
+      val (mn, mx) = bounds(dim)
+      val step = (mx - mn) / 255.0
+      // round-to-nearest quantization: |err| <= step/2; max_err is
+      // reported rounded to 6 dp, so allow the half-ulp of that rounding
+      assert(r.getAs[Double]("max_err") <= step / 2 + 5e-7)
+      assert(r.getAs[Double]("avg_err") <= r.getAs[Double]("max_err"))
+    }
+  }
+
+  test("q138 skew diag: descending counts, share and salt consistent") {
+    val rows = graft.operators.Profiling.q138SkewDiag(spark, sf).collect()
+    assert(rows.length == 10)
+    val total = Tables.orders(spark, sf).count()
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(r.getAs[Double]("share") - n.toDouble / total) < 1e-12)
+      assert(r.getAs[Long]("salt_factor") ==
+        math.max(1L, math.ceil(n.toDouble / (total / 32.0)).toLong))
+    }
+  }
+
   test("q134 histogram: buckets tile [min,max], counts sum to row count") {
     val rows = Profiling.q134Histogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 9))
