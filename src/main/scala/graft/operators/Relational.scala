@@ -480,7 +480,40 @@ object Relational {
       |  revenue - LAG(revenue, 1, 0.0) OVER (PARTITION BY l_linestatus ORDER BY mon) AS mom_delta
       |FROM monthly ORDER BY l_linestatus, mon""".stripMargin
 
+  /** q139 — LATERAL correlated subquery: each high-balance customer's
+    * top-2 orders by price, written as a lateral per-row subquery and
+    * decorrelated by Catalyst (DecorrelateInnerQuery) into a set-based
+    * plan — the engine proves the correlated-iteration SQL idiom never
+    * executes row-at-a-time. The window/`WindowGroupLimit` formulation
+    * (q15) is the hand-optimized twin; this one checks the optimizer
+    * gets there from the naive spelling.
+    */
+  def q139Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_v c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_acctbal > 9000
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val q139Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_acctbal > 9000
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q139_lateral" -> q139Lateral _,
     "q135_sql_api" -> q135SqlApi _,
     "q01_agg_filter" -> q01AggFilter _,
     "q02_scan_project" -> q02ScanProject _,
@@ -503,6 +536,7 @@ object Relational {
     "q100_tpch_q18" -> q100TpchQ18 _)
 
   val oracles: Map[String, String] = Map(
+    "q139_lateral" -> q139Sql,
     "q135_sql_api" -> q135Sql,
     "q01_agg_filter" -> q01Sql,
     "q02_scan_project" -> q02Sql,

@@ -389,7 +389,38 @@ object Scalars {
       |  SELECT 'k2', COUNT(*), CAST(SUM(k * 4) AS BIGINT) FROM kv)
       |ORDER BY key""".stripMargin
 
+  /** q140 — try_* error-tolerant scalar semantics: `try_cast` on a
+    * column that only sometimes parses (the digit prefix of
+    * o_orderpriority parses; the full string never does) and
+    * `try_divide` with a sometimes-zero denominator — failures become
+    * NULL in-row instead of aborting the job, the scalar counterpart of
+    * q121's corrupt-record JSON path. Per priority: parse successes,
+    * failures, and the null-safe aggregate over the partial results.
+    */
+  def q140TrySemantics(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("prefix_num", expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"))
+      .withColumn("full_num", expr("try_cast(o_orderpriority AS BIGint)"))
+      .withColumn("ratio", expr("try_divide(o_totalprice, o_orderkey % 3)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("prefix_num")).as("n_prefix_ok"),
+        count(col("full_num")).as("n_full_ok"),
+        sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(col("prefix_num")).as("sum_prefix"))
+      .orderBy(col("o_orderpriority"))
+
+  val q140Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  COUNT(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS n_prefix_ok,
+      |  COUNT(TRY_CAST(o_orderpriority AS BIGINT)) AS n_full_ok,
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(SUM(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_prefix
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_try_semantics" -> q140TrySemantics _,
     "q136_map_ops" -> q136MapOps _,
     "q121_tolerant_parse" -> q121TolerantParse _,
     "q84_unpivot" -> q84Unpivot _,
@@ -406,6 +437,7 @@ object Scalars {
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q140_try_semantics" -> q140Sql,
     "q136_map_ops" -> q136Sql,
     "q121_tolerant_parse" -> q121Sql,
     "q84_unpivot" -> q84Sql,

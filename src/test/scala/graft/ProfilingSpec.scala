@@ -83,6 +83,29 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("q139 lateral: <=2 orders per customer, sorted within; decorrelates to a set plan") {
+    val df = graft.operators.Relational.q139Lateral(spark, sf)
+    val rows = df.collect()
+    rows.groupBy(_.getAs[Long]("c_custkey")).foreach { case (_, grp) =>
+      assert(grp.length <= 2)
+      val prices = grp.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sorted.reverse.sameElements(prices))
+    }
+    // the naive correlated spelling must plan as a group-limit, not a loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("q140 try semantics: prefix always parses, full string never, div-null matches key mod") {
+    val rows = graft.operators.Scalars.q140TrySemantics(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_prefix_ok") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_full_ok") == 0L)
+      assert(r.getAs[Long]("n_div_null") >= 0)
+    }
+  }
+
   test("q134 histogram: buckets tile [min,max], counts sum to row count") {
     val rows = Profiling.q134Histogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 9))
