@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Diff two graft bench JSONs (full-precision files written to
+SPARK_GRAFT_BENCH_OUT, or BENCH_r{N}.json harness artifacts with a
+"parsed" field). Flags per-query regressions beyond a threshold and
+summarizes adds/removals.
+
+Usage: bench_compare.py OLD.json NEW.json [--threshold 0.20] [--floor 0.3]
+Regressions ignore queries under `floor` seconds in both runs — those sit
+on the per-query scheduling floor where ratios are noise.
+Exit code 1 if any regression exceeds the threshold.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and d["parsed"]:
+        d = d["parsed"]
+    # harness artifacts use compact keys (q01), full-precision files use
+    # full names (q01_agg_filter) — normalize to the qNN prefix
+    d["queries"] = {k.split("_")[0]: v for k, v in d["queries"].items()}
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=0.20)
+    ap.add_argument("--floor", type=float, default=0.3)
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+
+    regress = []
+    for k in shared:
+        a, b = oq[k], nq[k]
+        if a < args.floor and b < args.floor:
+            continue
+        if b > a * (1 + args.threshold):
+            regress.append((k, a, b, b / a))
+
+    print(f"old total {old['value']:.1f}s ({len(oq)} queries)  "
+          f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    shared_old = sum(oq[k] for k in shared)
+    shared_new = sum(nq[k] for k in shared)
+    if shared:
+        print(f"shared-{len(shared)} total: {shared_old:.1f}s -> "
+              f"{shared_new:.1f}s (ratio {shared_new / shared_old:.2f})")
+    if added:
+        print(f"added ({len(added)}): "
+              f"{', '.join(f'{k}={nq[k]:.2f}s' for k in added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    if regress:
+        print(f"\nREGRESSIONS (> {args.threshold:.0%}, both sides >= {args.floor}s):")
+        for k, a, b, r in sorted(regress, key=lambda t: -t[3]):
+            print(f"  {k:28s} {a:6.2f}s -> {b:6.2f}s  ({r:.2f}x)")
+        sys.exit(1)
+    print("no regressions beyond threshold")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,8 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q66_winnowing","q37_embed_neardup","q100_tpch_q18","q77_partition_pruned",
   "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
   "q86_decontaminate","q89_pq_adc","q113_tpch_q21","q114_paragraph_dedup",
-  "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff")
+  "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff",
+  "q139_lateral")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -36,7 +37,10 @@ sb.append("inverted-index build (q123: one scan, ObjectHashAggregate with a\n")
 sb.append("partial_smallest_k bounded top-k aggregate -- O(k) posting state\n")
 sb.append("per token -- and a TakeOrderedAndProject cap), and the CDC\n")
 sb.append("snapshot diff (q124: one full-outer sort-merge join on the PK,\n")
-sb.append("then a partial-aggregable class rollup).\n")
+sb.append("then a partial-aggregable class rollup), and the LATERAL\n")
+sb.append("correlated subquery (q139: Catalyst decorrelates the naive\n")
+sb.append("per-row spelling into WindowGroupLimit + broadcast join -- no\n")
+sb.append("row-at-a-time execution survives planning).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
