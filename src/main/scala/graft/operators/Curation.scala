@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Portable._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -365,7 +365,97 @@ object Curation {
        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   }
 
+  /** q141 — the curation pipeline as ONE funnel: every per-document
+    * filter stage the tier defines, applied cumulatively in order —
+    * length band (q127's shape, fixed bounds) → Gopher quality rules
+    * (q58's word-count / mean-length / alpha-ratio core) → repetition
+    * (q87's top-word fraction) → exact-dedup keep-first (q34's
+    * semantics) — with per-stage survivor counts and the final
+    * character yield. One plan runs the whole policy: the flags are
+    * row-local (one token pass), the repetition stats are the (doc, tok)
+    * pre-aggregate, dedup-keep is a groupBy(text) min — three shuffles
+    * total, all partial-aggregable, then a 1-row rollup. This is the
+    * "how much survives my pipeline" report a corpus owner runs before
+    * committing a training mix.
+    */
+  def q141CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val b = (c: Column) => when(c, 1L).otherwise(0L)
+    val base = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("mean_len",
+        length(regexp_replace(col("text"), " ", "")) / col("n_tok"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+      .withColumn("s_len", b(col("n_chars").between(100, 500)))
+      .withColumn("s_quality", b(
+        col("n_tok") >= 10 && col("n_tok") <= 80 &&
+          col("mean_len") >= 3.0 && col("mean_len") <= 10.0 &&
+          col("alpha_ratio") >= 0.6))
+    val rep = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_count"))
+    val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    base.join(rep, "doc_id").join(keep, "text")
+      .withColumn("s_rep",
+        b(col("top_count").cast("double") / col("n_tokens") <= 0.2))
+      .withColumn("s_dedup", b(col("doc_id") === col("keep_id")))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("s_len")).as("n_len"),
+        sum(col("s_len") * col("s_quality")).as("n_quality"),
+        sum(col("s_len") * col("s_quality") * col("s_rep")).as("n_rep"),
+        sum(col("s_len") * col("s_quality") * col("s_rep") * col("s_dedup"))
+          .as("n_kept"),
+        sum(col("s_len") * col("s_quality") * col("s_rep") * col("s_dedup") *
+          col("n_chars")).as("chars_yield"))
+  }
+
+  val q141Sql: String = {
+    val toks = tokensSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CAST(len($toks) AS DOUBLE) AS n_tok,
+       |    len(replace(text, ' ', '')) / CAST(len($toks) AS DOUBLE) AS mean_len,
+       |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / len(text) AS alpha_ratio
+       |  FROM documents),
+       |flags AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CAST(n_chars BETWEEN 100 AND 500 AS BIGINT) AS s_len,
+       |    CAST(n_tok >= 10 AND n_tok <= 80 AND mean_len >= 3.0
+       |      AND mean_len <= 10.0 AND alpha_ratio >= 0.6 AS BIGINT) AS s_quality
+       |  FROM base),
+       |rep AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(MAX(c) AS BIGINT) AS top_count
+       |  FROM (SELECT doc_id, tok, COUNT(*) AS c
+       |        FROM (SELECT doc_id, UNNEST($toks) AS tok FROM documents)
+       |        GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |keep AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+       |f AS (
+       |  SELECT flags.*,
+       |    CAST(CAST(top_count AS DOUBLE) / n_tokens <= 0.2 AS BIGINT) AS s_rep,
+       |    CAST(flags.doc_id = keep_id AS BIGINT) AS s_dedup
+       |  FROM flags JOIN rep ON flags.doc_id = rep.doc_id
+       |  JOIN keep ON flags.text = keep.text)
+       |SELECT COUNT(*) AS n_total,
+       |  CAST(SUM(s_len) AS BIGINT) AS n_len,
+       |  CAST(SUM(s_len * s_quality) AS BIGINT) AS n_quality,
+       |  CAST(SUM(s_len * s_quality * s_rep) AS BIGINT) AS n_rep,
+       |  CAST(SUM(s_len * s_quality * s_rep * s_dedup) AS BIGINT) AS n_kept,
+       |  CAST(SUM(s_len * s_quality * s_rep * s_dedup * n_chars) AS BIGINT)
+       |    AS chars_yield
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_curation_funnel" -> q141CurationFunnel _,
     "q110_seq_pack" -> q110SeqPack _,
     "q86_decontaminate" -> q86Decontaminate _,
     "q87_repetition" -> q87Repetition _,
@@ -373,6 +463,7 @@ object Curation {
     "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
+    "q141_curation_funnel" -> q141Sql,
     "q110_seq_pack" -> q110Sql,
     "q86_decontaminate" -> q86Sql,
     "q87_repetition" -> q87Sql,

@@ -171,4 +171,18 @@ class PqSpec extends AnyFunSuite {
       rows.foreach(r => assert(r.getLong(1) >= PqOps.Ks)) // corpus only
     }
   }
+
+  test("q141 funnel: stage counts decrease monotonically; yield bounded by kept docs") {
+    val r = operators.Curation.q141CurationFunnel(spark, sf).collect()(0)
+    val seq = Seq("n_total", "n_len", "n_quality", "n_rep", "n_kept")
+      .map(r.getAs[Long])
+    assert(seq == seq.sorted.reverse, s"funnel not monotone: $seq")
+    assert(seq.head == Tables.documents(spark, sf).count())
+    assert(seq.last > 0, "pipeline kept nothing — thresholds degenerate")
+    assert(seq.last < seq.head, "pipeline filtered nothing — thresholds degenerate")
+    // every kept doc has n_chars in the length band, so the yield is
+    // bounded by band edges times the kept count
+    val yieldChars = r.getAs[Long]("chars_yield")
+    assert(yieldChars >= 100 * seq.last && yieldChars <= 500 * seq.last)
+  }
 }
