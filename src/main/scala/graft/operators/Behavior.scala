@@ -332,7 +332,92 @@ object Behavior {
       |  CAST(CAST(n AS DOUBLE) / CAST(prev AS DOUBLE) >= 1.5 AS INT) AS spike
       |FROM l WHERE prev IS NOT NULL ORDER BY event_type, h""".stripMargin
 
+  /** q142 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each document draws a content-stable
+    * uniform u from [[graft.functions.Portable.polyHash]] and competes
+    * with key ln(u)/w (w = n_chars, so longer docs win proportionally
+    * more often); the top-5 keys per source are the sample. Reproducible
+    * run-to-run and engine-to-engine — no RNG state, the "sample" is a
+    * pure function of content. Scale shape: row-local key arithmetic +
+    * per-source WindowGroupLimit top-k; the key itself is never output,
+    * so libm ulp differences can't leak into the hash compare.
+    */
+  def q142WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Portable
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((Portable.polyHash(col("text")) + lit(1L)).cast("double") /
+          lit((Portable.P + 1).toDouble)).as("u"))
+      .withColumn("key", log(col("u")) / col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_sampled"),
+        array_join(expr("transform(sort_array(collect_set(doc_id)), x -> cast(x as string))"), ",")
+          .as("sample_ids"))
+      .orderBy(col("source"))
+  }
+
+  val q142Sql: String = {
+    import graft.functions.Portable
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ln((${Portable.polyHashSql("text")} + 1) / ${(Portable.P + 1).toDouble}) / n_chars AS key
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rnk
+       |  FROM keyed)
+       |SELECT source, COUNT(*) AS n_sampled,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+       |  array_to_string(list_sort(list(doc_id)), ',') AS sample_ids
+       |FROM r WHERE rnk <= 5 GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q143 — A/B experiment readout with deterministic assignment: arm =
+    * Knuth-multiplicative hash of user_id mod 2 (stable, balanced, no
+    * RNG), then per-arm users, purchase conversion and mean purchase
+    * value. The analysis every event pipeline ends at; one user-keyed
+    * agg then a 2-row rollup, and the assignment is a row-local integer
+    * expression that an exposure log can reproduce exactly.
+    */
+  def q143AbReadout(s: SparkSession, d: String): DataFrame = {
+    val arm = pmod(col("user_id") * lit(2654435761L), lit(2L)).as("arm")
+    Tables.events(s, d)
+      .select(arm, col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+        Det.dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("purchase_value"))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"),
+        (sum(col("converted")).cast("double") / count(lit(1))).as("cvr"),
+        round(Det.dsum(col("purchase_value")), 6).as("total_value"))
+      .orderBy(col("arm"))
+  }
+
+  val q143Sql: String =
+    s"""WITH u AS (
+       |  SELECT (user_id * 2654435761) % 2 AS arm, user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |    ${Det.dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST(arm AS BIGINT) AS arm, COUNT(*) AS n_users,
+       |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+       |  CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS cvr,
+       |  ROUND(${Det.dsumSql("purchase_value")}, 6) AS total_value
+       |FROM u GROUP BY arm ORDER BY arm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q142_weighted_sample" -> q142WeightedSample _,
+    "q143_ab_readout" -> q143AbReadout _,
     "q130_stickiness" -> q130Stickiness _,
     "q131_spike_detect" -> q131SpikeDetect _,
     "q129_transitions" -> q129Transitions _,
@@ -343,6 +428,8 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q142_weighted_sample" -> q142Sql,
+    "q143_ab_readout" -> q143Sql,
     "q130_stickiness" -> q130Sql,
     "q131_spike_detect" -> q131Sql,
     "q129_transitions" -> q129Sql,

@@ -123,6 +123,31 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 weighted sample: 5 per source, reproducible, length-biased vs uniform") {
+    val a = Behavior.q142WeightedSample(spark, sf).collect()
+    val b = Behavior.q142WeightedSample(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString))) // pure function of content
+    val meanAll = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect()(0).getDouble(0)
+    val (sampChars, sampN) =
+      (a.map(_.getAs[Long]("chars_sampled")).sum, a.map(_.getAs[Long]("n_sampled")).sum)
+    a.foreach(r => assert(r.getAs[Long]("n_sampled") == 5))
+    // w = n_chars biases the sample long: its mean length beats the corpus mean
+    assert(sampChars.toDouble / sampN > meanAll)
+  }
+
+  test("q143 A/B readout: arms partition users; cvr consistent with counts") {
+    val rows = Behavior.q143AbReadout(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      assert(math.abs(r.getAs[Double]("cvr") -
+        r.getAs[Long]("n_converted").toDouble / r.getAs[Long]("n_users")) < 1e-12)
+    }
+  }
+
   test("q126 bitmask: profiles lie in [1,31]; user counts sum to the user base") {
     val rows = Behavior.q126BitmaskProfile(spark, sf).collect()
     rows.foreach { r =>
