@@ -151,12 +151,104 @@ object Profiling {
       |  GREATEST(1, CAST(CEIL(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / 32.0)) AS BIGINT)) AS salt_factor
       |FROM c, t ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin
 
+  /** q144 — z-score standardization + outlier flags: per event type,
+    * mean/std from exact fixed-point sums ([[Det.dsum]], the q85
+    * machinery — mergeable partials that still hash-match a
+    * single-threaded oracle), broadcast back, then row-local z = (x -
+    * mean)/std and a |z| > 3 outlier count with rounded z extremes.
+    * sqrt is IEEE-correctly-rounded so the whole chain is bit-stable
+    * cross-engine. The feature-standardization primitive: two passes,
+    * one broadcast, no shuffle wider than |types|.
+    */
+  def q144ZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("value")).as("sx"),
+        Det.dsum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(min(col("z")), 6).as("min_z"),
+        round(max(col("z")), 6).as("max_z"))
+      .orderBy(col("event_type"))
+  }
+
+  val q144Sql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${Det.dsumSql("value")} AS sx,
+       |    ${Det.dsumSql("value*value")} AS sxx
+       |  FROM events GROUP BY event_type),
+       |st AS (
+       |  SELECT event_type, sx / n AS mean,
+       |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+       |  FROM m),
+       |z AS (
+       |  SELECT e.event_type AS event_type, (value - mean) / std AS z
+       |  FROM events e JOIN st ON e.event_type = st.event_type)
+       |SELECT event_type, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ROUND(MIN(z), 6) AS min_z, ROUND(MAX(z), 6) AS max_z
+       |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q145 — decile profiling via `ntile(10)` + `percent_rank`: orders
+    * ranked by price into ten equal-count buckets with each bucket's
+    * row count, price band and the exact percent_rank at the band edge.
+    * The windowed complement of q134's equi-width histogram
+    * (equal-POPULATION vs equal-WIDTH buckets); both engines follow the
+    * SQL standard's remainder-to-early-buckets ntile rule.
+    *
+    * Scale note: an exact global ntile total-orders the input — Spark
+    * plans an unpartitioned window as a SINGLE-partition sort, which is
+    * the honest cost of exact equal-population ranks. At 100 TB use the
+    * two-pass approximation instead: exact/approx quantile boundaries
+    * (q127) + arithmetic bucketing (q134) — same report, no global
+    * sort. This query covers the exact-operator semantics.
+    */
+  def q145Deciles(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        round(max(col("pr")), 6).as("edge_pr"))
+      .orderBy(col("decile"))
+  }
+
+  val q145Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+      |    PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+      |  FROM orders)
+      |SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi, ROUND(MAX(pr), 6) AS edge_pr
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q144_zscore_outliers" -> q144ZscoreOutliers _,
+    "q145_deciles" -> q145Deciles _,
     "q133_profile" -> q133Profile _,
     "q134_histogram" -> q134Histogram _,
     "q138_skew_diag" -> q138SkewDiag _)
 
   val oracles: Map[String, String] = Map(
+    "q144_zscore_outliers" -> q144Sql,
+    "q145_deciles" -> q145Sql,
     "q133_profile" -> q133Sql,
     "q134_histogram" -> q134Sql,
     "q138_skew_diag" -> q138Sql)

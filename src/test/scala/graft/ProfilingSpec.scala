@@ -106,6 +106,30 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 z-score: outliers rare, z extremes straddle zero, counts partition") {
+    val rows = graft.operators.Profiling.q144ZscoreOutliers(spark, sf).collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_rows") / 10)
+      assert(r.getAs[Double]("min_z") < 0.0 && r.getAs[Double]("max_z") > 0.0)
+    }
+  }
+
+  test("q145 deciles: equal-population buckets, contiguous bands, edge_pr increasing") {
+    val rows = graft.operators.Profiling.q145Deciles(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.max - counts.min <= 1) // ntile balance
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+        assert(a.getAs[Double]("edge_pr") < b.getAs[Double]("edge_pr"))
+      case _ => ()
+    }
+  }
+
   test("q134 histogram: buckets tile [min,max], counts sum to row count") {
     val rows = Profiling.q134Histogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("bucket")).forall(b => b >= 0 && b <= 9))
