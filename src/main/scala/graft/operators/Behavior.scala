@@ -415,7 +415,50 @@ object Behavior {
        |  ROUND(${Det.dsumSql("purchase_value")}, 6) AS total_value
        |FROM u GROUP BY arm ORDER BY arm""".stripMargin
 
+  /** q146 — last-touch attribution: each purchase attributed to the
+    * user's immediately-preceding non-purchase event, but only if it
+    * happened within a 30-minute window — older touches attribute to
+    * 'none'. Runs on the native as-of operator
+    * ([[graft.plans.AsOf.join]], one (key, time) sort-merge pass) with
+    * the window bound applied as a post-join filter: an as-of join with
+    * a max-gap IS an as-of join plus a residual predicate, no new
+    * operator needed. Output: conversions per attributed touch type.
+    */
+  def q146Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type"))
+    graft.plans.AsOf.join(s, purchases, touches, "user_id", "t_us")
+      .toDF("event_id", "user_id", "t_us", "r_user_id", "r_t_us", "touch_type")
+      .withColumn("attributed",
+        when(col("r_t_us").isNotNull &&
+          col("t_us") - col("r_t_us") <= 30L * 60 * 1000000,
+          col("touch_type")).otherwise(lit("none")))
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("attributed"))
+  }
+
+  val q146Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'),
+      |j AS (
+      |  SELECT p.event_id,
+      |    CASE WHEN t.ts IS NOT NULL
+      |              AND epoch_us(p.ts) - epoch_us(t.ts) <= 30 * 60 * 1000000
+      |         THEN t.event_type ELSE 'none' END AS attributed
+      |  FROM p ASOF LEFT JOIN t
+      |    ON p.user_id = t.user_id AND t.ts <= p.ts)
+      |SELECT attributed, COUNT(*) AS n_conversions
+      |FROM j GROUP BY attributed ORDER BY attributed""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q146_attribution" -> q146Attribution _,
     "q142_weighted_sample" -> q142WeightedSample _,
     "q143_ab_readout" -> q143AbReadout _,
     "q130_stickiness" -> q130Stickiness _,
@@ -428,6 +471,7 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q146_attribution" -> q146Sql,
     "q142_weighted_sample" -> q142Sql,
     "q143_ab_readout" -> q143Sql,
     "q130_stickiness" -> q130Sql,

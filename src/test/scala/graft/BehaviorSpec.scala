@@ -148,6 +148,17 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 attribution: conversions partition purchases; attributed types never 'purchase'") {
+    val rows = Behavior.q146Attribution(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_conversions")).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(total == purchases)
+    val types = rows.map(_.getAs[String]("attributed")).toSet
+    assert(!types.contains("purchase"))
+    assert(types.subsetOf(Set("view", "click", "signup", "error", "none")))
+  }
+
   test("q126 bitmask: profiles lie in [1,31]; user counts sum to the user base") {
     val rows = Behavior.q126BitmaskProfile(spark, sf).collect()
     rows.foreach { r =>
