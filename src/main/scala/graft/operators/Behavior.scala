@@ -423,6 +423,13 @@ object Behavior {
     * the window bound applied as a post-join filter: an as-of join with
     * a max-gap IS an as-of join plus a residual predicate, no new
     * operator needed. Output: conversions per attributed touch type.
+    *
+    * Ties: two touches at the same (user_id, t_us) are possible after
+    * the ns→µs truncation in [[Tables.events]], and both the native
+    * exec and DuckDB ASOF pick an arbitrary one. tieBreakCols makes the
+    * exec deterministic (last in ascending order = MAX(event_type));
+    * the oracle mirrors it by pre-collapsing equal-time touches to
+    * MAX(event_type) before its ASOF join.
     */
   def q146Attribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -431,7 +438,8 @@ object Behavior {
     val touches = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_type"))
-    graft.plans.AsOf.join(s, purchases, touches, "user_id", "t_us")
+    graft.plans.AsOf.join(s, purchases, touches, "user_id", "t_us",
+        tieBreakCols = Seq("event_type"))
       .toDF("event_id", "user_id", "t_us", "r_user_id", "r_t_us", "touch_type")
       .withColumn("attributed",
         when(col("r_t_us").isNotNull &&
@@ -445,8 +453,9 @@ object Behavior {
   val q146Sql: String =
     """WITH p AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |t AS (
-      |  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'),
+      |t AS (  -- collapse equal-time ties deterministically (mirrors tieBreakCols)
+      |  SELECT user_id, ts, MAX(event_type) AS event_type
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
       |j AS (
       |  SELECT p.event_id,
       |    CASE WHEN t.ts IS NOT NULL

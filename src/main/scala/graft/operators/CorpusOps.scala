@@ -285,21 +285,39 @@ object CorpusOps {
     *
     * Per-token log terms are rounded to 6 dp (the q21/q109 libm
     * discipline) and summed fixed-point, so scores hash-match DuckDB.
-    * The corpus ⊇ every source, so p(tok) > 0 wherever q(tok|src) > 0 —
+    * The corpus ⊇ every source, so p(sym) > 0 wherever q(sym|src) > 0 —
     * KL is always finite.
     *
-    * Scale shape: two partial-aggregable groupBys (corpus vocab, source
-    * vocab) + one broadcast join on the vocabulary (compact by Zipf, the
-    * q109 argument) + one bounded agg per source. One corpus scan. */
+    * The distributions live over the top-[[Curation.VocabCap]] symbols
+    * plus one OOV bucket (residual mass), so every broadcast here is K+1
+    * entries whatever the corpus size — the same cap discipline as q109.
+    * The OOV sentinel is `\u0001` / `chr(1)` (outside the space-split token
+    * alphabet of the fixture; a production corpus would reserve a true
+    * out-of-band symbol id, e.g. a negative token id).
+    *
+    * Scale shape: two partial-aggregable groupBys (corpus vocab, capped
+    * per-source symbol counts) + broadcast joins bounded at K+1 rows +
+    * one bounded agg per source. */
   def q120SourceKl(s: SparkSession, d: String): DataFrame = {
+    val oov = "\u0001"
     val tok = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
     val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = corpus.orderBy(col("c").desc, col("tok").asc).limit(Curation.VocabCap)
     val total = corpus.agg(sum(col("c")).as("n_total"))
-    val bySrc = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val topTot = top.agg(sum(col("c")).as("n_top"))
+    // corpus symbol table = top-K counts + one OOV row with the residual
+    // mass; derived from the vocab agg, no second corpus scan
+    val corpSym = top.select(col("tok").as("sym"), col("c"))
+      .unionByName(total.join(topTot, lit(true))
+        .select(lit(oov).as("sym"), (col("n_total") - col("n_top")).as("c")))
+    val mapped = tok
+      .join(broadcast(top.select(col("tok"), lit(1L).as("in_v"))), Seq("tok"), "left")
+      .withColumn("sym", when(col("in_v").isNotNull, col("tok")).otherwise(lit(oov)))
+    val bySrc = mapped.groupBy(col("source"), col("sym")).agg(count(lit(1)).as("cs"))
     val srcTotal = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("n_src"))
     bySrc
-      .join(broadcast(corpus), "tok")
+      .join(broadcast(corpSym), "sym")
       .join(broadcast(srcTotal), "source")
       .join(broadcast(total), lit(true))
       .withColumn("qp", col("cs").cast("double") / col("n_src"))
@@ -320,7 +338,17 @@ object CorpusOps {
        |  SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents),
        |corpus AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM corpus),
-       |bysrc AS (SELECT source, tok, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+       |top AS (SELECT tok, c FROM corpus ORDER BY c DESC, tok LIMIT ${Curation.VocabCap}),
+       |toptot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_top FROM top),
+       |corpsym AS (
+       |  SELECT tok AS sym, c FROM top
+       |  UNION ALL
+       |  SELECT chr(1) AS sym,
+       |    (SELECT n_total FROM tot) - (SELECT n_top FROM toptot) AS c),
+       |mapped AS (
+       |  SELECT t.source, COALESCE(v.tok, chr(1)) AS sym
+       |  FROM toks t LEFT JOIN top v USING (tok)),
+       |bysrc AS (SELECT source, sym, COUNT(*) AS cs FROM mapped GROUP BY 1, 2),
        |srctot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_src FROM bysrc GROUP BY 1),
        |terms AS (
        |  SELECT b.source, st.n_src,
@@ -330,7 +358,7 @@ object CorpusOps {
        |    -(CAST(b.cs AS DOUBLE) / st.n_src) *
        |      ROUND(LN(CAST(b.cs AS DOUBLE) / st.n_src), 6) AS ent_term
        |  FROM bysrc b
-       |  JOIN corpus c USING (tok)
+       |  JOIN corpsym c USING (sym)
        |  JOIN srctot st ON st.source = b.source)
        |SELECT source, MAX(n_src) AS n_tokens, COUNT(*) AS n_vocab,
        |  ROUND(${Det.dsumSql("kl_term")}, 6) AS kl_vs_corpus,
@@ -377,27 +405,37 @@ object CorpusOps {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** q128 — per-group winner selection as a partial-aggregable aggregate:
-    * the longest document per source via `max_by` over a strictly-unique
-    * ranking key (`n_chars * 10^7 + doc_id` — doc_id breaks length ties,
-    * so no nondeterministic max_by tie). At 100 TB this is the
-    * replacement for the `row_number() OVER (PARTITION BY ...) = 1`
-    * idiom: a hash agg with an 8-byte accumulator and map-side partials,
-    * versus a full shuffle + per-partition sort of the corpus.
+    * the longest document per source via `max_by` over a struct ordering
+    * key `(n_chars, doc_id)` — lexicographic struct comparison makes
+    * doc_id the tie-break with no scale on either field, so the key is
+    * total and overflow-free for any n_chars/doc_id (a packed
+    * `n_chars * K + doc_id` key silently stops being monotone once
+    * doc_id >= K). At 100 TB this is the replacement for the
+    * `row_number() OVER (PARTITION BY ...) = 1` idiom: a hash agg with a
+    * 16-byte accumulator and map-side partials, versus a full shuffle +
+    * per-partition sort of the corpus.
     */
   def q128ArgmaxKeep(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(
-        expr("max_by(doc_id, n_chars * 10000000 + doc_id)").as("keep_doc"),
+        expr("max_by(doc_id, struct(n_chars, doc_id))").as("keep_doc"),
         max(col("n_chars")).as("max_chars"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  // oracle states the same winner via row_number (DuckDB's arg_max has no
+  // struct-key overload); (n_chars DESC, doc_id DESC) = the struct max
   val q128Sql: String =
-    """SELECT source,
-      |  arg_max(doc_id, n_chars * 10000000 + doc_id) AS keep_doc,
-      |  MAX(n_chars) AS max_chars, COUNT(*) AS n_docs
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    """WITH w AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_docs,
+      |    MAX(n_chars) OVER (PARTITION BY source) AS max_chars
+      |  FROM documents)
+      |SELECT source, doc_id AS keep_doc, max_chars, n_docs
+      |FROM w WHERE rn = 1 ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q127_percentile_trim" -> q127PercentileTrim _,

@@ -256,10 +256,24 @@ object Curation {
       |             ORDER BY CAST(doc_id AS VARCHAR)) AS kept_ids
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
-  /** Perplexity-filter threshold for q109, sitting at ~p05 of the fixture
-    * per-doc average log-probabilities (range −3.70..−3.38), so both
-    * outcomes occur. */
-  val LogProbMin = -3.42
+  /** Perplexity-filter threshold for q109: with the [[VocabCap]] active
+    * the fixture per-doc average log-probabilities span −3.40..−0.96, and
+    * −2.40 flags ~13-15% of documents at sf0.01 and sf0.1 — both flag
+    * outcomes occur at every graded scale (no alp lands within 1e-9 of
+    * the threshold, checked at both SFs). */
+  val LogProbMin = -2.40
+
+  /** Top-K vocabulary cap for q109/q120. The LM "model" is the top-K
+    * tokens by corpus frequency (ties broken by token, so the selected
+    * set is identical cross-engine); everything else collapses into one
+    * OOV bucket carrying the residual count mass. This bounds the
+    * broadcast at K entries regardless of corpus size — a 100 TB web
+    * corpus's raw vocabulary (typo/numeric tail) is tens of GB and would
+    * break an uncapped broadcast. Production K is ~64k-512k (BPE-vocab
+    * order); the fixture vocabulary is 31 tokens, so K=16 makes the OOV
+    * path actually fire at every graded scale instead of being
+    * dead code that only a 100 TB run would exercise. */
+  val VocabCap = 16
 
   /** q109 — unigram-LM quality scoring (the CCNet/perplexity-filter
     * shape): fit a unigram model over the corpus (token → count / total),
@@ -270,21 +284,27 @@ object Curation {
     * between JVM log and DuckDB ln — the q21 discipline) and summed with
     * the fixed-point dsum, so scores are bit-identical cross-engine.
     *
-    * Scale shape: the "model" is the vocabulary table — compact by
-    * Zipf's law even at 100 TB corpus scale (and cappable at top-K) — so
-    * scoring is one broadcast join over a single corpus scan plus one
-    * doc-keyed agg; the model fit itself is one partial-aggregable
-    * groupBy. This is the whole CCNet quality-filter pipeline as two
-    * scans. */
+    * Scale shape: the "model" is the top-[[VocabCap]] vocabulary + one
+    * OOV bucket holding the residual mass (see [[VocabCap]]) — the
+    * broadcast is K entries whatever the corpus size — so scoring is one
+    * broadcast left-join over a single corpus scan plus one doc-keyed
+    * agg; the model fit itself is one partial-aggregable groupBy feeding
+    * a TakeOrdered top-K (per-partition heads, no full sort). This is
+    * the whole CCNet quality-filter pipeline as two scans. */
   def q109UnigramQuality(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = vocab.orderBy(col("c").desc, col("tok").asc).limit(VocabCap)
     val total = vocab.agg(sum(col("c")).as("n_total"))
+    val topTot = top.agg(sum(col("c")).as("n_top"))
     val scored = tok
-      .join(broadcast(vocab), "tok")
+      .join(broadcast(top), Seq("tok"), "left")
       .join(broadcast(total), lit(true))
-      .withColumn("lp", round(log(col("c").cast("double") / col("n_total")), 6))
+      .join(broadcast(topTot), lit(true))
+      // OOV tokens score as one bucket with the residual count mass
+      .withColumn("eff_c", coalesce(col("c"), col("n_total") - col("n_top")))
+      .withColumn("lp", round(log(col("eff_c").cast("double") / col("n_total")), 6))
     val perDoc = scored.groupBy(col("doc_id"), col("lang"))
       .agg((Det.dsum(col("lp")) / count(lit(1))).as("alp"))
       .withColumn("flagged", (col("alp") < LogProbMin).cast("long"))
@@ -302,10 +322,14 @@ object Curation {
        |  SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents),
        |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab),
+       |top AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT $VocabCap),
+       |toptot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_top FROM top),
        |sc AS (
-       |  SELECT doc_id, lang,
-       |    ROUND(LN(CAST(c AS DOUBLE) / (SELECT n_total FROM tot)), 6) AS lp
-       |  FROM toks JOIN vocab USING (tok)),
+       |  SELECT t.doc_id, t.lang,
+       |    ROUND(LN(CAST(COALESCE(v.c,
+       |        (SELECT n_total FROM tot) - (SELECT n_top FROM toptot)) AS DOUBLE)
+       |      / (SELECT n_total FROM tot)), 6) AS lp
+       |  FROM toks t LEFT JOIN top v USING (tok)),
        |d AS (
        |  SELECT doc_id, lang, ${Det.dsumSql("lp")} / COUNT(*) AS alp
        |  FROM sc GROUP BY 1, 2),

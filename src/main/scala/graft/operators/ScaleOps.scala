@@ -249,6 +249,9 @@ object ScaleOps {
     }.reduce(_ + _)
 
   def q119ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    // pmod is always non-negative; the oracle mirrors it with
+    // ((e % N) + N) % N so the two sides agree even when the month
+    // counter goes negative (orders before the 1995 epoch).
     val x = pmod(col("o_custkey"), lit(1 << ZBits))
     val y = pmod(month(col("o_orderdate")) - 1 + (year(col("o_orderdate")) - 1995) * 12,
       lit(1 << ZBits))
@@ -267,8 +270,11 @@ object ScaleOps {
   }
 
   val q119Sql: String = {
-    val x = s"(o_custkey % ${1 << ZBits})"
-    val y = s"((MONTH(o_orderdate) - 1 + (YEAR(o_orderdate) - 1995) * 12) % ${1 << ZBits})"
+    val n = 1 << ZBits
+    // ((e % N) + N) % N = Spark pmod; DuckDB % alone returns negative
+    // remainders for pre-1995 orders
+    val x = s"(((o_custkey % $n) + $n) % $n)"
+    val y = s"((((MONTH(o_orderdate) - 1 + (YEAR(o_orderdate) - 1995) * 12) % $n) + $n) % $n)"
     val z = (0 until ZBits).map { b =>
       s"(((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1}))"
     }.mkString(" + ")

@@ -131,8 +131,12 @@ object EventStream {
         var st = state.getOption.getOrElse(FunnelState(0L, 0L))
         var done = false
         var lastUs = 0L
-        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-          val t = e.ts.getTime * 1000
+        // full microsecond precision (getTime is ms; getNanos carries the
+        // sub-second part) — the batch twin q122 compares µs timestamps,
+        // so two steps inside the same millisecond must still advance
+        def us(e: Event): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+        rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+          val t = us(e)
           lastUs = math.max(lastUs, t)
           e.event_type match {
             case "view" if st.tView == 0L =>
