@@ -66,18 +66,30 @@ object Bench {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      (name, if (times.exists(_ < 0)) -1.0 else times.min)
+      val (mn, spread) =
+        if (times.exists(_ < 0)) (-1.0, 0.0) else (times.min, times.max - times.min)
+      (name, mn, spread)
     }
-    val failed = outcomes.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
-    def jsonLine(keyOf: String => String, fmt: Double => String): String = {
-      val qs = outcomes.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+    val failed = outcomes.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    // per-query min + max-min spread of the n runs: one artifact is enough
+    // to tell a real regression from run-to-run noise (the q42/q35 lesson).
+    // The stdout line must survive the driver's bounded 2000-char tail, so
+    // the compact form carries only the 8 widest spreads; the full file
+    // carries every query's.
+    def jsonLine(keyOf: String => String, fmt: Double => String,
+        spreadCap: Int): String = {
+      val qs = outcomes.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val sp = outcomes.filter { case (_, t, s) => t >= 0 && s >= 0.005 }
+        .sortBy { case (_, _, s) => -s }.take(spreadCap)
+        .map { case (k, _, s) => "\"" + keyOf(k) + "\":" + fmt(s) }
         .mkString("{", ",", "}")
       val total = outcomes.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(identity, _.toString)
+    val full = jsonLine(identity, _.toString, Int.MaxValue)
     // short form: "q35_minhash_lsh" -> "q35"; all qNN prefixes are unique
-    val compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f")
+    val compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f", 8)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }

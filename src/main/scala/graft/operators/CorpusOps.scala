@@ -114,12 +114,13 @@ object CorpusOps {
     * constant); the centroid table broadcasts at any k that fits a task.
     * A degenerate hot cell takes the q35 df-cap / q41 salting treatment.
     * No all-pairs work across cells anywhere. */
-  def q115SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-    val vecs = e.filter(col("vec_id") >= 16)
-      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+  /** Within-cell SemDeDup prune shared by q115 (fixed centroids) and
+    * q147 (trained quantizer): cosine cell assignment (centroid_id
+    * tie-break) → within-cell pairs only → keep-lowest-id removal.
+    * Returns (per-cell audit, removed (centroid_id, vid)). `cents` must
+    * be broadcast-sized: (centroid_id, cent). */
+  private def semDedupPrune(cents: DataFrame, vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid")).orderBy(col("cos").desc, col("centroid_id"))
     // assigned: (centroid_id, vid, ve) — persisted for its three uses
@@ -139,19 +140,75 @@ object CorpusOps {
       .withColumn("cos", cosine(col("a_ve"), col("b_ve")))
     val removed = pairs.filter(col("cos") >= SemDedupTau)
       .select(col("centroid_id"), col("b_vid").as("vid")).distinct()
-      .withColumn("removed", lit(1L))
     val base = assigned.select(col("centroid_id"), col("vid"))
-      .join(removed, Seq("centroid_id", "vid"), "left")
+      .join(removed.withColumn("removed", lit(1L)), Seq("centroid_id", "vid"), "left")
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_members"),
         sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
       .withColumn("n_kept", col("n_members") - col("n_removed"))
     val mx = pairs.groupBy(col("centroid_id")).agg(max(col("cos")).as("mc"))
-    base.join(mx, Seq("centroid_id"), "left")
+    val audit = base.join(mx, Seq("centroid_id"), "left")
       .withColumn("max_cos", round(coalesce(col("mc"), lit(-1.0)), 6))
       .select(col("centroid_id"), col("n_members"), col("n_removed"),
         col("n_kept"), col("max_cos"))
+    (audit, removed)
+  }
+
+  def q115SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val vecs = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    semDedupPrune(cents, vecs)._1.orderBy(col("centroid_id"))
+  }
+
+  /** Target members-per-cell for the q147 trained quantizer: k =
+    * ceil(N / this), clamped to [4, 64] at fixture scale. This is the
+    * k ∝ N rule stated on q115 made executable — growing the corpus grows
+    * k, keeping |cell| (and so the Σ|cell|² pair work) constant per cell
+    * while the centroid table stays a broadcast (64k cells × 64 dims of
+    * doubles ≈ 32 MB at k=64k, i.e. N ≈ 4B docs at this cell size). */
+  val SemDedupCellSize = 64
+
+  /** q147 — SemDeDup on a TRAINED coarse quantizer: derive the centroids
+    * from the corpus itself ([[graft.ml.KMeansIvf]], deterministic Lloyd,
+    * k data-dependent via [[SemDedupCellSize]]) instead of q115's 16
+    * fixture vectors, then run the identical within-cell prune
+    * ([[semDedupPrune]]). Output: per trained cell, the q115 audit
+    * columns, plus the measured removed-set agreement with the
+    * fixed-centroid q115 run attached as constants (n_removed_trained /
+    * n_removed_fixed / n_overlap) — the two quantizers agree on most
+    * removals when cells are fine enough, which is the evidence the
+    * cluster-then-prune recipe is robust to the choice of quantizer.
+    *
+    * Rows-only by design (like q67): k-means centroids are float means,
+    * so cell boundaries — and therefore per-cell counts — are not
+    * bit-reproducible in DuckDB SQL.
+    *
+    * Scale: the only driver-side values are N (one count, sizes k) and
+    * the k×dim model inside the fit (the q67 discipline); everything else
+    * is the bounded q115 shape twice. */
+  def q147SemanticDedupTrained(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val vecs = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val k = math.max(4, math.min(64,
+      math.ceil(vecs.count() / SemDedupCellSize.toDouble).toInt))
+    val (model, _) = graft.ml.KMeansIvf.fit(
+      vecs, "vid", "ve", k = k, iters = 3, trackInertia = false)
+    val trained = model.select(col("cluster").as("centroid_id"), col("cent"))
+    val (audit, removedT) = semDedupPrune(trained, vecs)
+    val fixedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val removedF = semDedupPrune(fixedCents, vecs)._2
+    val tSet = removedT.select(col("vid")).distinct()
+    val fSet = removedF.select(col("vid")).distinct()
+    val overlap = tSet.agg(count(lit(1)).as("n_removed_trained"))
+      .join(fSet.agg(count(lit(1)).as("n_removed_fixed")), lit(true))
+      .join(tSet.join(fSet, "vid").agg(count(lit(1)).as("n_overlap")), lit(true))
+    audit.join(broadcast(overlap), lit(true))
       .orderBy(col("centroid_id"))
   }
 
@@ -438,6 +495,7 @@ object CorpusOps {
       |FROM w WHERE rn = 1 ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q147_semantic_dedup_trained" -> q147SemanticDedupTrained _,
     "q127_percentile_trim" -> q127PercentileTrim _,
     "q128_argmax_keep" -> q128ArgmaxKeep _,
     "q120_source_kl" -> q120SourceKl _,

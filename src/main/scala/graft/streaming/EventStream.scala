@@ -194,6 +194,63 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  final case class SpikeState(open: Map[Long, Long], lastN: Long)
+  final case class SpikeOut(event_type: String, h: java.sql.Timestamp,
+      n: Long, prev: Long, ratio: Double, spike: Int)
+
+  /** Streaming hourly-rate spike detection — the streaming twin of the
+    * batch q131: per event type, count events per event-time hour; when
+    * the watermark passes an hour's end the hour CLOSES (its count can no
+    * longer change) and is compared to the previously-closed hour —
+    * ratio ≥ 1.5 flags a spike, exactly the batch `lag` semantics
+    * (previous *observed* hour, calendar gaps skipped; the first closed
+    * hour emits nothing, mirroring the batch `prev IS NOT NULL` filter).
+    *
+    * State per event type is the open-hour counts — bounded by the
+    * watermark horizon (closed hours leave the map; one long survives as
+    * `lastN`) — and hours close in ascending order, so emission order is
+    * deterministic. EventTimeTimeout flushes closable hours even when a
+    * type receives no further events. This is the ops-alerting query the
+    * batch tier grades (q131) running continuously: conversions from
+    * batch to stream cost one `readStream` and this state machine. */
+  def spikeDetect(events: Dataset[Event]): Dataset[SpikeOut] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600L * 1000
+
+    def fn(etype: String, rows: Iterator[Event],
+        state: GroupState[SpikeState]): Iterator[SpikeOut] = {
+      var st = state.getOption.getOrElse(SpikeState(Map.empty, -1L))
+      rows.foreach { e =>
+        val h = Math.floorDiv(e.ts.getTime, hourMs) * hourMs
+        st = st.copy(open = st.open + (h -> (st.open.getOrElse(h, 0L) + 1L)))
+      }
+      val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+      var out = List.empty[SpikeOut]
+      st.open.keys.toSeq.sorted.takeWhile(_ + hourMs <= wm).foreach { h =>
+        val n = st.open(h)
+        if (st.lastN >= 0) {
+          val ratio = n.toDouble / st.lastN
+          out ::= SpikeOut(etype, new java.sql.Timestamp(h), n, st.lastN,
+            ratio, if (ratio >= 1.5) 1 else 0)
+        }
+        st = SpikeState(st.open - h, n)
+      }
+      // never remove: `lastN` is the batch lag's memory across arbitrary
+      // calendar gaps, and event-type cardinality is a bounded domain —
+      // one long per type is the whole permanent footprint. A timeout is
+      // armed only while hours are open (wake when the earliest becomes
+      // closable; timeouts must sit strictly past the watermark).
+      state.update(st)
+      st.open.keys.minOption.foreach { mn =>
+        state.setTimeoutTimestamp(math.max(mn + hourMs, wm + 1)) }
+      out.reverseIterator
+    }
+
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Stream-static enrichment: the streaming fact side joined to a batch
     * dimension. The static side is planned per micro-batch with no join
     * state at all (nothing to evict — only stream-stream joins hold

@@ -50,6 +50,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q147 trained SemDeDup: k is data-derived; membership partitions; overlap bounded") {
+    val rows = CorpusOps.q147SemanticDedupTrained(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).filter(col("vec_id") >= 16).count()
+    val expK = math.max(4, math.min(64,
+      math.ceil(nVecs / CorpusOps.SemDedupCellSize.toDouble).toInt))
+    // audit lists non-empty cells only: at most k rows, at least one
+    assert(rows.nonEmpty && rows.length <= expK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+      // overlap is an intersection: never exceeds either removed set
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_removed_trained"))
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_removed_fixed"))
+    }
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs)
+    spark.catalog.clearCache()
+  }
+
   test("q117 random projection: compression keeps cosine within JL distortion") {
     val rows = graft.operators.PqOps.q117RandomProjection(spark, sf).collect()
     assert(rows.nonEmpty)

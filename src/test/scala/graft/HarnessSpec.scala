@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class HarnessSpec extends AnyFunSuite {
 
   private val RowsOnly = Set("q67_ivf_search_trained", "q90_minhash_fast",
-    "q92_sketches", "q93_sample")
+    "q92_sketches", "q93_sample", "q147_semantic_dedup_trained")
 
   test("every query key is well-formed and its qNN prefix is unique") {
     val keys = SparkEntry.queries.keys.toSeq

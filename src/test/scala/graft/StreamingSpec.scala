@@ -95,6 +95,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming spike detection survives kill-and-restart between batches") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("events_spike_src")
+    val out = java.nio.file.Files.createTempDirectory("events_spike_out")
+    val chk = java.nio.file.Files.createTempDirectory("events_spike_chk")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(src.resolve(name).toString)
+    // hour 10: 4 clicks; hour 11: 6 clicks (a 1.5× spike once both close)
+    write("f0", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      EventStream.Event(3, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+      EventStream.Event(4, ts("2024-01-01 10:30:00"), 1, "click", 1.0),
+      EventStream.Event(5, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+      EventStream.Event(6, ts("2024-01-01 11:05:00"), 1, "click", 1.0),
+      EventStream.Event(7, ts("2024-01-01 11:10:00"), 1, "click", 1.0),
+      EventStream.Event(8, ts("2024-01-01 11:15:00"), 1, "click", 1.0),
+      EventStream.Event(9, ts("2024-01-01 11:20:00"), 1, "click", 1.0),
+      EventStream.Event(10, ts("2024-01-01 11:30:00"), 1, "click", 1.0)))
+    // watermark after f1 = 11:55 < 12:00, so hour 11 CANNOT close before
+    // the kill — its count and hour 10's lastN must survive the restart
+    write("f1", Seq(EventStream.Event(11, ts("2024-01-01 12:05:00"), 1, "click", 1.0)))
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.resolve("*").toString)
+        .as[EventStream.Event]
+      EventStream.spikeDetect(stream).toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop() // kill between batches
+    assert(spark.read.parquet(out.toString).isEmpty) // nothing closed with a prev yet
+    // data lands while the query is down; restart recovers state + watermark
+    write("f2", Seq(EventStream.Event(12, ts("2024-01-01 14:00:00"), 1, "click", 1.0)))
+    // final watermark 14:55 < 15:00 keeps hour 14 open — output stays exact
+    write("f3", Seq(EventStream.Event(13, ts("2024-01-01 15:05:00"), 1, "click", 1.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out.toString).as[EventStream.SpikeOut]
+      .collect().sortBy(_.h.getTime)
+    assert(rows.length == 2)
+    assert(rows(0).h == ts("2024-01-01 11:00:00") && rows(0).n == 6 &&
+      rows(0).prev == 4 && rows(0).spike == 1) // 6/4 = 1.5× → spike
+    assert(rows(1).h == ts("2024-01-01 12:00:00") && rows(1).n == 1 &&
+      rows(1).prev == 6 && rows(1).spike == 0)
+  }
+
   test("stream-static enrichment join matches the batch join and keeps unmatched rows") {
     val dir = java.nio.file.Files.createTempDirectory("events_enrich")
     java.nio.file.Files.copy(
