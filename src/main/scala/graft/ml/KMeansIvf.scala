@@ -40,9 +40,14 @@ object KMeansIvf {
     * table (cluster, cent: array<double>) plus per-iteration inertia.
     * `trackInertia = false` skips the per-iteration inertia action (one
     * whole Spark job per iteration) — callers that only want the model
-    * (q67's search path) train in iters jobs instead of 2×iters. */
+    * (q67's search path) train in iters jobs instead of 2×iters.
+    * `roundCentroids = true` rounds every updated mean to 6 dp (the q21
+    * cross-engine float discipline): partial-sum order makes raw means
+    * differ from a serial engine in the last ulp, and rounding pins the
+    * model — and therefore every cell assignment — bit-identical, which
+    * is what lets q148 hash-check the assignment phase in DuckDB. */
   def fit(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
+      trackInertia: Boolean = true, roundCentroids: Boolean = false): (DataFrame, Seq[Double]) = {
     val spark = data.sparkSession
     import spark.implicits._
     // every iteration re-scans the training set twice (assign + member
@@ -64,10 +69,11 @@ object KMeansIvf {
         inertias ::= assigned.agg(sum(col("dist_sq"))).head().getDouble(0)
       // new centroid = per-dimension mean of members
       val members = cached.join(assigned.select(col(idCol), col("cluster")), idCol)
+      val mean = avg(col("x").cast("double"))
       val updated = members
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((if (roundCentroids) round(mean, 6) else mean).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("cluster"), expr("transform(dims, d -> d.m)").as("cent"))

@@ -201,9 +201,13 @@ object TextOps {
     * arithmetic), so candidate sets match exactly — no recall slack. */
   def q35MinHashLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // 1. dictionary-encode tokens: the portable (interpreted) polynomial
-    //    hash runs once per DISTINCT token (~vocab size), never per
+    // 1. dictionary-encode tokens: the portable polynomial hash is an
+    //    interpreted higher-order `aggregate` over the token's chars, so
+    //    it runs once per DISTINCT token (~vocab size), never per
     //    occurrence — every per-occurrence path below is codegen'd.
+    //    (Measured: inlining the hash per occurrence as a row-local array
+    //    pipeline removes three shuffles but is 40× slower at sf0.1 —
+    //    interpreted HOF-per-occurrence dominates everything.)
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val dict = tok.select(col("tok")).distinct()
@@ -318,12 +322,15 @@ object TextOps {
       val nbrMin = edges.join(labels, edges("db") === labels("id"))
         .groupBy(edges("da").as("nid")).agg(min(col("label")).as("nbr"))
       // carry the previous label through the update so the convergence
-      // probe is a filter over the (already-materialized) checkpoint
-      // instead of a second join against the old labels
+      // probe is a filter over the checkpoint instead of a second join
+      // against the old labels. LAZY checkpoint: the probe action right
+      // below is what materializes it — an eager checkpoint would run a
+      // separate job per round just to write the same blocks the probe
+      // then re-reads (measured ~15% of q55 at sf0.1)
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       rounds += 1

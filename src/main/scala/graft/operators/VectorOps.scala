@@ -194,16 +194,75 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** q148 — the deterministic half of q67, split out so the oracle can
+    * hash-check it (the q93 precedent: q67 stays rows-only because
+    * recall@5 transits floats; the ASSIGNMENT phase does not have to).
+    * Same trainer, same k/iters as q67, but with `roundCentroids = true`:
+    * every Lloyd mean is rounded to 6 dp on both engines, which pins the
+    * model bit-identical and makes each vector's final cell — and its
+    * (identically-folded, then rounded) distance — exact-comparable.
+    * The oracle unrolls all 3 Lloyd iterations as SQL CTEs: seed = first
+    * k vectors, assign = argmin sequential-fold squared-L2 (cluster
+    * tie-break), update = per-(cluster, dim) rounded mean, empty cells
+    * keep their previous centroid — the literal [[graft.ml.KMeansIvf]]
+    * recurrence. */
+  def q148IvfAssign(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    val e = Tables.embeddings(s, d)
+    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3,
+      trackInertia = false, roundCentroids = true)
+    KMeansIvf.assign(e, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist_sq"), 6).as("dist6"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q148 oracle: KMeansIvf.fit unrolled as CTEs (k=8, iters=3, dim=64 —
+    * the fixture embedding width). */
+  val q148Sql: String = {
+    def dist(cAlias: String) =
+      s"list_reduce(list_transform(range(1, 65), j -> " +
+        s"(v.ve[j] - $cAlias.cent[j]) * (v.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
+    val iters = (1 to 3).map { i =>
+      s"""d$i AS (SELECT v.vec_id, c.cluster, ${dist("c")} AS dist_sq
+         |  FROM v CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |m$i AS (SELECT a.cluster, dm.dim, ROUND(AVG(v.ve[dm.dim]), 6) AS m
+         |  FROM a$i a JOIN v USING (vec_id) CROSS JOIN dims dm
+         |  GROUP BY a.cluster, dm.dim),
+         |c$i AS (SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cluster, array_agg(m ORDER BY dim) AS cent
+         |    FROM m$i GROUP BY cluster) n ON n.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 65)) AS dim),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, ve AS cent
+       |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
+       |$iters,
+       |d4 AS (SELECT v.vec_id, c.cluster, ${dist("c")} AS dist_sq FROM v CROSS JOIN c3 c)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(dist_sq, 6) AS dist6
+       |FROM (SELECT vec_id, cluster, dist_sq,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS rn
+       |  FROM d4) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q38_knn_brute" -> q38KnnBrute _,
     "q39_knn_ivf" -> q39IvfAssign _,
     "q67_ivf_search_trained" -> q67IvfSearch _,
+    "q148_ivf_assign" -> q148IvfAssign _,
     "q91_knn_native_expr" -> q91KnnNative _)
 
   val oracles: Map[String, String] = Map(
     "q37_embed_neardup" -> q37Sql,
     "q38_knn_brute" -> q38Sql,
     "q39_knn_ivf" -> q39Sql,
+    "q148_ivf_assign" -> q148Sql,
     "q91_knn_native_expr" -> q38Sql)
 }

@@ -24,4 +24,15 @@ class KMeansSpec extends AnyFunSuite {
     val b = c2.orderBy("cluster").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("q148 IVF assignment: one cell per vector, rounded model, distances finite") {
+    val rows = graft.operators.VectorOps.q148IvfAssign(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n) // exactly one cell per vector
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    val clusters = rows.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet))
+    assert(rows.forall(r => r.getAs[Double]("dist6") >= 0.0))
+    spark.catalog.clearCache()
+  }
 }
