@@ -84,6 +84,96 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared shape for the generalized pairwise-fold expressions: walk two
+  * arrays (each independently `array<float>` or `array<double>`), widen
+  * every element to double, accumulate a per-index term strictly
+  * left-to-right. Same null semantics as [[DotProductF]] / the HOF forms
+  * (ragged lengths or a null element → null). Bit-identical to the
+  * interpreted `aggregate(zip_with(...))` pipelines they replace — the
+  * mixed float/double case is what [[RewriteDotProduct]]'s conservative
+  * float-only pattern can't catch, and it dominates the k-means tier
+  * (vectors are float, trained centroids are double). */
+abstract class FoldArraysAny extends BinaryExpression {
+  /** Java source for the per-index term given widened double operands. */
+  protected def termCode(x: String, y: String): String
+  protected def termEval(x: Double, y: Double): Double
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => other
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def get(arr: ArrayData, i: Int, e: Expression): Double =
+    if (elemType(e) == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += termEval(get(x, i, left), get(y, i, right))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def getter(arr: String, idx: String, e: Expression) =
+        if (elemType(e) == FloatType) s"((double) $arr.getFloat($idx))"
+        else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $acc += ${termCode(getter(a, i, left), getter(b, i, right))}; }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+}
+
+/** Codegen'd dot product over any float/double array combination. */
+case class DotA(left: Expression, right: Expression) extends FoldArraysAny {
+  override protected def termCode(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotA =
+    copy(left = l, right = r)
+}
+
+/** Codegen'd squared-L2 distance over any float/double array combination
+  * — the [[graft.ml.KMeansIvf.distSq]] fold as a primitive loop. */
+case class DistSqA(left: Expression, right: Expression) extends FoldArraysAny {
+  override protected def termCode(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def termEval(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DistSqA =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.functions.{expr => sqlExpr, round, sqrt}
 
@@ -94,6 +184,15 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs.head, exprs(1)), "scala_udf")
 
+  /** Register the generalized fold expressions (`dot_a`, `dist_sq_a`).
+    * Idempotent; also injected library-wide by GraftExtensions. */
+  def registerAny(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_a", exprs => DotA(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dist_sq_a", exprs => DistSqA(exprs.head, exprs(1)), "scala_udf")
+  }
+
   /** Codegen'd dot product over two `array<float>` column expressions
     * (register(spark) first). */
   def dotF(a: String, b: String): Column = sqlExpr(s"dot_f($a, $b)")
@@ -102,4 +201,11 @@ object VectorExpressions {
     * for [[Portable.cosine]] with identical results. */
   def cosineF(a: String, b: String): Column =
     round(dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b))), 6)
+
+  /** Codegen'd cosine over any float/double array combination
+    * (registerAny(spark) first) — identical results to
+    * [[graft.functions.Portable.cosine]]. */
+  def cosineA(a: String, b: String): Column =
+    round(sqlExpr(s"dot_a($a, $b)") /
+      (sqrt(sqlExpr(s"dot_a($a, $a)")) * sqrt(sqlExpr(s"dot_a($b, $b)"))), 6)
 }

@@ -121,12 +121,17 @@ object CorpusOps {
     * be broadcast-sized: (centroid_id, cent). */
   private def semDedupPrune(cents: DataFrame, vecs: DataFrame)
       : (DataFrame, DataFrame) = {
+    // codegen'd cosine (dot_a): identical values to Portable.cosine, but
+    // the fixed-centroid table is float and the trained one double, and
+    // only dot_a covers both without the interpreted-HOF fallback
+    graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
+    def cosA(a: String, b: String) = graft.functions.VectorExpressions.cosineA(a, b)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid")).orderBy(col("cos").desc, col("centroid_id"))
     // assigned: (centroid_id, vid, ve) — persisted for its three uses
     // (pair-join both sides + the membership base); harness clears it
     val assigned = vecs.join(broadcast(cents))
-      .withColumn("cos", cosine(col("ve"), col("cent")))
+      .withColumn("cos", cosA("ve", "cent"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("centroid_id"), col("vid"), col("ve"))
@@ -137,7 +142,7 @@ object CorpusOps {
         .select(col("centroid_id"), col("vid").as("b_vid"), col("ve").as("b_ve")),
         Seq("centroid_id"))
       .filter(col("a_vid") < col("b_vid"))
-      .withColumn("cos", cosine(col("a_ve"), col("b_ve")))
+      .withColumn("cos", cosA("a_ve", "b_ve"))
     val removed = pairs.filter(col("cos") >= SemDedupTau)
       .select(col("centroid_id"), col("b_vid").as("vid")).distinct()
     val base = assigned.select(col("centroid_id"), col("vid"))

@@ -78,5 +78,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.SmallestK].getName, "smallest_k"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SmallestK(exprs.head, exprs(1))))
+    // generalized codegen folds (mixed float/double arrays) — the k-means
+    // tier's hot path; RewriteDotProduct's float-only pattern can't catch
+    // these, so they're first-class functions instead
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_a"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotA].getName, "dot_a"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotA(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dist_sq_a"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DistSqA].getName, "dist_sq_a"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DistSqA(exprs.head, exprs(1))))
   }
 }
