@@ -6,7 +6,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
   "q86_decontaminate","q89_pq_adc","q113_tpch_q21","q114_paragraph_dedup",
   "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff",
-  "q139_lateral")
+  "q139_lateral","q109_unigram_quality","q148_ivf_assign")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -40,7 +40,12 @@ sb.append("snapshot diff (q124: one full-outer sort-merge join on the PK,\n")
 sb.append("then a partial-aggregable class rollup), and the LATERAL\n")
 sb.append("correlated subquery (q139: Catalyst decorrelates the naive\n")
 sb.append("per-row spelling into WindowGroupLimit + broadcast join -- no\n")
-sb.append("row-at-a-time execution survives planning).\n")
+sb.append("row-at-a-time execution survives planning), the capped unigram\n")
+sb.append("LM (q109: TakeOrderedAndProject top-K vocabulary, broadcast LEFT\n")
+sb.append("join with the OOV coalesce -- the model broadcast is K rows\n")
+sb.append("whatever the corpus), and the trained IVF assignment (q148:\n")
+sb.append("broadcast k x dim model, the dist_sq_a codegen fold inside\n")
+sb.append("WholeStageCodegen, per-vector argmin as a bounded window).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
