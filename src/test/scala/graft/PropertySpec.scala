@@ -143,6 +143,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dot_a / dist_sq_a: bit-identical to the interpreted HOF folds on random vectors") {
+    graft.functions.VectorExpressions.registerAny(spark)
+    val vecGen: Gen[List[(Array[Float], Array[Float])]] =
+      Gen.listOfN(24, for {
+        n <- Gen.choose(1, 48)
+        a <- Gen.listOfN(n, Gen.choose(-8.0, 8.0).map(_.toFloat))
+        b <- Gen.listOfN(n, Gen.choose(-8.0, 8.0).map(_.toFloat))
+      } yield (a.toArray, b.toArray))
+    samples(vecGen, 4).foreach { rows =>
+      val df = rows.toDF("a", "b")
+        // double side exercises the mixed float/double accessor path
+        .withColumn("bd", expr("transform(b, x -> CAST(x AS DOUBLE))"))
+        .selectExpr(
+          "dot_a(a, b) AS dn",
+          "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v) AS dh",
+          "dist_sq_a(a, bd) AS sn",
+          "aggregate(zip_with(a, bd, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a2, v) -> a2 + v) AS sh")
+      df.collect().foreach { r =>
+        // exact bit equality, not tolerance: same fold order is the claim
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      }
+    }
+  }
+
   test("polyHash: stable, in [0, P), equals the reference fold for random ASCII strings") {
     val strGen = Gen.listOfN(20, Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
     samples(strGen, 4).filter(_.nonEmpty).foreach { strs =>
