@@ -40,6 +40,51 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     }
   }
 
+  private def isNumArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** A lambda operand, possibly widened: `x` or `CAST(x AS DOUBLE)` —
+    * the optimizer elides the cast on double-element arrays, so both
+    * spellings of the same portable fold must match. */
+  private object Operand {
+    def unapply(e: Expression): Option[NamedLambdaVariable] = e match {
+      case v: NamedLambdaVariable => Some(v)
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Matches zip_with(a, b, (x, y) -> x * y) over any float/double array
+    * combination (operands possibly cast-widened). */
+  private object PairwiseProductAny {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ZipWith(a, b,
+        LambdaFunction(Multiply(Operand(x), Operand(y), _),
+          Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _))
+        if x.exprId == ax.exprId && y.exprId == ay.exprId &&
+          isNumArray(a) && isNumArray(b) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** Matches zip_with(a, b, (x, y) -> (x - y) * (x - y)) — the portable
+    * squared-L2 fold — over any float/double array combination. */
+  private object PairwiseDistSq {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ZipWith(a, b,
+        LambdaFunction(
+          Multiply(Subtract(Operand(x1), Operand(y1), _),
+                   Subtract(Operand(x2), Operand(y2), _), _),
+          Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _))
+        if x1.exprId == ax.exprId && x2.exprId == ax.exprId &&
+          y1.exprId == ay.exprId && y2.exprId == ay.exprId &&
+          isNumArray(a) && isNumArray(b) => Some((a, b))
+      case _ => None
+    }
+  }
+
   private object SumFold {
     /** Matches the (0.0, (acc, v) -> acc + v, identity) aggregate shape. */
     def unapply(agg: ArrayAggregate): Option[Expression] = agg match {
@@ -58,6 +103,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
       case agg: ArrayAggregate =>
         agg match {
           case SumFold(PairwiseProduct(a, b)) => DotProductF(a, b)
+          case SumFold(PairwiseProductAny(a, b)) => graft.functions.DotA(a, b)
+          case SumFold(PairwiseDistSq(a, b)) => graft.functions.DistSqA(a, b)
           case _ => agg
         }
     }

@@ -32,6 +32,28 @@ class RewriteRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed float/double dot and distSq HOF folds rewrite to DotA / DistSqA") {
+    val mkDot = () => Tables.embeddings(spark, sf)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), Portable.dot(col("embedding"), col("ed")).as("d"))
+    val mkDist = () => Tables.embeddings(spark, sf)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(embedding, ed, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)").as("d"))
+    val hofDot = mkDot().orderBy(col("vec_id")).collect()
+    val hofDist = mkDist().orderBy(col("vec_id")).collect()
+    withRule {
+      val dDot = mkDot()
+      val dDist = mkDist()
+      assert(dDot.queryExecution.optimizedPlan.toString.toLowerCase.contains("dota"))
+      assert(dDist.queryExecution.optimizedPlan.toString.toLowerCase.contains("distsqa"))
+      assert(dDot.orderBy(col("vec_id")).collect().map(_.getDouble(1))
+        .sameElements(hofDot.map(_.getDouble(1))))
+      assert(dDist.orderBy(col("vec_id")).collect().map(_.getDouble(1))
+        .sameElements(hofDist.map(_.getDouble(1))))
+    }
+  }
+
   test("non-matching aggregate shapes are left untouched") {
     import spark.implicits._
     withRule {
