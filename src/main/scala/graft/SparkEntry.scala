@@ -33,7 +33,10 @@ object SparkEntry {
       operators.PqOps.queries ++
       operators.HistoryOps.queries ++
       operators.Behavior.queries ++
-      operators.Profiling.queries
+      operators.Profiling.queries ++
+      operators.Linkage.queries ++
+      operators.GraphOps.queries ++
+      operators.Recsys.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +59,8 @@ object SparkEntry {
       operators.PqOps.oracles ++
       operators.HistoryOps.oracles ++
       operators.Behavior.oracles ++
-      operators.Profiling.oracles
+      operators.Profiling.oracles ++
+      operators.Linkage.oracles ++
+      operators.GraphOps.oracles ++
+      operators.Recsys.oracles
 }

@@ -139,6 +139,136 @@ object PqOps {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q149 — IVF-PQ with asymmetric distance: the canonical composition of
+    * the ANN stack's two halves (FAISS's IndexIVFPQ). The q148 trained
+    * 6-dp-rounded coarse quantizer (KMeansIvf k=8, iters=3) partitions the
+    * corpus into cells; each corpus vector is then stored as [[M]] codes of
+    * its RESIDUAL (vector − cell centroid) against a shared deterministic
+    * residual codebook (the residual subvectors of the [[Ks]] lowest
+    * vec_ids, the q89 convention). Queries probe their top-2 nearest cells
+    * only and rank that subset by the ADC sum over a per-(query, cell)
+    * residual lookup table — per-cell because the query's residual depends
+    * on which centroid it is compared under.
+    *
+    * Scale shape: the model is k×64 + M·Ks×16 doubles, broadcast; corpus
+    * passes are linear (assign → residual → encode, each an argmin against
+    * a broadcast table, no corpus shuffle); search touches only probed
+    * cells and the final pivot-sum groups |probed candidates| × M rows.
+    * Everything after training is exact sequential-double arithmetic, so
+    * the whole search — training included, via the rounded-mean Lloyd
+    * CTEs — hash-matches the DuckDB oracle. */
+  def q149IvfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    val e = Tables.embeddings(s, d)
+    val (cents0, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3,
+      trackInertia = false, roundCentroids = true)
+    val cents = cents0.persist()
+    val assigned = KMeansIvf.assign(e, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("aid"), col("cluster"))
+    val resid = e.join(assigned, e("vec_id") === col("aid"))
+      .join(broadcast(cents), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("embedding"), col("cent"), (x, y) => x.cast("double") - y).as("rv"))
+      .persist()
+    val book = (0 until M).map { m =>
+      resid.filter(col("vec_id") < Ks)
+        .select(lit(m).as("sub"), col("vec_id").as("code"),
+          slice(col("rv"), m * SubDim + 1, SubDim).as("cvec"))
+    }.reduce(_ unionAll _)
+    def subspaces(src: DataFrame, idCols: Seq[String], vec: String): DataFrame =
+      src.select(idCols.map(col) :+ explode(
+        array((0 until M).map(m =>
+          struct(lit(m).as("sub"), slice(col(vec), m * SubDim + 1, SubDim).as("svec"))): _*)
+      ).as("sv"): _*).select(idCols.map(col) :+ col("sv.sub").as("sub") :+ col("sv.svec").as("svec"): _*)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dsq"), col("code"))
+    val codes = subspaces(resid.filter(col("vec_id") >= Ks), Seq("vec_id", "cluster"), "rv")
+      .join(broadcast(book), "sub")
+      .withColumn("dsq", distSq(col("svec"), col("cvec")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("cluster"), col("sub"), col("code"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("cluster"))
+    val probes = queries.join(broadcast(cents), lit(true))
+      .withColumn("dist_sq", KMeansIvf.distSq("qe", "cent"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cluster"),
+        zip_with(col("qe"), col("cent"), (x, y) => x.cast("double") - y).as("qrv"))
+    val lut = subspaces(probes, Seq("qid", "cluster"), "qrv")
+      .join(broadcast(book), "sub")
+      .withColumn("dsq", distSq(col("svec"), col("cvec")))
+      .select(col("qid"), col("cluster"), col("sub"), col("code"), col("dsq"))
+    val terms = codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
+    def term(m: Int): Column = sum(when(col("sub") === m, col("dsq")).otherwise(lit(0.0)))
+    val adc = terms.groupBy(col("qid"), col("cid"))
+      .agg((term(0) + term(1) + term(2) + term(3)).as("adc0"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("adc0"), col("cid"))
+    adc.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), round(col("adc0"), 6).as("adc"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q149 oracle: the q148 Lloyd CTEs extended with residual PQ — same
+    * codebook/encode/LUT shapes as [[q89Sql]], in residual space. */
+  val q149Sql: String = {
+    def d16(aE: String, bE: String) =
+      s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> " +
+        s"(($aE)[j] - ($bE)[j]) * (($aE)[j] - ($bE)[j])), (x, y) -> x + y)"
+    val rsubUnion = (0 until M).map(m =>
+      s"SELECT vec_id, cluster, $m AS sub, rv[${m * SubDim + 1}:${m * SubDim + SubDim}] AS svec FROM resid").mkString(" UNION ALL ")
+    val qsubUnion = (0 until M).map(m =>
+      s"SELECT qid, cluster, $m AS sub, qrv[${m * SubDim + 1}:${m * SubDim + SubDim}] AS svec FROM qresid").mkString(" UNION ALL ")
+    s"""WITH ${VectorOps.trainedModelCtes},
+       |resid AS (
+       |  SELECT v.vec_id, a.cluster,
+       |    list_transform(range(1, 65), j -> v.ve[j] - c.cent[j]) AS rv
+       |  FROM v JOIN a4 a USING (vec_id) JOIN c3 c ON c.cluster = a.cluster),
+       |rsub AS ($rsubUnion),
+       |book AS (SELECT sub, vec_id AS code, svec AS cvec FROM rsub WHERE vec_id < $Ks),
+       |corp AS (SELECT vec_id AS cid, cluster, sub, svec FROM rsub WHERE vec_id >= $Ks),
+       |enc AS (
+       |  SELECT cid, cluster, sub, code,
+       |    ROW_NUMBER() OVER (PARTITION BY cid, sub ORDER BY ${d16("svec", "cvec")}, code) AS rn
+       |  FROM corp JOIN book USING (sub)),
+       |codes AS (SELECT cid, cluster, sub, code FROM enc WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < 8),
+       |pd AS (
+       |  SELECT qid, c.cluster, c.cent,
+       |    list_reduce(list_transform(range(1, 65), j ->
+       |      (qe[j] - c.cent[j]) * (qe[j] - c.cent[j])), (x, y) -> x + y) AS dist_sq
+       |  FROM q CROSS JOIN c3 c),
+       |probes AS (
+       |  SELECT qid, cluster, cent FROM (
+       |    SELECT qid, cluster, cent,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_sq, cluster) AS rn
+       |    FROM pd) WHERE rn <= 2),
+       |qresid AS (
+       |  SELECT p.qid, p.cluster,
+       |    list_transform(range(1, 65), j -> q.qe[j] - p.cent[j]) AS qrv
+       |  FROM probes p JOIN q USING (qid)),
+       |qsub AS ($qsubUnion),
+       |lut AS (
+       |  SELECT qid, cluster, sub, code, ${d16("svec", "cvec")} AS dsq
+       |  FROM qsub JOIN book USING (sub)),
+       |terms AS (SELECT qid, cid, sub, dsq FROM codes JOIN lut USING (cluster, sub, code)),
+       |adc AS (
+       |  SELECT qid, cid,
+       |    SUM(CASE WHEN sub = 0 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 1 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 2 THEN dsq ELSE 0 END)
+       |      + SUM(CASE WHEN sub = 3 THEN dsq ELSE 0 END) AS adc0
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, cid, ROUND(adc0, 6) AS adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc0, cid) AS rnk
+       |  FROM adc)
+       |SELECT qid, cid, adc, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Target dimensionality for q117's random projection (64 → 16). */
   val RpDim = 16
 
@@ -286,9 +416,11 @@ object PqOps {
   val queries: Map[String, Q] = Map(
     "q137_int8_quant" -> q137Int8Quant _,
     "q89_pq_adc" -> q89PqAdc _,
-    "q117_random_projection" -> q117RandomProjection _)
+    "q117_random_projection" -> q117RandomProjection _,
+    "q149_ivfpq_search" -> q149IvfPqSearch _)
   val oracles: Map[String, String] = Map(
     "q137_int8_quant" -> q137Sql,
     "q89_pq_adc" -> q89Sql,
-    "q117_random_projection" -> q117Sql)
+    "q117_random_projection" -> q117Sql,
+    "q149_ivfpq_search" -> q149Sql)
 }

@@ -217,9 +217,11 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  /** q148 oracle: KMeansIvf.fit unrolled as CTEs (k=8, iters=3, dim=64 —
-    * the fixture embedding width). */
-  val q148Sql: String = {
+  /** Shared oracle prefix: [[graft.ml.KMeansIvf]].fit unrolled as DuckDB
+    * CTEs (k=8, iters=3, dim=64 — the fixture embedding width), ending in
+    * the trained model `c3` and the final assignment `a4`
+    * (vec_id, cluster, dist_sq). Reused by q148 and q149 (PqOps). */
+  val trainedModelCtes: String = {
     def dist(cAlias: String) =
       s"list_reduce(list_transform(range(1, 65), j -> " +
         s"(v.ve[j] - $cAlias.cent[j]) * (v.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
@@ -238,18 +240,24 @@ object VectorOps {
          |    SELECT cluster, array_agg(m ORDER BY dim) AS cent
          |    FROM m$i GROUP BY cluster) n ON n.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings),
        |dims AS (SELECT unnest(range(1, 65)) AS dim),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, ve AS cent
        |  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 8)),
        |$iters,
-       |d4 AS (SELECT v.vec_id, c.cluster, ${dist("c")} AS dist_sq FROM v CROSS JOIN c3 c)
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(dist_sq, 6) AS dist6
-       |FROM (SELECT vec_id, cluster, dist_sq,
+       |d4 AS (SELECT v.vec_id, c.cluster, ${dist("c")} AS dist_sq FROM v CROSS JOIN c3 c),
+       |a4 AS (SELECT vec_id, cluster, dist_sq FROM (
+       |  SELECT vec_id, cluster, dist_sq,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS rn
-       |  FROM d4) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |  FROM d4) WHERE rn = 1)""".stripMargin
   }
+
+  /** q148 oracle: the shared Lloyd CTEs, assignment projected out. */
+  val q148Sql: String =
+    s"""WITH $trainedModelCtes
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(dist_sq, 6) AS dist6
+       |FROM a4 ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q37_embed_neardup" -> q37EmbedNearDup _,

@@ -6,7 +6,9 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q78_bucketed_join","q80_dpp_join","q101_tpch_q5","q106_tpch_q19",
   "q86_decontaminate","q89_pq_adc","q113_tpch_q21","q114_paragraph_dedup",
   "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff",
-  "q139_lateral","q109_unigram_quality","q148_ivf_assign")
+  "q139_lateral","q109_unigram_quality","q148_ivf_assign",
+  "q149_ivfpq_search","q150_entity_resolution","q151_pagerank",
+  "q152_item_similarity")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -45,7 +47,17 @@ sb.append("LM (q109: TakeOrderedAndProject top-K vocabulary, broadcast LEFT\n")
 sb.append("join with the OOV coalesce -- the model broadcast is K rows\n")
 sb.append("whatever the corpus), and the trained IVF assignment (q148:\n")
 sb.append("broadcast k x dim model, the dist_sq_a codegen fold inside\n")
-sb.append("WholeStageCodegen, per-vector argmin as a bounded window).\n")
+sb.append("WholeStageCodegen, per-vector argmin as a bounded window),\n")
+sb.append("the IVF-PQ search (q149: every model table -- centroids,\n")
+sb.append("residual codebook, per-cell LUT -- enters as a broadcast;\n")
+sb.append("the corpus never shuffles before the final |candidates| x M\n")
+sb.append("pivot-sum), sorted-neighborhood entity resolution (q150: one\n")
+sb.append("window sort per block, lead()s + explode -- W x N candidate\n")
+sb.append("rows, no quadratic block join), and PageRank (q151: per\n")
+sb.append("iteration one shuffle joining ranks onto edge sources and one\n")
+sb.append("partial-aggregable destination rollup over fixed-point sums),\n")
+sb.append("and item-item similarity (q152: capped-basket self-join, the\n")
+sb.append("(s1, s2) rollup partial-aggregable, degree tables broadcast).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
