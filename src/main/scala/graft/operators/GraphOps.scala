@@ -43,14 +43,19 @@ object GraphOps {
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
-    val edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b"))).persist()
-    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")).persist()
+    val edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    // the degree is constant across iterations: fold it onto the edge
+    // list ONCE, so each round joins a single table — and the persisted
+    // join output is hash-partitioned on `a`, which every iteration's
+    // ranks join then reuses without re-shuffling the edges
+    val edgesW = edges.join(deg.withColumnRenamed("node", "a"), "a").persist()
     val base = lit(1.0 - Damping) // mean-1 scaling: (1-d) replaces (1-d)/N
-    var ranks = deg.select(col("node"), lit(1.0).as("rank"))
+    var ranks = edgesW.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to Iters) {
-      val contrib = edges
+      val contrib = edgesW
         .join(ranks.withColumnRenamed("node", "a"), "a")
-        .join(deg.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), (col("rank") / col("d")).as("c"))
       ranks = contrib.groupBy(col("node"))
         .agg(round(base + lit(Damping) * Det.dsum(col("c")), 6).as("rank"))
