@@ -292,7 +292,77 @@ object ScaleOps {
        |FROM b ORDER BY z_bucket""".stripMargin
   }
 
+  /** q153 — TF-IDF cosine similarity pairs: the WEIGHTED complement of
+    * q40's set Jaccard (retrieval-style scoring — shared rare shingles
+    * dominate, stopword shingles vanish through the idf weight AND the
+    * df-cap). Same inverted-index candidate generation and the same
+    * df-cap bound on per-key fanout; the additions are per-(doc,
+    * shingle) term frequencies, the idf weight ln(N/df) (6-dp-rounded —
+    * the q109/q120 transcendental-parity convention), per-doc norms from
+    * fixed-point sums of w², and the pair dot product as a fixed-point
+    * sum — every reduction order-independent, so the cosine
+    * hash-matches the serial oracle. Scale shape: two doc-keyed
+    * partial-aggregable rollups + the capped sh-keyed pair join; the
+    * 1-row corpus count attaches by broadcast. */
+  def q153TfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val occ = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+    val tf = occ.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("nd"))
+    val wtd = tf.join(broadcast(dfr), "sh")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * round(log(col("nd").cast("double") / col("df")), 6))
+      .persist()
+    val norms = wtd.groupBy(col("doc_id")).agg(sqrt(Det.dsum(col("w") * col("w"))).as("nrm"))
+    val dots = wtd.as("a").join(wtd.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(Det.dsum(col("a.w") * col("b.w")).as("dot"))
+    dots.join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.5)
+      .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q153Sql: String = {
+    // the non-distinct shingle list (q40's helper minus list_distinct):
+    // per-occurrence rows feed the term frequencies
+    val shOcc = s"list_transform(range(1, greatest(len(thl)-2, 0)+1), " +
+      s"i -> ((thl[i]*31 + thl[i+1]) % $P * 31 + thl[i+2]) % $P)"
+    s"""WITH th AS (SELECT doc_id, ${tokenHashesSql(tokensSql("text"))} AS thl FROM documents),
+       |occ AS (SELECT doc_id, unnest($shOcc) AS sh FROM th),
+       |tf AS (SELECT doc_id, sh, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+       |dfr AS (SELECT sh, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= $ShingleDfCap),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+       |wtd AS (
+       |  SELECT doc_id, sh,
+       |    tf * ROUND(LN(CAST((SELECT nd FROM nd) AS DOUBLE) / df), 6) AS w
+       |  FROM tf JOIN dfr USING (sh)),
+       |norms AS (SELECT doc_id, sqrt(${Det.dsumSql("w*w")}) AS nrm FROM wtd GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, ${Det.dsumSql("a.w * b.w")} AS dot
+       |  FROM wtd a JOIN wtd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT da, db, dot / (na.nrm * nb.nrm) AS cos
+       |  FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db)
+       |SELECT da, db, ROUND(cos, 6) AS cos FROM c WHERE cos >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_tfidf_cosine" -> q153TfidfCosine _,
     "q119_zorder_layout" -> q119ZorderLayout _,
     "q56_train_mix" -> q56TrainMix _,
     "q40_ngram_jaccard" -> q40NgramJaccard _,
@@ -303,6 +373,7 @@ object ScaleOps {
     "q93_sample" -> q93Sample _)
 
   val oracles: Map[String, String] = Map(
+    "q153_tfidf_cosine" -> q153Sql,
     "q119_zorder_layout" -> q119Sql,
     "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,

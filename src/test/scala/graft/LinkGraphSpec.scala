@@ -51,6 +51,16 @@ class LinkGraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q153 TF-IDF cosine: pairs ordered, cosine within Cauchy-Schwarz bounds") {
+    val rows = graft.operators.ScaleOps.q153TfidfCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("da") < r.getAs[Long]("db")))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= 0.5 && c <= 1.0 + 1e-6
+    })
+    spark.catalog.clearCache()
+  }
+
   test("q151 PageRank: top-20 is rank-ordered, above the damping floor, hubs above mean") {
     val rows = GraphOps.q151Pagerank(spark, sf).collect()
     assert(rows.length == 20)
