@@ -478,7 +478,103 @@ object Curation {
        |FROM f""".stripMargin
   }
 
+  /** Interpolation weight of the bigram term in q154 (the unigram
+    * backoff carries the rest). */
+  val Lambda = 0.7
+
+  /** q154 — bigram-LM quality scoring with interpolated unigram backoff:
+    * the next model rung above q109's unigram (the KenLM-style shape CCNet
+    * actually uses, reduced to order 2). The load-bearing design point is
+    * that tokens collapse to the capped symbol space ([[VocabCap]] + one
+    * OOV symbol) BEFORE bigram counting, so the bigram "model" is bounded
+    * at (K+1)² entries regardless of corpus size — capping after would
+    * leave an unbounded bigram tail, the exact failure the q109 vocab cap
+    * exists to prevent. p(s2|s1) = λ·bc(s1,s2)/hc(s1) + (1−λ)·u(s2)/T,
+    * per-bigram log-probs 6-dp-rounded (the transcendental parity
+    * convention), doc scores from fixed-point sums.
+    *
+    * Scale shape: model fit is two partial-aggregable groupBys over one
+    * symbol-mapped scan (the map itself is a K-entry broadcast join);
+    * scoring is one scan with four bounded broadcast joins. The
+    * order-2 structure adds no unbounded state anywhere. */
+  def q154BigramQuality(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = vocab.orderBy(col("c").desc, col("tok").asc).limit(VocabCap).select(col("tok"))
+    val sym = tok.join(broadcast(top.withColumn("inv", lit(1))), Seq("tok"), "left")
+      .select(col("doc_id"), col("lang"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit("\u0001")).as("sym"))
+      .persist()
+    val uni = sym.groupBy(col("sym")).agg(count(lit(1)).as("u"))
+    val total = uni.agg(sum(col("u")).as("t"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = sym
+      .withColumn("sym2", lead(col("sym"), 1).over(wp))
+      .filter(col("sym2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("sym"), col("sym2"))
+    val bcnt = big.groupBy(col("sym"), col("sym2")).agg(count(lit(1)).as("bc"))
+    val hcnt = bcnt.groupBy(col("sym")).agg(sum(col("bc")).as("hc"))
+    val scored = big
+      .join(broadcast(bcnt), Seq("sym", "sym2"))
+      .join(broadcast(hcnt), Seq("sym"))
+      .join(broadcast(uni.select(col("sym").as("sym2"), col("u"))), Seq("sym2"))
+      .join(broadcast(total), lit(true))
+      .withColumn("p",
+        lit(Lambda) * (col("bc").cast("double") / col("hc")) +
+          lit(1.0 - Lambda) * (col("u").cast("double") / col("t")))
+      .withColumn("lp", round(log(col("p")), 6))
+    val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+      .agg((Det.dsum(col("lp")) / count(lit(1))).as("alp"), count(lit(1)).as("nb"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        round(Det.davg(col("alp")), 6).as("avg_logprob2"),
+        round(min(col("alp")), 6).as("min_logprob2"))
+      .orderBy(col("lang"))
+  }
+
+  /** q154 oracle: symbol mapping via a LIST-captured top vocabulary,
+    * bigrams as tab-joined strings from an index-lambda (chr(9)/chr(1)
+    * cannot occur in whitespace-split tokens). */
+  val q154Sql: String =
+    s"""WITH toksl AS (SELECT doc_id, lang, ${tokensSql("text")} AS tk FROM documents),
+       |toks AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+       |topl AS (SELECT LIST(tok) AS toplist FROM
+       |  (SELECT tok FROM vocab ORDER BY c DESC, tok LIMIT $VocabCap)),
+       |syms AS (SELECT doc_id, lang,
+       |    list_transform(tk, x -> CASE WHEN list_contains(toplist, x)
+       |      THEN x ELSE chr(1) END) AS sl
+       |  FROM toksl CROSS JOIN topl),
+       |uni AS (SELECT sym, COUNT(*) AS u
+       |  FROM (SELECT unnest(sl) AS sym FROM syms) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(u) AS BIGINT) AS t FROM uni),
+       |big AS (SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, greatest(len(sl)-1, 0)+1),
+       |      i -> sl[i] || chr(9) || sl[i+1])) AS bg
+       |  FROM syms),
+       |bcnt AS (SELECT bg, COUNT(*) AS bc FROM big GROUP BY 1),
+       |hcnt AS (SELECT split_part(bg, chr(9), 1) AS sym,
+       |    CAST(SUM(bc) AS BIGINT) AS hc
+       |  FROM bcnt GROUP BY 1),
+       |sc AS (SELECT b.doc_id, b.lang,
+       |    ROUND(LN(CAST($Lambda AS DOUBLE) * (CAST(c.bc AS DOUBLE) / h.hc)
+       |      + CAST(${1.0 - Lambda} AS DOUBLE)
+       |        * (CAST(u.u AS DOUBLE) / (SELECT t FROM tot))), 6) AS lp
+       |  FROM big b JOIN bcnt c USING (bg)
+       |  JOIN hcnt h ON h.sym = split_part(b.bg, chr(9), 1)
+       |  JOIN uni u ON u.sym = split_part(b.bg, chr(9), 2)),
+       |d AS (SELECT doc_id, lang, ${Det.dsumSql("lp")} / COUNT(*) AS alp,
+       |    COUNT(*) AS nb
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+       |  ROUND(${Det.davgSql("alp")}, 6) AS avg_logprob2,
+       |  ROUND(MIN(alp), 6) AS min_logprob2
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q154_bigram_quality" -> q154BigramQuality _,
     "q141_curation_funnel" -> q141CurationFunnel _,
     "q110_seq_pack" -> q110SeqPack _,
     "q86_decontaminate" -> q86Decontaminate _,
@@ -487,6 +583,7 @@ object Curation {
     "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
+    "q154_bigram_quality" -> q154Sql,
     "q141_curation_funnel" -> q141Sql,
     "q110_seq_pack" -> q110Sql,
     "q86_decontaminate" -> q86Sql,

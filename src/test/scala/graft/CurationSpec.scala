@@ -114,6 +114,24 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q154 bigram LM: log-probs negative, bigram count conserves positions") {
+    val out = operators.Curation.q154BigramQuality(spark, sf).collect()
+    assert(out.nonEmpty)
+    // probabilities < 1 ⇒ both score columns strictly negative, avg ≥ min
+    out.foreach { r =>
+      val avg = r.getAs[Double]("avg_logprob2")
+      val mn = r.getAs[Double]("min_logprob2")
+      assert(avg < 0.0 && mn < 0.0 && avg >= mn)
+    }
+    // Σ n_bigrams = Σ max(tokens-1, 0) over docs with ≥ 2 tokens
+    val expected = Tables.documents(spark, sf)
+      .select(greatest(size(graft.functions.Portable.tokens(col("text"))) - 1, lit(0))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("n_bigrams")).sum == expected)
+    spark.catalog.clearCache()
+  }
 }
 
 /** q89 product quantization: when corpus vectors are verbatim copies of
