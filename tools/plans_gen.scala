@@ -8,7 +8,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff",
   "q139_lateral","q109_unigram_quality","q148_ivf_assign",
   "q149_ivfpq_search","q150_entity_resolution","q151_pagerank",
-  "q152_item_similarity","q153_tfidf_cosine")
+  "q152_item_similarity","q153_tfidf_cosine","q154_bigram_quality")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
