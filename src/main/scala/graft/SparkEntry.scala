@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Joins2.queries ++
       operators.Tpch2.queries ++
       operators.Tpch3.queries ++
+      operators.Tpch4.queries ++
       operators.Curation.queries ++
       operators.CorpusOps.queries ++
       operators.PqOps.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       operators.Joins2.oracles ++
       operators.Tpch2.oracles ++
       operators.Tpch3.oracles ++
+      operators.Tpch4.oracles ++
       operators.Curation.oracles ++
       operators.CorpusOps.oracles ++
       operators.PqOps.oracles ++

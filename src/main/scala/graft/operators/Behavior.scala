@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -466,7 +466,96 @@ object Behavior {
       |SELECT attributed, COUNT(*) AS n_conversions
       |FROM j GROUP BY attributed ORDER BY attributed""".stripMargin
 
+  /** Fixed "as-of" anchor for q161 recency — one day past the fixture's
+    * last order date, so recency is a positive day count. */
+  val RfmAnchor = "2001-08-02"
+
+  /** q161 — RFM (recency / frequency / monetary) customer segmentation,
+    * the classic CRM rollup:
+    *
+    *  1. per customer: days since last order (R), order count (F),
+    *     lifetime spend in integer cents (M);
+    *  2. quartile cut points per dimension (exact `percentile` ↔
+    *     DuckDB `quantile_cont` — the q46 parity precedent);
+    *  3. score each dimension 1–4 against the cuts (R inverted: recent =
+    *     high), concatenate to the familiar "444"-style segment code;
+    *  4. report segment populations and average spend.
+    *
+    * Numeric-parity note: all three dimensions are INTEGERS (days,
+    * counts, cents), so the interpolated quartile cuts are exact dyadic
+    * values identical on both engines, and every `>` comparison against
+    * a cut is deterministic — no epsilon at any scale. Plan shape: one
+    * groupBy(custkey) over orders, a 3×4-value cut-point aggregate
+    * (broadcast back), then a bounded groupBy over the 64 possible
+    * segment codes. The full sort inherent to exact quartiles is the
+    * documented q46 trade; at 100 TB swap stage 2 for approx_percentile
+    * the way q92 shadows q46. */
+  def q161RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val rfm = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(RfmAnchor).cast("date"), max(col("o_orderdate")).cast("date"))
+          .as("r"),
+        count(lit(1)).as("f"),
+        sum(Det.fixed6(col("o_totalprice")).cast("long")).as("m"))
+    val cuts = rfm.agg(
+      expr("percentile(r, array(0.25D, 0.5D, 0.75D))").as("rc"),
+      expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("fc"),
+      expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("mc"))
+    def score(v: Column, c: Column): Column =
+      lit(1) + when(v > c.getItem(0), 1).otherwise(0) +
+        when(v > c.getItem(1), 1).otherwise(0) +
+        when(v > c.getItem(2), 1).otherwise(0)
+    rfm.crossJoin(broadcast(cuts))
+      .select(
+        (lit(5) - score(col("r"), col("rc"))).as("r_score"), // recent = high
+        score(col("f"), col("fc")).as("f_score"),
+        score(col("m"), col("mc")).as("m_score"),
+        col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(
+        count(lit(1)).as("customers"),
+        // exact long sum, one double division at the end — not avg(),
+        // whose accumulator type differs between engines
+        round(sum(col("m")).cast("double") / count(lit(1)) / lit(1000000.0), 2)
+          .as("avg_spend"))
+      .orderBy(col("r_score").desc, col("f_score").desc, col("m_score").desc)
+  }
+
+  val q161Sql: String =
+    s"""WITH rfm AS (
+       |  SELECT o_custkey,
+       |    datediff('day', CAST(MAX(o_orderdate) AS DATE), DATE '$RfmAnchor') AS r,
+       |    COUNT(*) AS f,
+       |    SUM(CAST(floor(o_totalprice*1000000.0 + 0.5) AS BIGINT)) AS m
+       |  FROM orders GROUP BY o_custkey),
+       |cuts AS (
+       |  SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rc,
+       |    quantile_cont(f, [0.25, 0.5, 0.75]) AS fc,
+       |    quantile_cont(m, [0.25, 0.5, 0.75]) AS mc
+       |  FROM rfm),
+       |scored AS (
+       |  SELECT
+       |    5 - (1 + CASE WHEN r > rc[1] THEN 1 ELSE 0 END
+       |           + CASE WHEN r > rc[2] THEN 1 ELSE 0 END
+       |           + CASE WHEN r > rc[3] THEN 1 ELSE 0 END) AS r_score,
+       |    1 + CASE WHEN f > fc[1] THEN 1 ELSE 0 END
+       |      + CASE WHEN f > fc[2] THEN 1 ELSE 0 END
+       |      + CASE WHEN f > fc[3] THEN 1 ELSE 0 END AS f_score,
+       |    1 + CASE WHEN m > mc[1] THEN 1 ELSE 0 END
+       |      + CASE WHEN m > mc[2] THEN 1 ELSE 0 END
+       |      + CASE WHEN m > mc[3] THEN 1 ELSE 0 END AS m_score,
+       |    m
+       |  FROM rfm CROSS JOIN cuts)
+       |SELECT r_score, f_score, m_score,
+       |  COUNT(*) AS customers,
+       |  ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 2) AS avg_spend
+       |FROM scored
+       |GROUP BY 1, 2, 3
+       |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q161_rfm_segments" -> q161RfmSegments _,
     "q146_attribution" -> q146Attribution _,
     "q142_weighted_sample" -> q142WeightedSample _,
     "q143_ab_readout" -> q143AbReadout _,
@@ -480,6 +569,7 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q161_rfm_segments" -> q161Sql,
     "q146_attribution" -> q146Sql,
     "q142_weighted_sample" -> q142Sql,
     "q143_ab_readout" -> q143Sql,

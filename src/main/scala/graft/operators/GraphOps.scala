@@ -92,8 +92,100 @@ object GraphOps {
        |SELECT rnk, node, rank FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   }
 
+  /** q162 — triangle census on the top-k item-similarity graph. The
+    * input graph is q152's capped co-purchase cosine similarity, kept to
+    * each node's top-[[Recsys.TopK]] neighbors and symmetrized
+    * (LEAST/GREATEST + DISTINCT), so |E| ≤ k·|V| *by construction* —
+    * the sparsification that makes triangle enumeration tractable at
+    * any scale (a fixed co-occurrence threshold would densify as N
+    * grows; the kNN graph cannot). Triangles are enumerated with the
+    * standard ordered-edge join: every triangle a<b<c appears exactly
+    * once as (a,b)⋈(b,c)⋈(a,c). Output is the per-node triangle
+    * participation count — the local clustering signal recommender
+    * pipelines use to spot over-connected hub items.
+    *
+    * Determinism: the cosine ranking reuses q152's exact arithmetic
+    * (integer co/deg counts, one IEEE sqrt+division — identical on both
+    * engines) with ties broken by neighbor id; everything after the
+    * ranking is integer joins and counts. */
+  def q162TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val keep = e.groupBy(col("c")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= Recsys.BasketCap)
+      .select(col("c"))
+    val ec = e.join(keep, "c").persist()
+    val deg = ec.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val co = ec.select(col("c"), col("s").as("s1"))
+      .join(ec.select(col("c"), col("s").as("s2")), "c")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("co"))
+    val sim = co
+      .join(broadcast(deg.select(col("s").as("s1"), col("deg").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("s").as("s2"), col("deg").as("d2"))), "s2")
+      .withColumn("cos", col("co") / sqrt(col("d1") * col("d2")))
+    val w = Window.partitionBy(col("s1")).orderBy(col("cos").desc, col("s2"))
+    val edges = sim.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Recsys.TopK)
+      .select(least(col("s1"), col("s2")).as("a"),
+        greatest(col("s1"), col("s2")).as("b"))
+      .distinct()
+      .persist() // three legs of the triangle join
+    val tri = edges
+      .join(edges.select(col("a").as("e2a"), col("b").as("e2b")),
+        col("b") === col("e2a"))
+      .join(edges.select(col("a").as("e3a"), col("b").as("e3b")),
+        col("a") === col("e3a") && col("e2b") === col("e3b"))
+      .select(col("a"), col("b"), col("e2b").as("cc"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("cc").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("node"))
+  }
+
+  val q162Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |keep AS (SELECT c FROM e GROUP BY c HAVING COUNT(*) <= ${Recsys.BasketCap}),
+       |ec AS (SELECT e.c, e.s FROM e JOIN keep USING (c)),
+       |deg AS (SELECT s, COUNT(*) AS deg FROM ec GROUP BY s),
+       |co AS (
+       |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+       |  FROM ec a JOIN ec b ON a.c = b.c AND a.s <> b.s
+       |  GROUP BY a.s, b.s),
+       |sim AS (
+       |  SELECT s1, s2, co / sqrt(CAST(d1.deg * d2.deg AS DOUBLE)) AS cos
+       |  FROM co
+       |  JOIN deg d1 ON d1.s = co.s1
+       |  JOIN deg d2 ON d2.s = co.s2),
+       |ranked AS (
+       |  SELECT s1, s2,
+       |    ROW_NUMBER() OVER (PARTITION BY s1 ORDER BY cos DESC, s2) AS rnk
+       |  FROM sim),
+       |edges AS (
+       |  SELECT DISTINCT LEAST(s1, s2) AS a, GREATEST(s1, s2) AS b
+       |  FROM ranked WHERE rnk <= ${Recsys.TopK}),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS cc
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.b = e2.a
+       |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT cc FROM tri)
+       |SELECT node, COUNT(*) AS triangles FROM nodes
+       |GROUP BY node ORDER BY triangles DESC, node""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q151_pagerank" -> q151Pagerank _)
+    "q151_pagerank" -> q151Pagerank _,
+    "q162_triangle_count" -> q162TriangleCount _)
   val oracles: Map[String, String] = Map(
-    "q151_pagerank" -> q151Sql)
+    "q151_pagerank" -> q151Sql,
+    "q162_triangle_count" -> q162Sql)
 }

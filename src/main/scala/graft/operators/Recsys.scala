@@ -84,8 +84,68 @@ object Recsys {
        |SELECT s1, s2, co, ROUND(cos, 6) AS cos, rnk FROM ranked WHERE rnk <= $TopK
        |ORDER BY s1, rnk""".stripMargin
 
+  /** Minimum pair support for q160 — pairs seen in fewer baskets carry
+    * no stable association signal and would dominate the output. */
+  val MinSupport = 20
+
+  /** q160 — brand association lift (PMI's log-free twin): for brand
+    * pairs co-occurring in an order, lift = P(a,b) / (P(a)·P(b)) =
+    * co·N / (cā·c̄b). Reported as the raw ratio rather than its log:
+    * `ln` is libm-dependent (JVM `Math.log` vs DuckDB's C library are
+    * not guaranteed bit-identical), while the ratio is pure IEEE
+    * division — hash-exact across engines, and monotone in PMI so the
+    * ranking is the same.
+    *
+    * Scale shape: the item vocabulary is the brand set (bounded, ~25),
+    * so per-basket pair generation is ≤ C(|brands|,2) regardless of
+    * basket size — no hot-basket cap needed (contrast q152, where items
+    * are suppliers and the cap is load-bearing). The pair rollup is
+    * partial-aggregable; the brand-count table and the scalar N both
+    * broadcast. */
+  def q160BrandLift(s: SparkSession, d: String): DataFrame = {
+    val pa = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+      .persist() // three uses: N, per-brand counts, pair self-join
+    val n = e.agg(countDistinct(col("o")).as("n"))
+    val cnt = e.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val co = e.select(col("o"), col("b").as("b1"))
+      .join(e.select(col("o"), col("b").as("b2")), "o")
+      .filter(col("b1") < col("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= MinSupport)
+    co.join(broadcast(cnt.select(col("b").as("b1"), col("cb").as("c1"))), "b1")
+      .join(broadcast(cnt.select(col("b").as("b2"), col("cb").as("c2"))), "b2")
+      .crossJoin(broadcast(n))
+      .select(col("b1"), col("b2"), col("co"),
+        round(col("co") * col("n") / (col("c1") * col("c2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("b1"), col("b2"))
+  }
+
+  val q160Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT COUNT(DISTINCT o) AS n FROM e),
+       |cnt AS (SELECT b, COUNT(*) AS cb FROM e GROUP BY b),
+       |co AS (
+       |  SELECT a.b AS b1, b.b AS b2, COUNT(*) AS co
+       |  FROM e a JOIN e b ON a.o = b.o AND a.b < b.b
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)
+       |SELECT b1, b2, co,
+       |  ROUND(co * n.n / (CAST(c1.cb AS DOUBLE) * c2.cb), 6) AS lift
+       |FROM co
+       |JOIN cnt c1 ON c1.b = co.b1
+       |JOIN cnt c2 ON c2.b = co.b2
+       |CROSS JOIN n
+       |ORDER BY lift DESC, b1, b2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q152_item_similarity" -> q152ItemSimilarity _)
+    "q152_item_similarity" -> q152ItemSimilarity _,
+    "q160_brand_lift" -> q160BrandLift _)
   val oracles: Map[String, String] = Map(
-    "q152_item_similarity" -> q152Sql)
+    "q152_item_similarity" -> q152Sql,
+    "q160_brand_lift" -> q160Sql)
 }
