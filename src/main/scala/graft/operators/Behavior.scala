@@ -554,7 +554,120 @@ object Behavior {
        |GROUP BY 1, 2, 3
        |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin
 
+  /** q164 — funnel time-to-convert distribution: how long users take
+    * from first `signup` to their first subsequent `purchase`. The
+    * companion to q122's conversion COUNTS — product teams read the two
+    * together (how many convert, and how fast). One row: population,
+    * converted count, and exact p50/p90/p99 latency.
+    *
+    * Parity: latency is integer epoch-microseconds (`unix_micros` ↔
+    * `epoch_us`), and the interpolated percentile over integers is the
+    * q46/q161 precedent — h = (n−1)·q and the lerp are the same IEEE
+    * sequence on both engines. The final division to seconds is one
+    * shared double op, rounded identically. Plan shape: two keyed
+    * min-aggregates (partial-aggregable) + one broadcastable scalar
+    * percentile over the converted population — no window sort. At
+    * 100 TB the exact percentile over per-user latencies (one row per
+    * CONVERTED user, not per event) is the q46 trade; approx_percentile
+    * is the documented substitute. */
+  def q164FunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      .join(su, "user_id")
+      .filter(col("tp") > col("t0"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("tp")).as("tp"))
+      .select((col("tp") - col("t0")).as("lat_us"))
+    su.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(conv.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5D)") / lit(1000000.0), 3).as("p50_s"),
+        round(expr("percentile(lat_us, 0.9D)") / lit(1000000.0), 3).as("p90_s"),
+        round(expr("percentile(lat_us, 0.99D)") / lit(1000000.0), 3).as("p99_s")))
+  }
+
+  val q164Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |conv AS (
+      |  SELECT MIN(epoch_us(e.ts)) - t0 AS lat_us
+      |  FROM events e JOIN su ON e.user_id = su.user_id AND epoch_us(e.ts) > su.t0
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY e.user_id, su.t0)
+      |SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+      |  COUNT(*) AS n_converted,
+      |  ROUND(quantile_cont(lat_us, 0.5) / 1000000.0, 3) AS p50_s,
+      |  ROUND(quantile_cont(lat_us, 0.9) / 1000000.0, 3) AS p90_s,
+      |  ROUND(quantile_cont(lat_us, 0.99) / 1000000.0, 3) AS p99_s
+      |FROM conv""".stripMargin
+
+  /** Minimum observed slots for a q166 baseline to count: with fewer
+    * than this many same-(dow,hour) buckets, a "2× baseline" flag is
+    * noise, not seasonality. */
+  val SeasonalMinObs = 3
+
+  /** q166 — seasonal-baseline anomaly detection: flag hour buckets whose
+    * event count exceeds 1.5× the average for the SAME hour-of-week slot.
+    * q131 (hour-over-hour spike) catches momentum; this catches hours
+    * that are normal versus the last hour but abnormal versus their
+    * weekly rhythm (Monday-9am traffic judged against Monday-9am
+    * history) — the pair is the standard ops-alerting duo. 1.5× ("50%
+    * above baseline") keeps the flag meaningful as the population grows:
+    * relative noise shrinks ~1/√n, and at sf0.1 no hour ever reaches 2×
+    * its slot mean while 1.5× still isolates the genuine tail.
+    *
+    * Determinism: the flag comparison is INTEGER cross-multiplication
+    * (2 · n · n_obs > 3 · total), so no division is involved in membership;
+    * the reported baseline is one shared double division rounded
+    * identically. The dow key is engine-local (Spark 1–7 vs DuckDB 0–6
+    * — same partition either way, never output). Plan shape: one
+    * hour-bucket rollup (partial-aggregable), a (type, dow, hour)
+    * re-key of the BUCKET table (bounded: |types|·168 groups after the
+    * first rollup — second shuffle is over already-aggregated rows),
+    * then a broadcast join back. */
+  def q166SeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // two uses: baseline rollup and the probe
+    val slot = hourly
+      .groupBy(col("event_type").as("b_type"),
+        dayofweek(col("h")).as("dow"), hour(col("h")).as("hr"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= SeasonalMinObs)
+    hourly
+      .join(broadcast(slot),
+        col("event_type") === col("b_type") &&
+          dayofweek(col("h")) === col("dow") && hour(col("h")) === col("hr"))
+      .filter(col("n") * col("n_obs") * 2 > col("total") * 3)
+      .select(col("event_type"), col("h"), col("n"),
+        round(col("total").cast("double") / col("n_obs"), 4).as("baseline"),
+        col("n_obs"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q166Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |slot AS (
+       |  SELECT event_type AS b_type, dayofweek(h) AS dow, EXTRACT(hour FROM h) AS hr,
+       |    SUM(n) AS total, COUNT(*) AS n_obs
+       |  FROM hourly GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) >= $SeasonalMinObs)
+       |SELECT event_type, h, n,
+       |  ROUND(CAST(total AS DOUBLE) / n_obs, 4) AS baseline, n_obs
+       |FROM hourly JOIN slot
+       |  ON event_type = b_type AND dayofweek(h) = dow AND EXTRACT(hour FROM h) = hr
+       |WHERE n * n_obs * 2 > total * 3
+       |ORDER BY event_type, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q164_funnel_latency" -> q164FunnelLatency _,
+    "q166_seasonal_anomaly" -> q166SeasonalAnomaly _,
     "q161_rfm_segments" -> q161RfmSegments _,
     "q146_attribution" -> q146Attribution _,
     "q142_weighted_sample" -> q142WeightedSample _,
@@ -569,6 +682,8 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q164_funnel_latency" -> q164Sql,
+    "q166_seasonal_anomaly" -> q166Sql,
     "q161_rfm_segments" -> q161Sql,
     "q146_attribution" -> q146Sql,
     "q142_weighted_sample" -> q142Sql,

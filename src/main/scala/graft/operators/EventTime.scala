@@ -153,7 +153,76 @@ object EventTime {
        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
        |ORDER BY g.user_id, g.hour""".stripMargin
 
+  /** Interval half-width for q165: each event opens a 30-minute activity
+    * window (the q62 session gap, reused as an interval length). */
+  val IntervalUs: Long = 30L * 60 * 1000000
+
+  /** q165 — overlapping-interval consolidation (gaps-and-islands via
+    * running max): each event opens a [ts, ts+30 min) activity interval;
+    * per user, overlapping intervals merge into maximal covered windows.
+    * The classic pattern: an interval starts a new island iff its start
+    * exceeds the running max of all previous ends — `max().over(rows
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` — and the island id is
+    * the running sum of new-island flags. Sessionize (q62) is the
+    * gap-between-POINTS special case; this is the general INTERVAL form
+    * (bookings, availability windows, on-call shifts), where an interval
+    * can bridge two others that a pointwise gap rule would split.
+    *
+    * All arithmetic is integer epoch-microseconds (`unix_micros` ↔
+    * DuckDB `epoch_us`) — running max, flag compare, cumsum, and the
+    * final covered-time sums are exact on both engines. Per user the
+    * window sort is the same PK-partitioned sort every q62-family op
+    * pays; islands never cross users, so the plan is one shuffle on
+    * user_id + one partial-aggregable rollup. */
+  def q165IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"), col("event_id"))
+      .withColumn("en", col("st") + lit(IntervalUs))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+    val islands = iv
+      .withColumn("prev_max_en",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+    islands
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("w_start"), max(col("en")).as("w_end"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("w_end") - col("w_start")).as("covered_us"),
+        max(col("n_events")).as("max_window_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q165Sql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + $IntervalUs AS en, event_id
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, st, en, event_id,
+       |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+       |  FROM iv),
+       |islands AS (
+       |  SELECT user_id, st, en,
+       |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged),
+       |merged AS (
+       |  SELECT user_id, island, MIN(st) AS w_start, MAX(en) AS w_end,
+       |    COUNT(*) AS n_events
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(w_end - w_start) AS BIGINT) AS covered_us,
+       |  MAX(n_events) AS max_window_events
+       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q165_interval_merge" -> q165IntervalMerge _,
     "q83_gap_fill" -> q83GapFill _,
     "q60_tumbling_window" -> q60Tumbling _,
     "q61_sliding_window" -> q61Sliding _,
@@ -161,6 +230,7 @@ object EventTime {
     "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q165_interval_merge" -> q165Sql,
     "q83_gap_fill" -> q83Sql,
     "q60_tumbling_window" -> q60Sql,
     "q61_sliding_window" -> q61Sql,

@@ -81,6 +81,84 @@ object ScaleOps {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** Containment threshold for q163: |A∩B| / min(|A|,|B|) ≥ 0.8 means
+    * the smaller document is (near-)contained in the larger one. */
+  val ContainThreshold = 0.8
+
+  /** q163 — shingle CONTAINMENT dedup: Jaccard's asymmetric complement.
+    * Quote-inclusion duplicates (a small doc embedded verbatim inside a
+    * larger one — boilerplate wrappers, quoted replies, aggregator pages)
+    * score low on Jaccard (the union is dominated by the big doc) but
+    * high on containment |A∩B| / min(|A|,|B|). Same machinery as q40 —
+    * df-capped shingle inverted index, pair candidates only where a
+    * shared informative shingle exists — with the min-denominator score
+    * and the smaller-into-larger direction reported (contained = the doc
+    * with fewer shingles; ties by doc id). The candidate generator is
+    * shared with q40 in shape, so the 100 TB argument is the same:
+    * work scales with true shingle collisions, bounded per key by the
+    * df-cap, never |docs|².
+    *
+    * Scoring over the CAPPED shingle space (like q40) keeps both engines
+    * on identical sets; inter/min is one IEEE division, hash-exact. */
+  def q163Containment(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh0 = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+      .persist()
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("sh"))
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti").persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= ContainThreshold)
+      .select(
+        // contained = smaller shingle set (tie → lower doc id, i.e. da)
+        when(col("na") < col("nb"), col("da")).when(col("nb") < col("na"), col("db"))
+          .otherwise(col("da")).as("contained"),
+        when(col("na") < col("nb"), col("db")).when(col("nb") < col("na"), col("da"))
+          .otherwise(col("db")).as("container"),
+        col("inter"), col("containment"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val q163Sql: String = {
+    val shingles = shingleHashesSql(tokenHashesSql(tokensSql("text")))
+    s"""WITH g AS (SELECT doc_id, $shingles AS shl FROM documents),
+       |e0 AS (SELECT doc_id, unnest(shl) AS sh FROM g),
+       |dfreq AS (SELECT sh, COUNT(*) AS df FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN dfreq USING (sh) WHERE df <= $ShingleDfCap),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  CASE WHEN sa.n < sb.n THEN da WHEN sb.n < sa.n THEN db ELSE da END AS contained,
+       |  CASE WHEN sa.n < sb.n THEN db WHEN sb.n < sa.n THEN da ELSE db END AS container,
+       |  inter,
+       |  ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+       |FROM common
+       |JOIN sz sa ON sa.doc_id = da
+       |JOIN sz sb ON sb.doc_id = db
+       |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= $ContainThreshold
+       |ORDER BY contained, container""".stripMargin
+  }
+
   /** q41 — salted two-stage aggregation: the skew-mitigation pattern.
     * Stage 1 aggregates on (key, salt) — a hot key spreads over 8
     * partitions; stage 2 combines partials. Result is identical to the
@@ -363,6 +441,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "q153_tfidf_cosine" -> q153TfidfCosine _,
+    "q163_containment" -> q163Containment _,
     "q119_zorder_layout" -> q119ZorderLayout _,
     "q56_train_mix" -> q56TrainMix _,
     "q40_ngram_jaccard" -> q40NgramJaccard _,
@@ -374,6 +453,7 @@ object ScaleOps {
 
   val oracles: Map[String, String] = Map(
     "q153_tfidf_cosine" -> q153Sql,
+    "q163_containment" -> q163Sql,
     "q119_zorder_layout" -> q119Sql,
     "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,
