@@ -8,7 +8,9 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q115_semantic_dedup","q123_inverted_index","q124_snapshot_diff",
   "q139_lateral","q109_unigram_quality","q148_ivf_assign",
   "q149_ivfpq_search","q150_entity_resolution","q151_pagerank",
-  "q152_item_similarity","q153_tfidf_cosine","q154_bigram_quality")
+  "q152_item_similarity","q153_tfidf_cosine","q154_bigram_quality",
+  "q156_tpch_q9","q160_brand_lift","q162_triangle_count",
+  "q163_containment","q165_interval_merge","q166_seasonal_anomaly")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -57,7 +59,20 @@ sb.append("rows, no quadratic block join), and PageRank (q151: per\n")
 sb.append("iteration one shuffle joining ranks onto edge sources and one\n")
 sb.append("partial-aggregable destination rollup over fixed-point sums),\n")
 sb.append("and item-item similarity (q152: capped-basket self-join, the\n")
-sb.append("(s1, s2) rollup partial-aggregable, degree tables broadcast).\n")
+sb.append("(s1, s2) rollup partial-aggregable, degree tables broadcast),\n")
+sb.append("TPC-H Q9 over the derived partsupp (q156: part dim filtered and\n")
+sb.append("broadcast before the lineitem join, partsupp derived once),\n")
+sb.append("brand lift (q160: the (order, brand) distinct is the only\n")
+sb.append("corpus-sized shuffle; brand pair rollup partial-aggregable),\n")
+sb.append("triangle census (q162: oriented edges lo->hi so each triangle\n")
+sb.append("counts once; the wedge join hits the smaller oriented list),\n")
+sb.append("containment dedup (q163: q40's df-capped inverted index, pair\n")
+sb.append("candidates only where an informative shingle collides -- never\n")
+sb.append("|docs|^2), interval merge (q165: one shuffle on user_id, islands\n")
+sb.append("via running-max window then two partial-aggregable rollups),\n")
+sb.append("and seasonal anomaly (q166: hour rollup partial-aggregable, the\n")
+sb.append("168-slot baseline re-key over already-aggregated rows, baseline\n")
+sb.append("table broadcast back onto the hourly probe).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
