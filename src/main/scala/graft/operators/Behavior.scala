@@ -665,9 +665,121 @@ object Behavior {
        |WHERE n * n_obs * 2 > total * 3
        |ORDER BY event_type, h""".stripMargin
 
+  /** q168 — CUSUM changepoint detection: for each event type, find the
+    * day where the cumulative deviation of daily volume from the
+    * series mean peaks — the classic offline changepoint estimator
+    * (a level shift at day t maximizes |CUSUM| at t). Completes the
+    * time-series-monitoring trio: q131 flags hour-over-hour momentum,
+    * q166 flags seasonal outliers, this locates WHERE a series' level
+    * actually changed.
+    *
+    * Integer-exact throughout: instead of s_t = Σ(n_i − T/D) (a float
+    * mean), we scale by D — s_t·D = Σ(n_i·D − T) — so the running
+    * statistic, the argmax, and the reported cusum are all BIGINT;
+    * the only float is the reported per-day mean, one shared division
+    * rounded identically. Plan shape: one partial-aggregable daily
+    * rollup, then every window (totals, running sum, argmax rank)
+    * shares the single hash(event_type) partitioning — the post-rollup
+    * input is |types|·|days| rows, trivial at any corpus size. */
+  def q168Cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wRun = wType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wType))
+      .withColumn("total", sum(col("n")).over(wType))
+      .withColumn("s", sum(col("n") * col("n_days") - col("total")).over(wRun))
+      .withColumn("rk",
+        row_number().over(wType.orderBy(abs(col("s")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("s").as("cusum"),
+        col("n_days"),
+        round(col("total").cast("double") / col("n_days"), 4).as("day_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val q168Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, day, n,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+      |    SUM(n) OVER (PARTITION BY event_type) AS total
+      |  FROM daily),
+      |run AS (
+      |  SELECT event_type, day, n_days, total,
+      |    SUM(n * n_days - total) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM tot),
+      |ranked AS (
+      |  SELECT event_type, day, s, n_days, total,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(s) DESC, day) AS rk
+      |  FROM run)
+      |SELECT event_type, day AS cp_day, CAST(s AS BIGINT) AS cusum,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(CAST(total AS DOUBLE) / n_days, 4) AS day_mean
+      |FROM ranked WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** Journey length for q170: the first-k event types per user. */
+  val JourneyLen = 3
+
+  /** Top-paths cap for q170. */
+  val JourneyTopK = 50
+
+  /** q170 — top user journeys: the first [[JourneyLen]] events of every
+    * user's history, concatenated into a path string, counted across
+    * users, top [[JourneyTopK]] reported — the "common user flows"
+    * product-analytics staple (Sankey feeds, onboarding analysis). q129
+    * gives the MARKOV view (stationary pairwise transition rates); this
+    * gives the TRAJECTORY view anchored at each user's start, which a
+    * bigram model cannot reconstruct.
+    *
+    * Deterministic: event order is (ts, event_id) — the micro-truncated
+    * ts both engines share, with the unique id as tie-break — and the
+    * top-k order is (n_users DESC, path), unique by path. Plan shape:
+    * one hash(user_id) shuffle carries both the row_number window and
+    * the path aggregation (same key), then a partial-aggregable path
+    * rollup ending in TakeOrderedAndProject — no global sort. */
+  def q170Journeys(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= JourneyLen)
+    first
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(JourneyTopK)
+  }
+
+  val q170Sql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= $JourneyLen GROUP BY user_id)
+       |SELECT path, COUNT(*) AS n_users
+       |FROM p GROUP BY path
+       |ORDER BY n_users DESC, path
+       |LIMIT $JourneyTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q164_funnel_latency" -> q164FunnelLatency _,
     "q166_seasonal_anomaly" -> q166SeasonalAnomaly _,
+    "q168_cusum" -> q168Cusum _,
+    "q170_journeys" -> q170Journeys _,
     "q161_rfm_segments" -> q161RfmSegments _,
     "q146_attribution" -> q146Attribution _,
     "q142_weighted_sample" -> q142WeightedSample _,
@@ -684,6 +796,8 @@ object Behavior {
   val oracles: Map[String, String] = Map(
     "q164_funnel_latency" -> q164Sql,
     "q166_seasonal_anomaly" -> q166Sql,
+    "q168_cusum" -> q168Sql,
+    "q170_journeys" -> q170Sql,
     "q161_rfm_segments" -> q161Sql,
     "q146_attribution" -> q146Sql,
     "q142_weighted_sample" -> q142Sql,

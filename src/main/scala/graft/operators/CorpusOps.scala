@@ -499,7 +499,96 @@ object CorpusOps {
       |SELECT source, doc_id AS keep_doc, max_chars, n_docs
       |FROM w WHERE rn = 1 ORDER BY source""".stripMargin
 
+  /** q169 band bounds: a token participates in collocation mining only
+    * if it appears in ≥ [[PmiMinDf]] documents AND ≤ [[PmiMaxDfPct]]% of
+    * the corpus. The upper bound kills stopwords (whose pairs carry no
+    * signal and dominate the pair count); the lower bound kills hapaxes
+    * (whose PMI is all noise). Both are corpus-RELATIVE, so the band
+    * stays meaningful at any scale. The 95% cap is fixture-bound: the
+    * synthetic corpus has a 31-token vocabulary where every content
+    * token sits at 75-80% df (there IS no Zipf tail to cut), so a
+    * production-style 20% cap leaves one token and zero pairs; on a
+    * real corpus this knob moves back to ~20% and the plan is
+    * unchanged — same caveat class as q115's fixture-k. */
+  val PmiMinDf = 3
+  val PmiMaxDfPct = 95
+  val PmiTopK = 200
+
+  /** q169 — PMI collocation mining: token pairs that co-occur in the
+    * same document far more often than independence predicts,
+    * pmi = ln(P(a,b) / (P(a)·P(b))) — the classic corpus-linguistics
+    * collocation score, and the pair-level complement of q120's
+    * distribution-level KL: KL says a SOURCE is off-distribution, PMI
+    * says two TERMS are bound to each other (multi-word entities,
+    * templated boilerplate — both things a dedup/curation pipeline
+    * wants surfaced).
+    *
+    * Parity: the PMI argument (n_ab·N) / (n_a·n_b) is built from exact
+    * integers with the identical double-op sequence on both engines,
+    * and the single ln() is rounded to 6 dp (q120's libm discipline).
+    * Top-k order is (pmi DESC, ta, tb) over the ROUNDED score —
+    * deterministic.
+    *
+    * Scale shape: per-doc distinct-token explode, a broadcast band
+    * filter (the band table is vocabulary-sized — sublinear in corpus
+    * rows), then the pair self-join keyed on doc_id. Per-doc work is
+    * O(u²) with u = |band tokens in doc| — bounded by the band, which
+    * excludes the stopword mass that makes naive pair mining |doc|²;
+    * the (ta, tb) rollup is partial-aggregable and the result ends in
+    * TakeOrderedAndProject, never a global sort. */
+  def q169PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val band = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= PmiMinDf && col("df") * 100 <= col("n_docs") * PmiMaxDfPct)
+      .select(col("tok"), col("df"))
+    val bt = tok.join(broadcast(band), "tok")
+    val pa = bt.select(col("doc_id"), col("tok").as("ta"), col("df").as("n_a"))
+    val pb = bt.select(col("doc_id"), col("tok").as("tb"), col("df").as("n_b"))
+    pa.join(pb, Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * col("n_docs")) /
+          (col("n_a").cast("double") * col("n_b"))), 6))
+      .select(col("ta"), col("tb"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(PmiTopK)
+  }
+
+  val q169Sql: String = {
+    val toks = tokensSql("text")
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+       |band AS (
+       |  SELECT tok, COUNT(*) AS df FROM tok, n
+       |  GROUP BY tok, n_docs
+       |  HAVING COUNT(*) >= $PmiMinDf AND COUNT(*) * 100 <= n_docs * $PmiMaxDfPct),
+       |pairs AS (
+       |  SELECT a.tok AS ta, b.tok AS tb, da.df AS n_a, db.df AS n_b,
+       |    COUNT(*) AS n_ab
+       |  FROM tok a
+       |  JOIN band da ON a.tok = da.tok
+       |  JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  JOIN band db ON b.tok = db.tok
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING COUNT(*) >= $PmiMinDf)
+       |SELECT ta, tb, n_ab,
+       |  ROUND(LN((CAST(n_ab AS DOUBLE) * n_docs) /
+       |           (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi
+       |FROM pairs, n
+       |ORDER BY pmi DESC, ta, tb
+       |LIMIT $PmiTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_pmi_collocations" -> q169PmiCollocations _,
     "q147_semantic_dedup_trained" -> q147SemanticDedupTrained _,
     "q127_percentile_trim" -> q127PercentileTrim _,
     "q128_argmax_keep" -> q128ArgmaxKeep _,
@@ -510,6 +599,7 @@ object CorpusOps {
     "q118_length_batching" -> q118LengthBatching _)
 
   val oracles: Map[String, String] = Map(
+    "q169_pmi_collocations" -> q169Sql,
     "q127_percentile_trim" -> q127Sql,
     "q128_argmax_keep" -> q128Sql,
     "q120_source_kl" -> q120Sql,

@@ -127,17 +127,89 @@ object Windows {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Allocation month for q167 — one month of orders keeps the graded
+    * output bounded (~1% of orders) while exercising the full pattern;
+    * the range predicate pushes down to the orders scan. */
+  val AllocFrom = "1995-03-01"
+  val AllocTo   = "1995-04-01"
+
+  /** q167 — largest-remainder allocation: distribute each order's total
+    * price (in cents) across its lineitems proportionally to quantity,
+    * with the classic largest-remainder rule so the allocated parts sum
+    * back to the order total EXACTLY — the financial-allocation pattern
+    * (invoice splitting, cost apportionment, budget spreading) where
+    * naive `total * share` rounding leaks cents.
+    *
+    * Everything after the one shared `ROUND(o_totalprice*100)` is
+    * integer arithmetic: base share = T·q DIV Q, the leftover cents
+    * R = T − Σbase go one each to the R lineitems with the largest
+    * integer remainder T·q MOD Q (ties → lower linenumber). Exact on
+    * both engines by construction — no float division anywhere.
+    *
+    * Scale shape: one pushed-down month filter on orders, one join onto
+    * lineitem, then all window functions share the single
+    * hash(l_orderkey) partitioning — one shuffle, one sort, no
+    * re-partitioning between the four window steps. Orders within a
+    * month are a small fraction of the fact table, and the allocation
+    * never aggregates across orders, so the plan is embarrassingly
+    * parallel at any scale. */
+  def q167Allocation(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(AllocFrom).cast("timestamp") &&
+        col("o_orderdate") < lit(AllocTo).cast("timestamp"))
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("t_cents"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    val wRank = wOrd.orderBy(col("rem").desc, col("l_linenumber"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("q_total", sum(col("qty")).over(wOrd))
+      .withColumn("base", expr("t_cents * qty DIV q_total"))
+      .withColumn("rem", expr("t_cents * qty % q_total"))
+      .withColumn("leftover", col("t_cents") - sum(col("base")).over(wOrd))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q167Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t_cents
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '$AllocFrom' AND o_orderdate < TIMESTAMP '$AllocTo'),
+       |j AS (
+       |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty, t_cents
+       |  FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+       |shares AS (
+       |  SELECT l_orderkey, l_linenumber, t_cents,
+       |    (t_cents * qty) // SUM(qty) OVER (PARTITION BY l_orderkey) AS base,
+       |    (t_cents * qty) % SUM(qty) OVER (PARTITION BY l_orderkey) AS rem
+       |  FROM j),
+       |ranked AS (
+       |  SELECT l_orderkey, l_linenumber, base,
+       |    t_cents - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover,
+       |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rk
+       |  FROM shares)
+       |SELECT l_orderkey, l_linenumber,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+       |FROM ranked
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_window_pk_dedup" -> q14PkDedup _,
     "q15_window_rank" -> q15TopPerGroup _,
     "q16_window_running" -> q16RunningSum _,
     "q17_window_laglead" -> q17LagLead _,
-    "q18_window_frames" -> q18Frames _)
+    "q18_window_frames" -> q18Frames _,
+    "q167_allocation" -> q167Allocation _)
 
   val oracles: Map[String, String] = Map(
     "q14_window_pk_dedup" -> q14Sql,
     "q15_window_rank" -> q15Sql,
     "q16_window_running" -> q16Sql,
     "q17_window_laglead" -> q17Sql,
-    "q18_window_frames" -> q18Sql)
+    "q18_window_frames" -> q18Sql,
+    "q167_allocation" -> q167Sql)
 }
