@@ -725,6 +725,79 @@ object Behavior {
       |FROM ranked WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  /** q172 — per-series OLS trend fit: slope, intercept, and R² of daily
+    * event volume against the day index, per event type — the
+    * trend-readout companion to q168 (CUSUM says WHERE the level
+    * changed; this says which way and how fast the series is moving,
+    * the standard capacity-planning / growth-dashboard regression).
+    *
+    * Determinism without regr_slope: with x = integer day index and
+    * y = integer daily count, every OLS sufficient statistic (Σx, Σy,
+    * Σxy, Σx², Σy², n) is an exact BIGINT, so
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   r²    = [num / den_x] · [num / den_y]   (num = n·Σxy − Σx·Σy)
+    * are built from exact integers; each bracket is one double
+    * division with exact operands, so the op sequence is identical on
+    * both engines and the 6 dp round seals it. r² is deliberately two
+    * factors, NOT num²/(den_x·den_y): the integer den-product would
+    * overflow BIGINT long before the individual statistics do.
+    * Overflow contract: Σy² caps the daily volume at ~1.6e8 rows/day
+    * per series in BIGINT; past that, lift the y-moments to
+    * DECIMAL(38,0) (the Det.dsum discipline) — a mechanical swap.
+    *
+    * Plan shape: one partial-aggregable daily rollup, a min-day window
+    * on hash(event_type), then a per-type five-sum aggregate — the
+    * moment-sketch pattern of q85 applied per series. */
+  def q172TrendFit(s: SparkSession, d: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), min(col("day")).over(wType)).cast("long"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) *
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q172Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, y,
+      |    date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x
+      |  FROM daily),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM idx GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |        (n * sxx - sx * sx), 6) AS intercept,
+      |  ROUND((CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) *
+      |        (CAST(n * sxy - sx * sy AS DOUBLE) / (n * syy - sy * sy)), 6) AS r2
+      |FROM stats
+      |ORDER BY event_type""".stripMargin
+
   /** Journey length for q170: the first-k event types per user. */
   val JourneyLen = 3
 
@@ -780,6 +853,7 @@ object Behavior {
     "q166_seasonal_anomaly" -> q166SeasonalAnomaly _,
     "q168_cusum" -> q168Cusum _,
     "q170_journeys" -> q170Journeys _,
+    "q172_trend_fit" -> q172TrendFit _,
     "q161_rfm_segments" -> q161RfmSegments _,
     "q146_attribution" -> q146Attribution _,
     "q142_weighted_sample" -> q142WeightedSample _,
@@ -798,6 +872,7 @@ object Behavior {
     "q166_seasonal_anomaly" -> q166Sql,
     "q168_cusum" -> q168Sql,
     "q170_journeys" -> q170Sql,
+    "q172_trend_fit" -> q172Sql,
     "q161_rfm_segments" -> q161Sql,
     "q146_attribution" -> q146Sql,
     "q142_weighted_sample" -> q142Sql,

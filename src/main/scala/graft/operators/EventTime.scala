@@ -174,22 +174,28 @@ object EventTime {
     * window sort is the same PK-partitioned sort every q62-family op
     * pays; islands never cross users, so the plan is one shuffle on
     * user_id + one partial-aggregable rollup. */
-  def q165IntervalMerge(s: SparkSession, d: String): DataFrame = {
+  /** The merged maximal activity windows underlying q165 (and q171's
+    * overlap join): one row per (user_id, island) with [w_start, w_end)
+    * in epoch-micros and the event count inside the window. */
+  def mergedWindows(s: SparkSession, d: String): DataFrame = {
     val iv = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("st"), col("event_id"))
       .withColumn("en", col("st") + lit(IntervalUs))
     val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
-    val islands = iv
+    iv
       .withColumn("prev_max_en",
         max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("new_island")).over(w))
-    islands
       .groupBy(col("user_id"), col("island"))
       .agg(min(col("st")).as("w_start"), max(col("en")).as("w_end"),
         count(lit(1)).as("n_events"))
+  }
+
+  def q165IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    mergedWindows(s, d)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_windows"),
@@ -221,7 +227,95 @@ object EventTime {
        |  MAX(n_events) AS max_window_events
        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Bin width for q171's candidate generation, in micros. Matching the
+    * interval half-width keeps bins-per-window proportional to the
+    * window's true span (a window spans at least one bin, and a k-bin
+    * window overlaps at most k+1 bins). */
+  val OverlapBinUs: Long = IntervalUs
+
+  /** Top-k cap for q171's reported pairs. */
+  val OverlapTopK = 100
+
+  /** q171 — interval-interval overlap join: which pairs of users were
+    * active at the same time, and for how long. Takes q165's merged
+    * activity windows and joins them on OVERLAP — the genomics /
+    * temporal-join primitive (`a.start < b.end AND b.start < a.end`)
+    * that an equi-join engine cannot express directly. q44 bins a
+    * POINT-in-interval join; this is the strictly harder interval ×
+    * interval case.
+    *
+    * The distributed form is the classic binned overlap join: each
+    * window explodes to the [[OverlapBinUs]]-wide bins it touches,
+    * candidates meet on the bin key, and each true overlap is COUNTED
+    * EXACTLY ONCE by keeping only the canonical bin — the bin holding
+    * the overlap's start, `greatest(a.st, b.st) DIV bin` — so no
+    * distinct pass over the candidate set is ever needed. Work scales
+    * with Σ_bins (active windows per bin)² — true temporal collocation,
+    * not |users|² — and the bin width is the knob that trades explode
+    * factor against candidate density. All arithmetic is integer
+    * epoch-micros; overlap duration sums exactly on both engines.
+    *
+    * Reported: the [[OverlapTopK]] user pairs with the largest total
+    * co-active time (ties → user ids), with the overlap count. */
+  def q171IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val w = mergedWindows(s, d)
+      .select(col("user_id"), col("w_start"), col("w_end"))
+    val binned = w
+      .withColumn("bin", explode(sequence(
+        expr(s"w_start DIV $OverlapBinUs"), expr(s"(w_end - 1) DIV $OverlapBinUs"))))
+    val a = binned.select(col("bin"), col("user_id").as("ua"),
+      col("w_start").as("sa"), col("w_end").as("ea"))
+    val b = binned.select(col("bin"), col("user_id").as("ub"),
+      col("w_start").as("sb"), col("w_end").as("eb"))
+    a.join(b, Seq("bin"))
+      .filter(col("ua") < col("ub") &&
+        col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("bin") === expr(s"greatest(sa, sb) DIV $OverlapBinUs"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("co_active_us"))
+      .orderBy(col("co_active_us").desc, col("ua"), col("ub"))
+      .limit(OverlapTopK)
+  }
+
+  val q171Sql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + $IntervalUs AS en, event_id
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, st, en, event_id,
+       |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+       |  FROM iv),
+       |islands AS (
+       |  SELECT user_id, st, en,
+       |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged),
+       |win AS (
+       |  SELECT user_id, MIN(st) AS w_start, MAX(en) AS w_end
+       |  FROM islands GROUP BY user_id, island),
+       |binned AS (
+       |  SELECT user_id, w_start, w_end,
+       |    unnest(range(w_start // $OverlapBinUs, (w_end - 1) // $OverlapBinUs + 1)) AS bin
+       |  FROM win),
+       |cand AS (
+       |  SELECT a.user_id AS ua, b.user_id AS ub,
+       |    GREATEST(a.w_start, b.w_start) AS o_start,
+       |    LEAST(a.w_end, b.w_end) AS o_end
+       |  FROM binned a JOIN binned b ON a.bin = b.bin
+       |    AND a.user_id < b.user_id
+       |    AND a.w_start < b.w_end AND b.w_start < a.w_end
+       |    AND a.bin = GREATEST(a.w_start, b.w_start) // $OverlapBinUs)
+       |SELECT ua, ub, COUNT(*) AS n_overlaps,
+       |  CAST(SUM(o_end - o_start) AS BIGINT) AS co_active_us
+       |FROM cand GROUP BY ua, ub
+       |ORDER BY co_active_us DESC, ua, ub
+       |LIMIT $OverlapTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q171_interval_overlap" -> q171IntervalOverlap _,
     "q165_interval_merge" -> q165IntervalMerge _,
     "q83_gap_fill" -> q83GapFill _,
     "q60_tumbling_window" -> q60Tumbling _,
@@ -230,6 +324,7 @@ object EventTime {
     "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q171_interval_overlap" -> q171Sql,
     "q165_interval_merge" -> q165Sql,
     "q83_gap_fill" -> q83Sql,
     "q60_tumbling_window" -> q60Sql,

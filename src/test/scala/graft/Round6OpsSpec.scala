@@ -146,6 +146,62 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
   }
 
+  test("q171: binned overlap join matches the brute-force all-pairs model") {
+    val windows = EventTime.mergedWindows(spark, sf)
+      .select(col("user_id"), col("w_start"), col("w_end")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("w_start"), r.getAs[Long]("w_end")))
+    // brute-force: every window pair across distinct users, tested directly
+    val agg = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for {
+      (ua, sa, ea) <- windows
+      (ub, sb, eb) <- windows
+      if ua < ub && sa < eb && sb < ea
+    } {
+      val k = (ua, ub)
+      val (n, t) = agg.getOrElse(k, (0L, 0L))
+      agg(k) = (n + 1, t + (math.min(ea, eb) - math.max(sa, sb)))
+    }
+    val expected = agg.toSeq
+      .map { case ((ua, ub), (n, t)) => (ua, ub, n, t) }
+      .sortBy { case (ua, ub, _, t) => (-t, ua, ub) }
+      .take(EventTime.OverlapTopK)
+    val got = EventTime.q171IntervalOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ua"), r.getAs[Long]("ub"),
+        r.getAs[Long]("n_overlaps"), r.getAs[Long]("co_active_us")))
+    assert(got.toSeq == expected)
+  }
+
+  test("q172: OLS readout matches exact integer recomputation") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("y")))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val d0 = rows.map(_._2).min
+      val xy = rows.map { case (_, day, y) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, day), y) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx; val denY = n * syy - sy * sy
+      t -> (r6(num.toDouble / denX),
+        r6((sy * sxx - sx * sxy).toDouble / denX),
+        r6((num.toDouble / denX) * (num.toDouble / denY)))
+    }
+    val got = Behavior.q172TrendFit(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2"))).toMap
+    expected.foreach { case (t, e) =>
+      assert(got(t) == e, s"type $t: expected $e got ${got(t)}")
+    }
+  }
+
   test("q170: paths bounded at JourneyLen hops, counts descending and consistent") {
     val rows = Behavior.q170Journeys(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= Behavior.JourneyTopK)
