@@ -77,25 +77,38 @@ object Bench {
     // the compact form carries only the 8 widest spreads; the full file
     // carries every query's.
     def jsonLine(keyOf: String => String, fmt: Double => String,
-        spreadCap: Int): String = {
-      val qs = outcomes.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        qCap: Int, spreadCap: Int): String = {
+      // when capped, keep the SLOWEST queries' entries — the informative
+      // ones for a regression read; the rest live in the full file
+      val kept = outcomes.sortBy { case (_, t, _) => -t }.take(qCap).sortBy(_._1)
+      val qs = kept.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val omitted =
+        if (qCap >= outcomes.size) "" else s""","q_omitted":${outcomes.size - qCap}"""
       val sp = outcomes.filter { case (_, t, s) => t >= 0 && s >= 0.005 }
         .sortBy { case (_, _, s) => -s }.take(spreadCap)
         .map { case (k, _, s) => "\"" + keyOf(k) + "\":" + fmt(s) }
         .mkString("{", ",", "}")
       val total = outcomes.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${outcomes.size},"queries":$qs$omitted,"spread":$sp,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(identity, _.toString, Int.MaxValue)
-    // short form: "q35_minhash_lsh" -> "q35"; all qNN prefixes are unique
-    val compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f", 8)
+    val full = jsonLine(identity, _.toString, Int.MaxValue, Int.MaxValue)
+    // Compact stdout form: "q35_minhash_lsh" -> "q35" (qNN prefixes are
+    // unique) and 3-dp seconds. The driver keeps only a bounded 2000-char
+    // stdout tail, and at 170 queries a full per-query map no longer fits
+    // (the round-6 parsed:null lesson) — so trim the per-query map,
+    // slowest-first, until the line is safely under the limit. The full
+    // untrimmed JSON always goes to SPARK_GRAFT_BENCH_OUT.
+    var qCap = outcomes.size
+    var compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f", qCap, 8)
+    while (compact.length > 1700 && qCap > 8) {
+      qCap = qCap * 3 / 4
+      compact = jsonLine(k => k.takeWhile(_ != '_'), d => f"$d%.3f", qCap, 8)
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
-    // last line of our stdout; short enough (~1.1 kB) to survive whole in
-    // the driver's 2000-char tail even with sbt's [success] epilogue after
     System.err.println(compact)
     println(compact)
   }

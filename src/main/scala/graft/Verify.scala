@@ -28,6 +28,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // The driver only emits a correctness entry for queries whose
+        // output dir exists — a silently-absent dir makes the artifact
+        // read all-green while queries are broken (the round-6 lesson).
+        // Write a one-row error marker instead: the entry then shows up
+        // as an explicit schema/hash mismatch carrying the real message.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       } finally spark.catalog.clearCache() // builders may persist() internally
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -61,9 +61,15 @@ object GraphOps {
         .agg(round(base + lit(Damping) * Det.dsum(col("c")), 6).as("rank"))
         .localCheckpoint()
     }
+    // Top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, only 20 rows ever reach the driver-side merge) instead of an
+    // unpartitioned Window.orderBy, which would funnel every node through
+    // one task. The rank number is derived AFTER the limit, where the
+    // window input is pre-bounded at 20 rows; (rank, node) is a unique
+    // sort key so the numbering is deterministic.
+    val top = ranks.orderBy(col("rank").desc, col("node")).limit(20)
     val w = Window.orderBy(col("rank").desc, col("node"))
-    ranks.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("node"), col("rank"))
       .orderBy(col("rnk"))
   }

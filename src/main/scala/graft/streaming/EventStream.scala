@@ -17,23 +17,27 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema (FIXTURES.md) with ts already usable as a timestamp.
-    * Streaming sources require an explicit schema — no inference pass. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming scan of an events parquet directory. */
+  /** Streaming scan of an events parquet directory. Streaming sources
+    * require an explicit schema — no inference pass — so probe the physical
+    * schema with a one-off batch footer read, then adapt: fixtures have
+    * shipped ts as TIMESTAMP(NANOS) (readable only as raw long nanos),
+    * TIMESTAMP(MICROS) without tz (TIMESTAMP_NTZ), or a plain timestamp.
+    * All normalize to a session-TZ TIMESTAMP (sessions run UTC). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // Legacy NANOS fixture: only readable via the nanos-as-long hatch.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(dir).schema
+      }
+    val raw = spark.readStream.schema(physical).parquet(dir)
+    physical("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Tumbling 1-hour aggregation with a 10-minute watermark — the
