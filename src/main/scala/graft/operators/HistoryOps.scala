@@ -126,10 +126,57 @@ object HistoryOps {
       |  ON f.user_id = r.user_id AND r.valid_from <= f.ts
       |ORDER BY f.event_id""".stripMargin
 
+  /** Delta cutoff for q174: orders on/after this date form the "new
+    * batch"; everything before is the already-aggregated state. */
+  val DeltaCutoff = "1998-01-01"
+
+  /** q174 — incremental aggregate maintenance: fold a delta batch into a
+    * standing aggregate state WITHOUT recomputing history. The state table
+    * (per-customer order count / spend / last date over everything before
+    * [[DeltaCutoff]]) and the delta batch (on/after) are each aggregated
+    * independently, then merged by re-aggregating the partials — legal
+    * because (count, fixed-point sum, max) are commutative monoids, the
+    * same algebra that makes Spark's own partial aggregation correct.
+    *
+    * The oracle recomputes from the full table; matching it proves the
+    * incremental fold is exact. At 100 TB this is the difference between
+    * scanning one day and scanning five years: the state side is a
+    * |customers|-bounded table, the delta a single partition — the
+    * reference's date-partition incremental overwrite
+    * (linehaul_bronze_silver.py's day-partition rewrite) lifted from raw
+    * rows to aggregates. Spend partials stay 6-dp fixed-point LONGS until
+    * the single final divide, so the merge is associative and exact. */
+  def q174IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Det.fixed6(col("o_totalprice")).cast(Det.Acc)).as("spend6"),
+          max(col("o_orderdate")).as("last_order"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val state = partial(orders.filter(col("o_orderdate") < lit(DeltaCutoff)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(DeltaCutoff)))
+    state.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        (sum(col("spend6")).cast("double") / lit(1000000.0)).as("spend"),
+        max(col("last_order")).as("last_order"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q174Sql: String =
+    s"""SELECT o_custkey,
+       |  COUNT(*) AS n_orders,
+       |  ${Det.dsumSql("o_totalprice")} AS spend,
+       |  MAX(o_orderdate) AS last_order
+       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q108_scd2" -> q108Scd2 _,
-    "q132_pit_lookup" -> q132PitLookup _)
+    "q132_pit_lookup" -> q132PitLookup _,
+    "q174_incremental_agg" -> q174IncrementalAgg _)
   val oracles: Map[String, String] = Map(
     "q108_scd2" -> q108Sql,
-    "q132_pit_lookup" -> q132Sql)
+    "q132_pit_lookup" -> q132Sql,
+    "q174_incremental_agg" -> q174Sql)
 }

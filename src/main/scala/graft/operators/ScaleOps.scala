@@ -178,6 +178,47 @@ object ScaleOps {
     s"""SELECT l_returnflag, ${Det.dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salt replication factor for q173 (8 splits a hot key's rows over 8
+    * shuffle partitions; at 1000 executors raise toward the skew ratio). */
+  val JoinSalt = 8
+
+  /** q173 — salted JOIN, the companion of q41's salted aggregation: the
+    * skew-mitigation pattern for a shuffle join whose build side is too
+    * big to broadcast and whose probe side has hot keys. Each fact row
+    * picks a content-stable salt in [0, 8); the dim side is replicated
+    * once per salt value (`explode` of a literal range — 8× a SMALL
+    * relation, never 8× the fact table), and the join key becomes
+    * (key, salt) — a hot supplier's rows now spread over 8 shuffle
+    * partitions instead of hammering one task. Every fact row matches
+    * exactly one replica, so the result is row-identical to the unsalted
+    * join — which is exactly what the unsalted oracle checks. The
+    * `shuffle_hash` hint forces the shuffle path the pattern exists for
+    * (left alone, AQE would broadcast this small dim and hide it). */
+  def q173SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(JoinSalt)))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(lit((0 until JoinSalt).toArray)))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q173Sql: String =
+    s"""SELECT s_nationkey,
+       |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** q92 — sketch aggregates (approx_count_distinct HLL, approx quantiles):
     * engine-specific estimators, so rows-only check (no oracle). The
     * quantile array is projected to scalar columns — graded queries never
@@ -446,6 +487,7 @@ object ScaleOps {
     "q56_train_mix" -> q56TrainMix _,
     "q40_ngram_jaccard" -> q40NgramJaccard _,
     "q41_salted_agg" -> q41SaltedAgg _,
+    "q173_salted_join" -> q173SaltedJoin _,
     "q46_percentiles" -> q46Percentiles _,
     "q79_stratified_det" -> q79StratifiedDet _,
     "q92_sketches" -> q92Sketches _,
@@ -458,6 +500,7 @@ object ScaleOps {
     "q56_train_mix" -> q56Sql,
     "q40_ngram_jaccard" -> q40Sql,
     "q41_salted_agg" -> q41Sql,
+    "q173_salted_join" -> q173Sql,
     "q46_percentiles" -> q46Sql,
     "q79_stratified_det" -> q79Sql)
 }

@@ -679,7 +679,81 @@ object TextOps {
        |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INTEGER) AS n_phones
        |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** q175 — EXACT similarity self-join by prefix filtering (the AllPairs /
+    * ppjoin family, Bayardo et al. WWW'07): all document pairs with
+    * shingle-set Jaccard ≥ 1/2, with a completeness GUARANTEE — unlike
+    * q35 (MinHash banding, probabilistic) and q40 (df-capped index, drops
+    * candidates through ultra-common shingles).
+    *
+    * The pruning: order every doc's shingles by ascending document
+    * frequency (rarest first, ties by value); a doc with n shingles
+    * indexes only its first n - ceil(n/2) + 1 — any pair with overlap
+    * ≥ ceil(τ·max(n_a,n_b)) MUST collide inside these prefixes (if the
+    * prefixes were disjoint, the doc whose prefix ends earlier in the
+    * global order has all its common elements among its last
+    * ceil(τ·n)-1 positions — fewer than the overlap requires). Candidate
+    * generation therefore joins ~half-size posting lists dominated by
+    * RARE shingles (a shingle shared by thousands of docs sorts last and
+    * rarely lands in a prefix), and exact verification runs only on
+    * colliding pairs. All thresholds are integer arithmetic —
+    * ceil(n/2) = (n+1) div 2, J ≥ 1/2 ⟺ 3·inter ≥ n_a+n_b — so both
+    * engines decide identically with no float edge cases.
+    *
+    * Scale shape: shuffle on shingle hash for df + candidates, shuffle on
+    * pair for verify — work ∝ Σ_prefix df², concentrated on rare tokens
+    * by construction; never an all-pairs product. */
+  def q175AllpairsPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingleHashes(tokenHashes(tokens(col("text"))))).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sz, "doc_id")
+      .filter(col("pos") <= col("n") - expr("(n + 1) div 2") + lit(1))
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("ta"), col("ta.doc_id") === col("da"))
+      .join(sh.as("tb"),
+        col("tb.doc_id") === col("db") && col("tb.sh") === col("ta.sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q175Sql: String = {
+    val shingles = shingleHashesSql(tokenHashesSql(tokensSql("text")))
+    s"""WITH g AS (SELECT doc_id, $shingles AS shl FROM documents),
+       |e AS (SELECT doc_id, unnest(shl) AS sh FROM g),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jac
+       |FROM common
+       |JOIN sz sa ON sa.doc_id = da
+       |JOIN sz sb ON sb.doc_id = db
+       |WHERE 3*inter >= sa.n + sb.n
+       |ORDER BY da, db""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_allpairs_prefix" -> q175AllpairsPrefix _,
     "q58_gopher_filter" -> q58GopherFilter _,
     "q59_pii_redact" -> q59PiiRedact _,
     "q49_levenshtein" -> q49Levenshtein _,
@@ -698,6 +772,7 @@ object TextOps {
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
+    "q175_allpairs_prefix" -> q175Sql,
     "q58_gopher_filter" -> q58Sql,
     "q59_pii_redact" -> q59Sql,
     "q49_levenshtein" -> q49Sql,

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{HistoryOps, ScaleOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + plan-shape checks for the round-7 additions: salted join
+  * (q173), incremental aggregate maintenance (q174), and prefix-filtered
+  * AllPairs exact similarity join (q175). Value parity is the DuckDB
+  * oracle gate's job; these pin the semantics and plan shapes each
+  * operator exists for. */
+class Round7OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q173: salted join result equals the plain unsalted join") {
+    val salted = ScaleOps.q173SaltedJoin(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    val sup = Tables.supplier(spark, sf)
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(graft.operators.Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey")).collect()
+    assert(salted.map(_.toString).sameElements(plain.map(_.toString)))
+  }
+
+  test("q173: plan shuffles the fact side on (key, salt), not a broadcast") {
+    val plan = ScaleOps.q173SaltedJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "salt demo must not broadcast")
+  }
+
+  test("q174: incremental fold equals full recompute, state+delta disjoint") {
+    val merged = HistoryOps.q174IncrementalAgg(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val full = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Det.dsum(col("o_totalprice")).as("spend"),
+        max(col("o_orderdate")).as("last_order"))
+    assert(merged.count() == full.count())
+    // every order lands in exactly one side of the cutoff
+    val n = orders.count()
+    val nState = orders.filter(col("o_orderdate") < lit(HistoryOps.DeltaCutoff)).count()
+    val nDelta = orders.filter(col("o_orderdate") >= lit(HistoryOps.DeltaCutoff)).count()
+    assert(nState + nDelta == n)
+    assert(nState > 0 && nDelta > 0, "cutoff must split the data for the test to mean anything")
+    // spot-check: total orders across customers match
+    val mTot = merged.agg(sum("n_orders")).collect().head.getLong(0)
+    assert(mTot == n)
+  }
+
+  test("q175: prefix filtering is lossless vs the brute-force self-join") {
+    val pruned = TextOps.q175AllpairsPrefix(spark, sf).collect()
+    // brute force: every pair sharing >=1 shingle, exact Jaccard >= 1/2
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.Portable.shingleHashes(
+          graft.functions.Portable.tokenHashes(
+            graft.functions.Portable.tokens(col("text"))))).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select("da", "db").orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = pruned.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(got.sameElements(brute),
+      s"prefix filter dropped pairs: got ${got.length}, brute ${brute.length}")
+  }
+
+  test("q175: jaccard values within [0.5, 1] and pairs ordered") {
+    val rows = TextOps.q175AllpairsPrefix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jac")
+      assert(j >= 0.5 - 1e-9 && j <= 1.0 + 1e-9, s"jac $j")
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+    }
+  }
+}
