@@ -700,12 +700,28 @@ object TextOps {
     * engines decide identically with no float edge cases.
     *
     * Scale shape: shuffle on shingle hash for df + candidates, shuffle on
-    * pair for verify — work ∝ Σ_prefix df², concentrated on rare tokens
-    * by construction; never an all-pairs product. */
+    * pair for verify — work ∝ Σ_prefix df², concentrated on rare shingles
+    * by construction; never an all-pairs product. Shingles are 5-grams,
+    * not q40's 3-grams: prefix filtering's Σdf² bound is only useful when
+    * the feature universe has a rare tail, and the corpus vocabulary is
+    * small enough that 3-gram space (|V|³) saturates — every 3-gram is
+    * common, df² explodes (measured 55 s at sf0.1). 5-gram space (|V|⁵)
+    * keeps df ≈ 1 for non-duplicated content at any corpus size where
+    * vocabulary grows slower than documents — the same
+    * longer-n-gram-for-discrimination argument as q86's k=8 contamination
+    * grams. */
   def q175AllpairsPrefix(s: SparkSession, d: String): DataFrame = {
+    // Materialize the token-hash array as a column BEFORE shingling: the
+    // k-gram fold makes k element_at references, and if they point at the
+    // raw expression subtree instead of a bound attribute, each one
+    // re-tokenizes and re-hashes the whole document per shingle (measured
+    // 80 s vs 2 s at sf0.1). Persist the exploded relation — it feeds five
+    // consumers (df, sizes, prefix, both verify sides); shingle rows ≈
+    // token count, so the cached size is corpus-bounded.
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(shingleHashes(tokenHashes(tokens(col("text"))))).as("sh"))
+      .withColumn("th", tokenHashes(tokens(col("text"))))
+      .select(col("doc_id"), explode(kgramHashes(col("th"), 5)).as("sh"))
+      .persist()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -735,7 +751,7 @@ object TextOps {
   }
 
   val q175Sql: String = {
-    val shingles = shingleHashesSql(tokenHashesSql(tokensSql("text")))
+    val shingles = kgramHashesSql(tokenHashesSql(tokensSql("text")), 5)
     s"""WITH g AS (SELECT doc_id, $shingles AS shl FROM documents),
        |e AS (SELECT doc_id, unnest(shl) AS sh FROM g),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),

@@ -55,9 +55,9 @@ class Round7OpsSpec extends AnyFunSuite {
     // brute force: every pair sharing >=1 shingle, exact Jaccard >= 1/2
     val sh = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        explode(graft.functions.Portable.shingleHashes(
+        explode(graft.functions.Portable.kgramHashes(
           graft.functions.Portable.tokenHashes(
-            graft.functions.Portable.tokens(col("text"))))).as("sh"))
+            graft.functions.Portable.tokens(col("text"))), 5)).as("sh"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val brute = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
