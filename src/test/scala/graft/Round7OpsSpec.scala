@@ -73,6 +73,19 @@ class Round7OpsSpec extends AnyFunSuite {
       s"prefix filter dropped pairs: got ${got.length}, brute ${brute.length}")
   }
 
+  test("q176: BFS depths form a contiguous ladder from the single source") {
+    val rows = graft.operators.GraphOps.q176RecursiveBfs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDepth = rows.map(r => (r.getAs[Int]("depth"), r.getAs[Long]("n_nodes"))).toMap
+    assert(byDepth(0) == 1L, "exactly the source at depth 0")
+    // depths are contiguous: a node at depth k implies a neighbor at k-1
+    val depths = byDepth.keys.toSeq.sorted
+    assert(depths == (0 until depths.length), s"gapped depths: $depths")
+    assert(byDepth.values.forall(_ >= 1))
+    // depth 1 = the source's direct suppliers; bipartite prefixes alternate
+    assert(byDepth.getOrElse(1, 0L) >= 1L)
+  }
+
   test("q175: jaccard values within [0.5, 1] and pairs ordered") {
     val rows = TextOps.q175AllpairsPrefix(spark, sf).collect()
     assert(rows.nonEmpty)
