@@ -86,6 +86,17 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(byDepth.getOrElse(1, 0L) >= 1L)
   }
 
+  test("q177: drifted deliveries union losslessly; pre-drift rows folded") {
+    val rows = graft.operators.PipelineQueries.q177SchemaDrift(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == orders.count(), "no rows lost or duplicated across deliveries")
+    val predrift = rows.find(_.getAs[String]("o_orderstatus") == "predrift")
+    assert(predrift.isDefined)
+    assert(predrift.get.getAs[Long]("n") ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("q175: jaccard values within [0.5, 1] and pairs ordered") {
     val rows = TextOps.q175AllpairsPrefix(spark, sf).collect()
     assert(rows.nonEmpty)
