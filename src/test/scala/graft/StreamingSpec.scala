@@ -31,6 +31,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming aggregation state equals the batch incremental fold (q174 twin)") {
+    // q174 proves state+delta partial merge == full recompute in batch;
+    // the streaming twin: a complete-mode grouped aggregation over the
+    // orders parquet drained as a stream IS that same monoid fold, one
+    // micro-batch at a time. Final state must equal the batch answer.
+    val dir = java.nio.file.Files.createTempDirectory("orders_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/orders.parquet"), dir.resolve("part-0.parquet"))
+    val schema = Tables.orders(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(operators.Det.fixed6(col("o_totalprice")).cast(operators.Det.Acc)).as("spend6"),
+        max(col("o_orderdate")).as("last_order"))
+    val q = EventStream.runToMemory(stream, "inc_agg", OutputMode.Complete())
+    try {
+      val streamed = spark.table("inc_agg")
+        .select(col("o_custkey"), col("n_orders"),
+          (col("spend6").cast("double") / lit(1000000.0)).as("spend"), col("last_order"))
+        .orderBy(col("o_custkey")).collect()
+      val batch = operators.HistoryOps.q174IncrementalAgg(spark, sf).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization flushes an IDLE session once the watermark passes") {
     import spark.implicits._
     def write(dir: java.nio.file.Path, name: String, events: Seq[EventStream.Event]): Unit =
