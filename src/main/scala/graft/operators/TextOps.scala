@@ -722,6 +722,14 @@ object TextOps {
       .withColumn("th", tokenHashes(tokens(col("text"))))
       .select(col("doc_id"), explode(kgramHashes(col("th"), 5)).as("sh"))
       .persist()
+    allpairsPrefixCore(sh)
+  }
+
+  /** Core of q175 over any (doc_id, sh) set relation — separated so the
+    * property suite can drive it with adversarial random universes
+    * (small feature spaces force heavy df collisions and ties, the worst
+    * case for the prefix-completeness theorem). */
+  def allpairsPrefixCore(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))

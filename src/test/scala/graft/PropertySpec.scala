@@ -37,6 +37,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("allpairs prefix filter: lossless and exact on adversarial small universes") {
+    // Tiny feature universes make every feature common (df collisions,
+    // ordering ties, duplicate sets, subset sets) — the regime where a
+    // buggy prefix length or tie-break would drop pairs. Ground truth is
+    // computed driver-side from the generated sets.
+    val corpusGen: Gen[List[(Long, Set[Long])]] = for {
+      nDocs <- Gen.choose(4, 14)
+      univ <- Gen.choose(5L, 10L)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(1L, univ)).map(_.toSet))
+    } yield docs.zipWithIndex.map { case (set, i) => (i.toLong, set) }
+    samples(corpusGen, 12).filter(_.nonEmpty).foreach { docs =>
+      val sh = docs.flatMap { case (id, set) => set.map(f => (id, f)) }
+        .toDF("doc_id", "sh")
+      val got = graft.operators.TextOps.allpairsPrefixCore(sh).collect()
+        .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Long]("inter")))
+        .toMap
+      val expected = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+        inter = (sa & sb).size
+        if 3 * inter >= sa.size + sb.size && inter > 0
+      } yield ((ia, ib), inter.toLong)).toMap
+      assert(got == expected,
+        s"docs=$docs\n got=$got\n expected=$expected")
+    }
+  }
+
   test("applyRenames: bijective on present columns, no column lost or gained") {
     val presentGen = Gen.someOf(RenameMaps.claim.keys.toSeq).map(_.toList)
     samples(presentGen, 8).filter(_.nonEmpty).foreach { cols =>
