@@ -341,6 +341,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q178 — leakage-safe train/val/test split: assignment is by DUP
+    * CLUSTER, not by document, so near-duplicates can never straddle
+    * train and eval (the contamination channel a per-doc random split
+    * leaves open — a test doc whose near-copy sits in train is a leaked
+    * answer). Composition: q55's connected components give every
+    * clustered doc its cluster representative; singletons represent
+    * themselves; the representative id is hashed to a bucket
+    * (Knuth multiplicative constant, pure integer arithmetic on both
+    * engines) and bucketed 80/10/10. Output: per-split doc and cluster
+    * counts. By construction zero clusters span splits — the property a
+    * per-doc split cannot offer.
+    *
+    * Scale shape: q55's label propagation plus one broadcast-joinable
+    * label map against the corpus; the split decision itself is a
+    * per-row projection. */
+  def q178LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = q55DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val bucket = (col("cluster_id") * lit(2654435761L)) % lit(100L)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  val q178Sql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       |pairs AS (SELECT da, db FROM cand WHERE $lshJacExpr >= 0.5),
+       |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+       |verts AS (SELECT DISTINCT da AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eg.da, re.r FROM edges eg JOIN reach re ON re.id = eg.db
+       |),
+       |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |alldocs AS (
+       |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+       |b AS (SELECT doc_id, cluster_id, (cluster_id * 2654435761) % 100 AS bkt
+       |      FROM alldocs)
+       |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q55Sql: String =
     s"""WITH RECURSIVE $lshCandidateCtes,
        |pairs AS (SELECT da, db FROM cand WHERE $lshJacExpr >= 0.5),
@@ -778,6 +829,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "q175_allpairs_prefix" -> q175AllpairsPrefix _,
+    "q178_leakage_safe_split" -> q178LeakageSafeSplit _,
     "q58_gopher_filter" -> q58GopherFilter _,
     "q59_pii_redact" -> q59PiiRedact _,
     "q49_levenshtein" -> q49Levenshtein _,
@@ -797,6 +849,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q175_allpairs_prefix" -> q175Sql,
+    "q178_leakage_safe_split" -> q178Sql,
     "q58_gopher_filter" -> q58Sql,
     "q59_pii_redact" -> q59Sql,
     "q49_levenshtein" -> q49Sql,

@@ -97,6 +97,25 @@ class Round7OpsSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey") % 2 === 0).count())
   }
 
+  test("q178: splits cover the corpus; no dup cluster spans two splits") {
+    val out = TextOps.q178LeakageSafeSplit(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // re-derive per-doc assignment and assert cluster -> split is a function
+    val clusters = TextOps.q55DupClusters(spark, sf).select(col("doc_id"), col("cluster_id"))
+    val perDoc = Tables.documents(spark, sf).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bkt", (col("cluster_id") * lit(2654435761L)) % lit(100L))
+      .withColumn("split", when(col("bkt") < 80, lit("train"))
+        .when(col("bkt") < 90, lit("val")).otherwise(lit("test")))
+    val spanning = perDoc.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(spanning == 0, "a dup cluster leaked across splits")
+    // every split is non-trivially populated at fixture scale
+    assert(out.length == 3 && out.forall(_.getAs[Long]("n_docs") > 0))
+  }
+
   test("q175: jaccard values within [0.5, 1] and pairs ordered") {
     val rows = TextOps.q175AllpairsPrefix(spark, sf).collect()
     assert(rows.nonEmpty)
