@@ -25,6 +25,7 @@ object SparkEntry {
       operators.PipelineQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.ScaleOps.queries ++
+      operators.ScaleOps2.queries ++
       operators.Joins2.queries ++
       operators.Tpch2.queries ++
       operators.Tpch3.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.PipelineQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       operators.ScaleOps.oracles ++
+      operators.ScaleOps2.oracles ++
       operators.Joins2.oracles ++
       operators.Tpch2.oracles ++
       operators.Tpch3.oracles ++
