@@ -827,7 +827,99 @@ object TextOps {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** q183 — incremental dedup: probe a DELTA batch of new documents
+    * against the STANDING corpus' LSH index without touching
+    * standing-vs-standing pairs.
+    *
+    * The production shape this grades: a crawl lands daily; deduping it
+    * means comparing the new batch against the existing index, not
+    * re-running all-pairs over the whole corpus (q35 is the full batch
+    * op; q174 is the same incremental principle for aggregates). The
+    * probe join's work is |delta bands| × (collisions in the standing
+    * index) — proportional to the DELTA, independent of corpus size once
+    * the index exists. Here "standing" is doc_id % 8 ≠ 7 and "delta" is
+    * doc_id % 8 = 7 (a deterministic 12.5% batch both engines agree on).
+    * Index-side conventions an incremental system must fix are made
+    * explicit: the shingle df-cap is computed from the STANDING corpus
+    * only (the index's own statistics — a delta batch can't retroactively
+    * reclassify an indexed shingle as hot), and delta-only shingles pass
+    * the cap by definition. Candidates are verified with exact Jaccard,
+    * so the output is (new doc, indexed doc, similarity) ready for the
+    * keep/drop routing step. */
+  def q183DeltaDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct()
+      .withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh0 = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"),
+        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+      .persist() // read by the df-cap count and both band builds
+    val isDelta = col("doc_id") % 8 === 7
+    // index statistics: hot shingles determined by the standing side only
+    val hot = sh0.filter(!isDelta).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
+    val capped = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sigAggs = (0 until 8).map(i =>
+      min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+    val docs = capped.groupBy(col("doc_id"))
+      .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
+      .persist()
+    def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
+          col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+    // the probe: delta bands against the standing index — never
+    // standing×standing, so candidate volume scales with the batch
+    val cand = bandsOf(docs.filter(isDelta)).as("l")
+      .join(bandsOf(docs.filter(!isDelta)).as("r"), col("l.bk") === col("r.bk"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
+    val a = docs.select(col("doc_id").as("da"), col("sh_set").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("sh_set").as("sb"))
+    cand.join(a, "da").join(b, "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q183Sql: String = {
+    val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
+       |e AS (SELECT doc_id, unnest(sh0) AS s FROM t),
+       |dfreq AS (SELECT s, COUNT(*) AS df FROM e WHERE doc_id % 8 <> 7 GROUP BY 1),
+       |f AS (SELECT doc_id, list(s) AS sh FROM e LEFT JOIN dfreq USING (s)
+       |      WHERE COALESCE(df, 0) <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, sh, $sigs FROM f),
+       |bands AS (
+       |  SELECT doc_id, sh, b AS band,
+       |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,
+       |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
+       |  FROM sigs, UNNEST(range(0, 4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       |   AND a.doc_id % 8 = 7 AND b.doc_id % 8 <> 7)
+       |SELECT da, db,
+       |  ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) AS jac
+       |FROM cand
+       |WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6) >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_delta_dedup" -> q183DeltaDedup _,
     "q175_allpairs_prefix" -> q175AllpairsPrefix _,
     "q178_leakage_safe_split" -> q178LeakageSafeSplit _,
     "q58_gopher_filter" -> q58GopherFilter _,
@@ -848,6 +940,7 @@ object TextOps {
     "q90_minhash_fast" -> q90MinHashFast _)
 
   val oracles: Map[String, String] = Map(
+    "q183_delta_dedup" -> q183Sql,
     "q175_allpairs_prefix" -> q175Sql,
     "q178_leakage_safe_split" -> q178Sql,
     "q58_gopher_filter" -> q58Sql,

@@ -95,6 +95,19 @@ class Round7SketchSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q183: incremental delta-vs-index dedup ----
+
+  test("q183: every pair is delta-probe vs standing-index; jac in [0.5,1]") {
+    val rows = graft.operators.TextOps.q183DeltaDedup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 8 == 7, s"da ${r.getLong(0)} not in the delta batch")
+      assert(r.getLong(1) % 8 != 7, s"db ${r.getLong(1)} not in the standing corpus")
+      val j = r.getAs[Double]("jac")
+      assert(j >= 0.5 - 1e-9 && j <= 1.0 + 1e-9)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   // ---- q182: stratification invariants ----
 
   test("q182: keeps exactly ceil(n_lang/4) docs per language, best-first") {
