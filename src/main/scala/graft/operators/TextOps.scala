@@ -846,7 +846,16 @@ object TextOps {
     * the cap by definition. Candidates are verified with exact Jaccard,
     * so the output is (new doc, indexed doc, similarity) ready for the
     * keep/drop routing step. */
-  def q183DeltaDedup(s: SparkSession, d: String): DataFrame = {
+  /** The delta-batch predicate shared by q183 and its streaming twin:
+    * doc_id % 8 = 7 is "new this delivery", the rest is the standing
+    * corpus. */
+  val DeltaPred: org.apache.spark.sql.Column = col("doc_id") % 8 === 7
+
+  /** Hot-shingle list by STANDING-corpus document frequency (the index's
+    * own statistics — q183's df-cap convention), plus the capped
+    * per-document LSH relation (doc_id, sig0..7, sh_set) for ALL
+    * documents. Shared by q183 and the streaming twin's index build. */
+  def deltaLshRelations(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -861,9 +870,8 @@ object TextOps {
         ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
       .distinct()
       .persist() // read by the df-cap count and both band builds
-    val isDelta = col("doc_id") % 8 === 7
     // index statistics: hot shingles determined by the standing side only
-    val hot = sh0.filter(!isDelta).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val hot = sh0.filter(!DeltaPred).groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
     val capped = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sigAggs = (0 until 8).map(i =>
@@ -871,10 +879,18 @@ object TextOps {
     val docs = capped.groupBy(col("doc_id"))
       .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
       .persist()
-    def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
-          col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+    (hot, docs)
+  }
+
+  /** Band keys (doc_id, bk=(band,v0,v1)) for an LSH doc relation. */
+  def bandsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
+        col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+
+  def q183DeltaDedup(s: SparkSession, d: String): DataFrame = {
+    val (_, docs) = deltaLshRelations(s, d)
+    val isDelta = DeltaPred
     // the probe: delta bands against the standing index — never
     // standing×standing, so candidate volume scales with the batch
     val cand = bandsOf(docs.filter(isDelta)).as("l")
@@ -918,8 +934,72 @@ object TextOps {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** q184 — canonical-document selection: inside every multi-document dup
+    * cluster (q55's connected components), keep the HIGHEST-QUALITY
+    * member, not the arbitrary min-id one.
+    *
+    * This is the routing step a dedup pipeline actually ends with: the
+    * cluster tells you the documents are interchangeable, quality decides
+    * which one survives. Quality is the integer lexical-diversity score
+    * (q182's ⌊distinct-token ratio × 10⁶⌋ — pure integer arithmetic, so
+    * the winner is deterministic on both engines), tie-broken by min
+    * doc_id. The rank window partitions by cluster_id — dup clusters are
+    * small by nature, so the shuffle is balanced whatever the corpus
+    * size. Output is one row per multi-doc cluster: the survivor, its
+    * score, and how many members it displaced. */
+  def q184KeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = q55DupClusters(s, d)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scores = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("score", expr(
+        """case when size(toks) = 0 then 0L
+          |else (cast(size(array_distinct(toks)) as bigint) * 1000000)
+          |       div cast(size(toks) as bigint) end""".stripMargin))
+      .select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("score"), col("cluster_size").as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q184Sql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       |pairs AS (SELECT da, db FROM cand WHERE $lshJacExpr >= 0.5),
+       |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+       |verts AS (SELECT DISTINCT da AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eg.da, re.r FROM edges eg JOIN reach re ON re.id = eg.db
+       |),
+       |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+       |mem AS (SELECT id AS doc_id, cluster_id, cluster_size
+       |        FROM lab JOIN sz USING (cluster_id) WHERE cluster_size >= 2),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN 0
+       |         ELSE (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+       |                // CAST(len(toks) AS BIGINT) END AS score
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
+       |r2 AS (
+       |  SELECT mem.cluster_id, mem.doc_id, sc.score, mem.cluster_size,
+       |    row_number() OVER (PARTITION BY mem.cluster_id
+       |      ORDER BY sc.score DESC, mem.doc_id) AS rn
+       |  FROM mem JOIN sc USING (doc_id))
+       |SELECT cluster_id, doc_id AS kept_doc, score, cluster_size AS n_members
+       |FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q183_delta_dedup" -> q183DeltaDedup _,
+    "q184_keep_best" -> q184KeepBest _,
     "q175_allpairs_prefix" -> q175AllpairsPrefix _,
     "q178_leakage_safe_split" -> q178LeakageSafeSplit _,
     "q58_gopher_filter" -> q58GopherFilter _,
@@ -941,6 +1021,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q183_delta_dedup" -> q183Sql,
+    "q184_keep_best" -> q184Sql,
     "q175_allpairs_prefix" -> q175Sql,
     "q178_leakage_safe_split" -> q178Sql,
     "q58_gopher_filter" -> q58Sql,

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.functions.Portable._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the incremental dedup probe
+  * ([[graft.operators.TextOps.q183DeltaDedup]]): new documents arrive as
+  * a STREAM and are checked against the STATIC standing-corpus LSH index
+  * with stream-static joins — the continuous form of the daily-crawl
+  * batch op.
+  *
+  * The batch pipeline computes shingles with a `lead()` window over token
+  * positions (a performance choice — the portable hash runs once per
+  * distinct token); windows are not available on streaming DataFrames, so
+  * the stream side uses the row-local array pipeline
+  * (`shingleHashes(tokenHashes(tokens(text)))`), which produces the SAME
+  * distinct shingle-hash set per document — the twin test asserts pair
+  * parity with the batch operator. Everything per-row is a projection
+  * (shingle set → hot-list filter → 8 min-hash folds → 4 band keys), so
+  * the stream stays append-mode with no stateful operator before the
+  * joins; the only state is the final (da, db) dropDuplicates, bounded by
+  * the candidate volume of the delta batch in flight.
+  */
+object CorpusStream {
+
+  /** @param docs          streaming (doc_id, text)
+    * @param hot           standing-index hot shingles (driver-collected —
+    *                      the hot list is bounded by construction: only
+    *                      shingles with df > cap in the standing corpus)
+    * @param standingBands static (db, band, v0, v1) band index
+    * @param standingSets  static (db, sb) capped shingle sets */
+  def deltaDedupStream(docs: DataFrame, hot: Seq[Long],
+      standingBands: DataFrame, standingSets: DataFrame): DataFrame = {
+    val hotArr =
+      if (hot.isEmpty) array().cast("array<bigint>")
+      else array(hot.map(lit): _*)
+    val capped = docs
+      .withColumn("shl", shingleHashes(tokenHashes(tokens(col("text")))))
+      .withColumn("sa", filter(col("shl"), h => !array_contains(hotArr, h)))
+      .filter(size(col("sa")) > 0)
+    val sigs = (0 until 8).map(i => minHashSig(col("sa"), i).as(s"sig$i"))
+    val withSigs = capped.select(col("doc_id") +: col("sa") +: sigs: _*)
+    val bands = withSigs.select(col("doc_id").as("da"), col("sa"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
+          col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+      .select(col("da"), col("sa"),
+        col("bk.band").as("band"), col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+    bands
+      .join(standingBands, Seq("band", "v0", "v1")) // stream-static probe
+      .join(standingSets, "db")                     // fetch index-side set
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+      .dropDuplicates("da", "db") // multi-band collisions emit once
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{CorpusStream, EventStream}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -239,6 +239,35 @@ class StreamingSpec extends AnyFunSuite {
       val ids = spark.table("deduped").select(col("event_id"))
         .as[Long].collect().sorted
       assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming delta-dedup probe matches the batch q183 pairs") {
+    import graft.operators.TextOps
+    // static standing index, built by the batch code q183 itself uses
+    val (hotDf, docs) = TextOps.deltaLshRelations(spark, sf)
+    val standing = docs.filter(!TextOps.DeltaPred)
+    val standingBands = TextOps.bandsOf(standing)
+      .select(col("doc_id").as("db"), col("bk.band").as("band"),
+        col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+    val standingSets = standing.select(col("doc_id").as("db"), col("sh_set").as("sb"))
+    val hot = hotDf.select(col("sh")).collect().map(_.getLong(0)).toSeq
+    // the delta batch arrives as a file stream
+    val dir = java.nio.file.Files.createTempDirectory("delta_docs")
+    val delta = Tables.documents(spark, sf).filter(TextOps.DeltaPred)
+      .select(col("doc_id"), col("text"))
+    delta.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .parquet(dir.toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.deltaDedupStream(stream, hot, standingBands, standingSets),
+      "delta_dedup")
+    try {
+      val streamed = spark.table("delta_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val batch = TextOps.q183DeltaDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(batch.nonEmpty && streamed.sameElements(batch))
     } finally q.stop()
   }
 
