@@ -38,7 +38,9 @@ object SparkEntry {
       operators.Profiling.queries ++
       operators.Linkage.queries ++
       operators.GraphOps.queries ++
-      operators.Recsys.queries
+      operators.Recsys.queries ++
+      operators.Retrieval.queries ++
+      operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +68,7 @@ object SparkEntry {
       operators.Profiling.oracles ++
       operators.Linkage.oracles ++
       operators.GraphOps.oracles ++
-      operators.Recsys.oracles
+      operators.Recsys.oracles ++
+      operators.Retrieval.oracles ++
+      operators.Layout.oracles
 }

@@ -130,8 +130,12 @@ object GraphOps {
       .filter(col("s1") =!= col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("co"))
     val sim = co
-      .join(broadcast(deg.select(col("s").as("s1"), col("deg").as("d1"))), "s1")
-      .join(broadcast(deg.select(col("s").as("s2"), col("deg").as("d2"))), "s2")
+      // no broadcast hint: deg is |items|-sized — small for the supplier
+      // graph here, but items ∝ corpus in general. A plain join lets AQE
+      // broadcast when the runtime size qualifies and fall back to a
+      // shuffle join when it doesn't, so the plan survives both regimes.
+      .join(deg.select(col("s").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("s").as("s2"), col("deg").as("d2")), "s2")
       .withColumn("cos", col("co") / sqrt(col("d1") * col("d2")))
     val w = Window.partitionBy(col("s1")).orderBy(col("cos").desc, col("s2"))
     val edges = sim.withColumn("rnk", row_number().over(w))

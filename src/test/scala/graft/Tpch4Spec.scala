@@ -100,4 +100,14 @@ class Tpch4Spec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("triangles") > 0))
     assert(rows.map(_.getAs[Long]("triangles")).sum % 3 == 0)
   }
+
+  test("q162 deg joins carry no broadcast hint, yet AQE still broadcasts at fixture scale") {
+    // the hint was removed (deg is |items|-sized — items ∝ corpus in
+    // general); AQE must pick broadcast when the runtime size qualifies
+    val df = GraphOps.q162TriangleCount(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small deg side at fixture scale:\n${plan.take(1500)}")
+  }
 }
