@@ -40,7 +40,8 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.Recsys.queries ++
       operators.Retrieval.queries ++
-      operators.Layout.queries
+      operators.Layout.queries ++
+      operators.SyncOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +71,6 @@ object SparkEntry {
       operators.GraphOps.oracles ++
       operators.Recsys.oracles ++
       operators.Retrieval.oracles ++
-      operators.Layout.oracles
+      operators.Layout.oracles ++
+      operators.SyncOps.oracles
 }

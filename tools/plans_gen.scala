@@ -14,7 +14,8 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q173_salted_join","q174_incremental_agg","q175_allpairs_prefix",
   "q176_recursive_bfs","q177_schema_drift","q179_heavy_hitters",
   "q180_pps_sample","q181_kmv_distinct","q182_lang_strata","q183_delta_dedup",
-  "q185_bm25","q186_phrase_search","q187_skyline","q188_resample_interp")
+  "q185_bm25","q186_phrase_search","q187_skyline","q188_resample_interp",
+  "q189_block_diff","q190_source_jaccard","q191_rendezvous")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
