@@ -41,7 +41,8 @@ object SparkEntry {
       operators.Recsys.queries ++
       operators.Retrieval.queries ++
       operators.Layout.queries ++
-      operators.SyncOps.queries
+      operators.SyncOps.queries ++
+      operators.MaintOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +73,6 @@ object SparkEntry {
       operators.Recsys.oracles ++
       operators.Retrieval.oracles ++
       operators.Layout.oracles ++
-      operators.SyncOps.oracles
+      operators.SyncOps.oracles ++
+      operators.MaintOps.oracles
 }

@@ -255,12 +255,83 @@ object GraphOps {
 
   val q176Sql: String = bfsSql("VARCHAR")
 
+  /** q194 — connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * over the same verified near-dup pair graph as q55.
+    *
+    * Why a second CC algorithm: q55's min-label propagation needs a
+    * round per unit of graph DIAMETER — fine for near-dup clusters
+    * (shallow by nature), quadratic-wall-clock on a long chain. LS/SS
+    * contracts toward stars by pointer-doubling-style rewiring and
+    * converges in O(log n) rounds on ANY topology — the algorithm a
+    * 100 TB general-graph CC job actually runs. Each pass is one
+    * groupBy (per-node min) + one join (re-emit edges at the group
+    * min), both partial-aggregable/shuffle-bounded by the CURRENT edge
+    * set, which only shrinks. Edges keep the child>parent orientation
+    * invariant; convergence (both passes leave the edge set unchanged)
+    * leaves exactly the star graph child → component-min, so labels
+    * read off without a final traversal. Oracle: the same recursive-CTE
+    * component labeling as q55 — two different algorithms, one answer.
+    */
+  def q194CcTwoPhase(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.q35MinHashLsh(s, d).select(col("da"), col("db"))
+    // child > parent orientation (da < db in q35 output)
+    var e = pairs.select(col("db").as("c"), col("da").as("p"))
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("c").as("id")).union(e.select(col("p").as("id")))
+      .distinct().localCheckpoint(true)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 30) {
+      // large-star: per node u over its UNDIRECTED neighborhood,
+      // re-attach every strictly larger neighbor to min(Γ(u) ∪ {u})
+      val g = e.select(col("c").as("u"), col("p").as("v"))
+        .union(e.select(col("p").as("u"), col("c").as("v")))
+      val m = g.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = g.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .distinct().localCheckpoint(true)
+      // small-star: per child over its PARENTS, re-attach child and
+      // non-min parents to the min parent
+      val pm = ls.groupBy(col("c")).agg(min(col("p")).as("m"))
+      val ss = ls.join(pm, "c")
+        .select(col("p").as("c2"), col("m"))
+        .filter(col("c2") =!= col("m"))
+        .select(col("c2").as("c"), col("m").as("p"))
+        .union(pm.select(col("c"), col("m").as("p")))
+        .distinct().localCheckpoint(true)
+      changed = !(ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty)
+      e = ss
+      rounds += 1
+    }
+    val lab = e.groupBy(col("c").as("id")).agg(min(col("p")).as("cluster_id"))
+    verts.join(lab, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q194Sql: String =
+    s"""WITH RECURSIVE ${TextOps.lshCandidateCtes},
+       |pairs AS (SELECT da, db FROM cand WHERE ${TextOps.lshJacExpr} >= 0.5),
+       |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+       |verts AS (SELECT DISTINCT da AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eg.da, re.r FROM edges eg JOIN reach re ON re.id = eg.db
+       |)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q151_pagerank" -> q151Pagerank _,
     "q162_triangle_count" -> q162TriangleCount _,
-    "q176_recursive_bfs" -> q176RecursiveBfs _)
+    "q176_recursive_bfs" -> q176RecursiveBfs _,
+    "q194_cc_two_phase" -> q194CcTwoPhase _)
   val oracles: Map[String, String] = Map(
     "q151_pagerank" -> q151Sql,
     "q162_triangle_count" -> q162Sql,
-    "q176_recursive_bfs" -> q176Sql)
+    "q176_recursive_bfs" -> q176Sql,
+    "q194_cc_two_phase" -> q194Sql)
 }

@@ -260,11 +260,11 @@ object TextOps {
 
   /** The q35 LSH pipeline as a CTE chain, shared by q35's oracle and
     * q55's (which clusters q35's verified pairs). */
-  private val lshJacExpr: String =
+  private[operators] val lshJacExpr: String =
     """ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
       |        (len(sa) + len(sb) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)), 6)""".stripMargin
 
-  private val lshCandidateCtes: String = {
+  private[operators] val lshCandidateCtes: String = {
     val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
     s"""t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
        |e AS (SELECT doc_id, unnest(sh0) AS s FROM t),

@@ -263,6 +263,27 @@ object EventStream {
   def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream-static point-in-time enrichment against an SCD2-style
+    * dimension — the streaming twin of the batch PIT lookup (q132).
+    *
+    * The as-of shape (argmax of dim rows ≤ fact time) needs a per-fact
+    * aggregation, which append-mode streaming can't express; the
+    * streaming-native equivalent closes each dimension version into a
+    * half-open VALIDITY INTERVAL [t_start, t_end) batch-side (one lead()
+    * window when the dim is refreshed), so each fact matches exactly one
+    * version via a stateless non-equi stream-static join — row
+    * preserving, no watermark, no join state, dim broadcast per
+    * micro-batch. `dim` columns: d_user_id, t_start, t_end, version,
+    * state; facts need user_id and an epoch-micros `t_us`. */
+  def pitEnrich(facts: DataFrame, dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    facts.join(broadcast(dim),
+      facts("user_id") === dim("d_user_id") &&
+        facts("t_us") >= dim("t_start") && facts("t_us") < dim("t_end"),
+      "left")
+      .drop("d_user_id")
+  }
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -202,6 +202,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static PIT enrichment (q132 twin) matches the batch as-of semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("events_pit")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val batchEvents = Tables.events(spark, sf)
+    // SCD2 dim with validity intervals, built batch-side as on refresh:
+    // version change points (q132's dim) closed into [t_start, t_end)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = batchEvents.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wSeq))
+      .withColumn("chg",
+        (col("prev_type").isNull || col("prev_type") =!= col("event_type")).cast("long"))
+      .withColumn("version", sum(col("chg")).over(wSeq))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(unix_micros(min(col("ts"))).as("t_start"))
+      .withColumn("t_end", coalesce(
+        lead(col("t_start"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t_start"))),
+        lit(Long.MaxValue)))
+      .select(col("user_id").as("d_user_id"), col("t_start"), col("t_end"),
+        col("version"), col("event_type").as("state"))
+    def facts(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.runToMemory(
+      EventStream.pitEnrich(facts(stream), dim), "pit_enriched", OutputMode.Append())
+    try {
+      val streamed = spark.table("pit_enriched")
+        .select(col("event_id"), col("version"), col("state"))
+        .orderBy(col("event_id")).collect()
+      val batch = EventStream.pitEnrich(facts(batchEvents), dim)
+        .select(col("event_id"), col("version"), col("state"))
+        .orderBy(col("event_id")).collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+      // row-preserving: every error fact appears exactly once
+      assert(streamed.length == facts(batchEvents).count())
+    } finally q.stop()
+  }
+
   test("stream-stream click↔view join matches the batch join") {
     // streaming sources read directories; stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("events_ssjoin")
