@@ -42,7 +42,8 @@ object SparkEntry {
       operators.Retrieval.queries ++
       operators.Layout.queries ++
       operators.SyncOps.queries ++
-      operators.MaintOps.queries
+      operators.MaintOps.queries ++
+      operators.FeatureOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +75,6 @@ object SparkEntry {
       operators.Retrieval.oracles ++
       operators.Layout.oracles ++
       operators.SyncOps.oracles ++
-      operators.MaintOps.oracles
+      operators.MaintOps.oracles ++
+      operators.FeatureOps.oracles
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and sketch-depth operators: a fully deterministic
+  * HyperLogLog (register maxima + both estimator branches, engine-
+  * portable down to the estimate), embedding moment statistics through a
+  * custom mergeable array aggregate, and token span offsets for
+  * annotation alignment.
+  */
+object FeatureOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** HLL register count (m) and rank-source width in bits for q195. */
+  val HllM = 64
+  val HllW = 24
+
+  /** q195 — per-source distinct-token cardinality via HyperLogLog,
+    * deterministic end to end, next to the exact count.
+    *
+    * Registers: j = h mod 64, rank = position of the highest set bit of
+    * w = h div 64 counted from the top of a 24-bit window (ρ(0) = 25) —
+    * highest-bit search is an integer fold over bit positions, NOT
+    * floor(log2(w)) (libm edge cases at exact powers of two would break
+    * cross-engine parity). Register maxima are a partial-aggregable
+    * max-groupBy with ≤ m·|sources| total state — the mergeability that
+    * lets per-day registers roll into per-month cardinalities without
+    * re-reading data (q181's KMV argument, with m registers instead of
+    * k minima). The estimator runs BOTH standard branches: the harmonic
+    * mean α·m²/Z (Z sums exact dyadic 2^−M terms — associative in IEEE,
+    * so engine-portable despite being floats) and the small-range
+    * linear-counting correction m·ln(m/V) when E ≤ 2.5m and empty
+    * registers exist. Every float op is written in the same order in
+    * the DuckDB oracle, so even the ESTIMATES hash-match.
+    */
+  def q195Hll(s: SparkSession, d: String): DataFrame = {
+    val m = HllM
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"), polyHash(col("tok")).as("h"))
+      .persist() // register pass + exact pass
+    val regs = toks
+      .withColumn("j", col("h") % m)
+      .withColumn("w", expr(s"h div $m"))
+      .withColumn("hb", expr(
+        s"aggregate(sequence(0, ${HllW - 1}), -1, (acc, b) -> IF(((w >> b) & 1) = 1, b, acc))"))
+      .withColumn("rank", lit(HllW) - col("hb"))
+      .groupBy(col("source"), col("j"))
+      .agg(max(col("rank")).as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val est = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("mj"))).as("zp"))
+      .withColumn("v_zeros", lit(m.toLong) - col("present"))
+      .withColumn("z", col("zp") + col("v_zeros").cast("double"))
+      .withColumn("raw", alpha * lit(m.toDouble) * lit(m.toDouble) / col("z"))
+      .withColumn("est",
+        when(col("raw") <= lit(2.5 * m) && col("v_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zeros").cast("double")))
+          .otherwise(col("raw")))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact"), col("v_zeros"),
+        round(col("raw"), 6).as("est_raw"), round(col("est"), 6).as("est"))
+      .orderBy(col("source"))
+  }
+
+  val q195Sql: String = {
+    val m = HllM
+    s"""WITH tok AS (
+       |  SELECT source, ${polyHashSql("tok")} AS h
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents)),
+       |r AS (
+       |  SELECT source, h % $m AS j,
+       |         $HllW - list_reduce(list_concat([CAST(-1 AS BIGINT)],
+       |           list_transform(range(0, $HllW),
+       |             b -> CASE WHEN ((h // $m) >> b) & 1 = 1 THEN b ELSE -2 END)),
+       |           (acc, b) -> CASE WHEN b >= 0 THEN b ELSE acc END) AS rank
+       |  FROM tok),
+       |regs AS (SELECT source, j, max(rank) AS mj FROM r GROUP BY source, j),
+       |e AS (
+       |  SELECT source, count(*) AS present, sum(power(2.0, -mj)) AS zp
+       |  FROM regs GROUP BY source),
+       |c AS (
+       |  SELECT source, present, $m - present AS v_zeros,
+       |         zp + CAST($m - present AS DOUBLE) AS z
+       |  FROM e),
+       |est AS (
+       |  SELECT source, v_zeros,
+       |         (0.7213 / (1.0 + 1.079 / ${m.toDouble})) * ${m.toDouble} * ${m.toDouble} / z AS raw
+       |  FROM c),
+       |x AS (SELECT source, count(DISTINCT h) AS n_exact FROM tok GROUP BY source)
+       |SELECT source, n_exact, v_zeros,
+       |       ROUND(raw, 6) AS est_raw,
+       |       ROUND(CASE WHEN raw <= ${2.5 * m} AND v_zeros > 0
+       |                  THEN ${m.toDouble} * LN(${m.toDouble} / CAST(v_zeros AS DOUBLE))
+       |                  ELSE raw END, 6) AS est
+       |FROM est JOIN x USING (source) ORDER BY source""".stripMargin
+  }
+
+  /** q196 — per-label embedding mean and variance by dimension, via the
+    * custom [[graft.functions.ArraySumFixed]] mergeable array aggregate.
+    *
+    * The declarative plan (posexplode → groupBy(label, dim)) multiplies
+    * the shuffled row count by the vector dimension — 64× the embeddings
+    * table through the exchange. ArraySumFixed keeps ONE d-length long
+    * buffer per group, merges map-side, and ships d longs per group
+    * total; the explode happens AFTER aggregation on the |labels|-sized
+    * result. Elements are 6-dp-quantized BEFORE summation (the Det
+    * contract), so partial aggregation cannot reorder float adds and the
+    * moments hash-match the oracle's per-dimension integer sums. This is
+    * the per-class feature-distribution profile (feature drift, class
+    * separation) a training pipeline computes over embedding columns.
+    */
+  def q196EmbedMoments(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ArraySumFixed.register(s)
+    val agg = Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("array_sum_fixed(embedding)").as("s1"),
+        expr("array_sum_fixed(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("s2"))
+    // micro-unit integer outputs via floor(x + 0.5): `round(double, 6)` is
+    // implemented differently per engine (Spark exact-BigDecimal HALF_UP,
+    // DuckDB multiply-based) and diverges by 1 ulp exactly at .5
+    // boundaries (hit at sf0.1); floor over identical IEEE sequences is
+    // bit-identical everywhere
+    val meanD = col("z.s1").cast("double") / col("n") / lit(1000000.0)
+    val meanMicro = floor(col("z.s1").cast("double") / col("n") + lit(0.5)).cast("long")
+    val varMicro = floor(col("z.s2").cast("double") / col("n")
+      - meanD * meanD * lit(1000000.0) + lit(0.5)).cast("long")
+    agg.select(col("label"), col("n"),
+        posexplode(arrays_zip(col("s1"), col("s2"))).as(Seq("dim", "z")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        meanMicro.as("mean_micro"), varMicro.as("var_micro"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val q196Sql: String =
+    """WITH u AS (
+      |  SELECT label,
+      |         unnest(range(0, len(embedding))) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |nl AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |sums AS (
+      |  SELECT label, dim,
+      |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+      |         SUM(CAST(floor((x * x) * 1000000.0 + 0.5) AS BIGINT)) AS s2
+      |  FROM u GROUP BY label, dim)
+      |SELECT label, dim,
+      |       CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_micro,
+      |       CAST(floor(CAST(s2 AS DOUBLE) / n
+      |             - (CAST(s1 AS DOUBLE) / n / 1000000.0)
+      |               * (CAST(s1 AS DOUBLE) / n / 1000000.0) * 1000000.0
+      |             + 0.5) AS BIGINT) AS var_micro
+      |FROM sums JOIN nl USING (label)
+      |ORDER BY label, dim""".stripMargin
+
+  /** q197 — token span offsets: each token's [start, end) character range
+    * in its document — the alignment table that maps token-level
+    * annotations (NER tags, quality spans, redaction masks) back onto
+    * raw text. One posexplode plus one doc-partitioned window cumsum of
+    * (token length + separator); all integer arithmetic.
+    */
+  def q197TokenOffsets(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("start_pos",
+        coalesce(sum(length(col("tok")) + 1).over(w), lit(0L)))
+      .withColumn("end_pos", col("start_pos") + length(col("tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("tok"), col("start_pos"), col("end_pos"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q197Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |         unnest(range(0, len(toks))) AS pos,
+      |         unnest(toks) AS tok
+      |  FROM t)
+      |SELECT doc_id, pos, tok,
+      |       CAST(coalesce(SUM(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos,
+      |       CAST(coalesce(SUM(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + len(tok) AS BIGINT) AS end_pos
+      |FROM u ORDER BY doc_id, pos""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q195_hll" -> q195Hll _,
+    "q196_embed_moments" -> q196EmbedMoments _,
+    "q197_token_offsets" -> q197TokenOffsets _)
+
+  val oracles: Map[String, String] = Map(
+    "q195_hll" -> q195Sql,
+    "q196_embed_moments" -> q196Sql,
+    "q197_token_offsets" -> q197Sql)
+}
