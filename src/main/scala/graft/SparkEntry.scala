@@ -43,7 +43,8 @@ object SparkEntry {
       operators.Layout.queries ++
       operators.SyncOps.queries ++
       operators.MaintOps.queries ++
-      operators.FeatureOps.queries
+      operators.FeatureOps.queries ++
+      operators.QualityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +77,6 @@ object SparkEntry {
       operators.Layout.oracles ++
       operators.SyncOps.oracles ++
       operators.MaintOps.oracles ++
-      operators.FeatureOps.oracles
+      operators.FeatureOps.oracles ++
+      operators.QualityOps.oracles
 }
