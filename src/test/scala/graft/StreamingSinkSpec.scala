@@ -50,6 +50,70 @@ class StreamingSinkSpec extends AnyFunSuite {
       "no duplicated event_ids across restarts")
   }
 
+  test("foreachBatch streaming upsert into silver equals the batch MERGE") {
+    import graft.pipeline.{Medallion, TableConfig}
+    val root = java.nio.file.Files.createTempDirectory("stream_upsert")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+    val silverDir = s"$root/silver"; val ckDir = s"$root/ck"
+    val cfg = TableConfig("events_silver",
+      primaryKey = Seq("user_id"), orderByCol = Seq("event_id"))
+
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      Tables.events(spark, sf).filter(cond)
+        .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$name.parquet"))
+    }
+
+    // the streaming CDC-consumer shape: each micro-batch MERGEs into the
+    // stored silver (latest row per user wins by event_id) instead of
+    // appending — the reference's full-overwrite refresh, made incremental
+    def startQuery() = EventStream.readEvents(spark, srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(silverDir)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (existing.isEmpty) Medallion.dedupByPk(batch, cfg)
+          else Medallion.upsert(existing, batch, cfg)
+        val tmp = s"$silverDir.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val hfs = new org.apache.hadoop.fs.Path(silverDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(silverDir), true)
+        hfs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(silverDir))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    stage(col("event_id") < 500, "b1")
+    val q1 = startQuery(); q1.awaitTermination()
+    // restart with a second delta — checkpoint must skip b1, and the
+    // second MERGE must update existing users rather than duplicate them
+    stage(col("event_id") >= 500, "b2")
+    val q2 = startQuery(); q2.awaitTermination()
+
+    val got = spark.read.parquet(silverDir)
+      .select(col("user_id"), col("event_id"))
+      .orderBy(col("user_id")).collect()
+    val want = Medallion.dedupByPk(
+        Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("event_type")),
+        cfg)
+      .select(col("user_id"), col("event_id"))
+      .orderBy(col("user_id")).collect()
+    assert(got.map(_.toString).sameElements(want.map(_.toString)),
+      "streamed incremental MERGE must equal the one-shot batch dedup")
+  }
+
   test("sessionize state survives a kill-and-restart between micro-batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sess_restart")
