@@ -848,7 +848,98 @@ object Behavior {
        |ORDER BY n_users DESC, path
        |LIMIT $JourneyTopK""".stripMargin
 
+  /** 3×3 determinant by first-row cofactor expansion — one shared
+    * formula string guarantees the same IEEE op order on both engines
+    * (entries row-major a0..a8). */
+  private def det3(a: Seq[String]): String =
+    s"(${a(0)}*(${a(4)}*${a(8)} - ${a(5)}*${a(7)}) " +
+      s"- ${a(1)}*(${a(3)}*${a(8)} - ${a(5)}*${a(6)}) " +
+      s"+ ${a(2)}*(${a(3)}*${a(7)} - ${a(4)}*${a(6)}))"
+
+  /** The q201 normal-equation solution, as shared SQL select items over
+    * a `stats` relation with DOUBLE columns nd, sx1, sx2, s11, s12, s22,
+    * sy, s1y, s2y. Cramer's rule on [n sx1 sx2; sx1 s11 s12; sx2 s12
+    * s22]·β = [sy; s1y; s2y]. */
+  private val q201Select: Seq[String] = {
+    val A = Seq("nd", "sx1", "sx2", "sx1", "s11", "s12", "sx2", "s12", "s22")
+    val dA = det3(A)
+    def repl(c: Int): String =
+      det3(A.zipWithIndex.map { case (e, i) =>
+        if (i % 3 == c) Seq("sy", "s1y", "s2y")(i / 3) else e
+      })
+    Seq(
+      s"ROUND(${repl(0)} / $dA, 6) AS intercept",
+      s"ROUND(${repl(1)} / $dA, 6) AS b_trend",
+      s"ROUND(${repl(2)} / $dA, 6) AS b_weekend")
+  }
+
+  /** q201 — per-event-type multiple regression: daily volume fitted to
+    * trend AND a weekend effect jointly (y = a + b·day_index +
+    * c·is_weekend), the two-regressor extension of q172's simple OLS.
+    *
+    * Fitting them jointly matters: weekends cluster along the trend
+    * axis, so a simple trend fit absorbs part of the weekend effect and
+    * a weekend mean-difference absorbs part of the trend — the normal
+    * equations decorrelate the two. All nine sufficient statistics are
+    * exact integer sums (one partial-aggregable groupBy per type);
+    * Cramer's rule runs on doubles (the 3×3 determinant products
+    * overflow int64) with the formula string SHARED between the Spark
+    * plan and the DuckDB oracle, so the op order is identical by
+    * construction. Weekend = Sat/Sun in both engines.
+    */
+  def q201MultiRegression(s: SparkSession, d: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x1", datediff(col("day"), min(col("day")).over(wType)).cast("long"))
+      .withColumn("x2", when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("lsx1"), sum(col("x2")).as("lsx2"),
+        sum(col("x1") * col("x1")).as("ls11"),
+        sum(col("x1") * col("x2")).as("ls12"),
+        sum(col("x2") * col("x2")).as("ls22"),
+        sum(col("y")).as("lsy"),
+        sum(col("x1") * col("y")).as("ls1y"),
+        sum(col("x2") * col("y")).as("ls2y"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("n").cast("double").as("nd"),
+        col("lsx1").cast("double").as("sx1"), col("lsx2").cast("double").as("sx2"),
+        col("ls11").cast("double").as("s11"), col("ls12").cast("double").as("s12"),
+        col("ls22").cast("double").as("s22"),
+        col("lsy").cast("double").as("sy"),
+        col("ls1y").cast("double").as("s1y"), col("ls2y").cast("double").as("s2y"))
+    stats.selectExpr(Seq("event_type", "n_days") ++ q201Select: _*)
+      .orderBy(col("event_type"))
+  }
+
+  val q201Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, y,
+       |    date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x1,
+       |    CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS x2
+       |  FROM daily),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+       |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+       |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+       |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+       |    CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+       |  FROM idx GROUP BY 1)
+       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       |  ${q201Select.mkString(",\n  ")}
+       |FROM stats ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q201_multi_regression" -> q201MultiRegression _,
     "q164_funnel_latency" -> q164FunnelLatency _,
     "q166_seasonal_anomaly" -> q166SeasonalAnomaly _,
     "q168_cusum" -> q168Cusum _,
@@ -872,6 +963,7 @@ object Behavior {
     "q166_seasonal_anomaly" -> q166Sql,
     "q168_cusum" -> q168Sql,
     "q170_journeys" -> q170Sql,
+    "q201_multi_regression" -> q201Sql,
     "q172_trend_fit" -> q172Sql,
     "q161_rfm_segments" -> q161Sql,
     "q146_attribution" -> q146Sql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graded queries over the multimodal plumbing. */
@@ -92,13 +93,60 @@ object MultimodalQueries {
       |  CAST(frame_len AS BIGINT) AS frame_len, CAST(frame_sum AS BIGINT) AS frame_sum
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Duration budget per inference batch (ms) for q200. */
+  val BatchBudgetMs = 50000L
+
+  /** q200 — inference batch packing for media: group each kind's items
+    * into duration-budgeted batches (the GPU-inference feeding step — a
+    * batch is one model invocation, and batching by kind keeps one
+    * decoder/model resident per batch).
+    *
+    * Same greedy sequential-packing contract as q110: items in stable
+    * (media_id) order, batch = exclusive-cumulative-duration div budget,
+    * so a batch may overrun by at most one item and the assignment is
+    * reproducible across engines and reshards. One window cumsum per
+    * kind (3 partitions here; kind × shard at scale), then a
+    * partial-aggregable rollup per batch.
+    */
+  def q200MediaBatches(s: SparkSession, d: String): DataFrame = {
+    val meta = Multimodal.fromDocuments(Tables.documents(s, d))
+      .select(col("media_id"), col("kind"), col("meta.durationMs").as("ms"))
+    val w = Window.partitionBy(col("kind")).orderBy(col("media_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    meta
+      .withColumn("cum", coalesce(sum(col("ms")).over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"cum div $BatchBudgetMs"))
+      .groupBy(col("kind"), col("batch_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("ms")).as("total_ms"))
+      .orderBy(col("kind"), col("batch_id"))
+  }
+
+  val q200Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |         CAST(n_chars * 10 AS BIGINT) AS ms
+       |  FROM documents),
+       |c AS (
+       |  SELECT kind, ms,
+       |         CAST(coalesce(SUM(ms) OVER (PARTITION BY kind ORDER BY media_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM m)
+       |SELECT kind, cum // $BatchBudgetMs AS batch_id,
+       |       count(*) AS n_items, CAST(sum(ms) AS BIGINT) AS total_ms
+       |FROM c GROUP BY kind, batch_id
+       |ORDER BY kind, batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_media_meta" -> q63MediaMeta _,
     "q64_media_features" -> q64MediaFeatures _,
-    "q57_frame_sample" -> q57FrameSample _)
+    "q57_frame_sample" -> q57FrameSample _,
+    "q200_media_batches" -> q200MediaBatches _)
 
   val oracles: Map[String, String] = Map(
     "q63_media_meta" -> q63Sql,
     "q64_media_features" -> q64Sql,
-    "q57_frame_sample" -> q57Sql)
+    "q57_frame_sample" -> q57Sql,
+    "q200_media_batches" -> q200Sql)
 }

@@ -125,4 +125,36 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
     }
   }
+
+  test("q200: every batch except a kind's last is at/over budget only via its final item") {
+    import graft.operators.MultimodalQueries
+    val rows = MultimodalQueries.q200MediaBatches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exclusive-cumsum packing: a batch's total before its last item is
+    // < budget, so total_ms < budget + max single duration (5000ms cap
+    // at n_chars<=500); and batch ids are dense per kind from 0
+    rows.groupBy(_.getString(0)).foreach { case (_, batches) =>
+      val ids = batches.map(_.getLong(1)).sorted
+      assert(ids.head == 0 && ids.sameElements(ids.head to ids.last))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) < MultimodalQueries.BatchBudgetMs + 5001,
+        s"batch overrun beyond one item: ${r.mkString(",")}")
+    }
+    val totalItems = rows.map(_.getLong(2)).sum
+    assert(totalItems == Tables.documents(spark, sf).count())
+  }
+
+  test("q201: joint fit decorrelates weekend from trend (finite, plausible coefficients)") {
+    import graft.operators.Behavior
+    val rows = Behavior.q201MultiRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(!a.isNaN && !b.isNaN && !c.isNaN)
+      assert(a > 0, "intercept is a daily volume level — must be positive")
+      assert(math.abs(b) < a && math.abs(c) < a,
+        "trend/weekend effects are corrections, not the dominant term")
+    }
+  }
 }
