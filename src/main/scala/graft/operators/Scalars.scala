@@ -116,6 +116,37 @@ object Scalars {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q202 — the Spark 4 VARIANT path for semi-structured data: props
+    * parsed ONCE into the binary variant encoding (`parse_json`), fields
+    * then extracted with `variant_get` — the open-schema alternative to
+    * q22's per-path string re-parsing (each `get_json_object` re-parses
+    * the JSON text; a variant parses once and every extraction is a
+    * binary traversal, the difference between O(paths) and O(1) parses
+    * per row at 100 TB). `try_variant_get` covers the missing-path null
+    * path. Aggregated per event type so the variant column itself never
+    * reaches the output (variant isn't comparable parquet output;
+    * extracted scalars are). */
+  def q202Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").as("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(col("m")).as("n_missing_hits"))
+      .orderBy(col("event_type"))
+
+  val q202Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  min(CAST(props->>'k' AS BIGINT)) AS k_min,
+      |  max(CAST(props->>'k' AS BIGINT)) AS k_max,
+      |  count(CAST(props->>'missing' AS BIGINT)) AS n_missing_hits
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q121 — malformed-tolerant JSON ingestion: a deterministic slice of
     * the input is corrupted (every 7th record loses its last two chars —
     * standing in for the truncated/garbled lines every real feed
@@ -432,6 +463,7 @@ object Scalars {
     "q20_scalar_datetime" -> q20Datetime _,
     "q21_scalar_math" -> q21Math _,
     "q22_json_extract" -> q22Json _,
+    "q202_variant" -> q202Variant _,
     "q23_case_when" -> q23CaseWhen _,
     "q24_grouping_sets" -> q24GroupingSets _,
     "q25_correlated_subquery" -> q25CorrelatedSubquery _)
@@ -449,6 +481,7 @@ object Scalars {
     "q20_scalar_datetime" -> q20Sql,
     "q21_scalar_math" -> q21Sql,
     "q22_json_extract" -> q22Sql,
+    "q202_variant" -> q202Sql,
     "q23_case_when" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,
     "q25_correlated_subquery" -> q25Sql)

@@ -145,6 +145,19 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(totalItems == Tables.documents(spark, sf).count())
   }
 
+  test("q202: variant extraction agrees with q22's string-path extraction") {
+    import graft.operators.Scalars
+    val v = Scalars.q202Variant(spark, sf).collect()
+    assert(v.nonEmpty)
+    // the missing path must be null for every row → zero hits
+    assert(v.forall(_.getAs[Long]("n_missing_hits") == 0L))
+    // total k over variant path == total k over get_json_object path
+    val vSum = v.map(_.getAs[Long]("k_sum")).sum
+    val jSum = Scalars.q22Json(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("k_path")).head().getLong(0)
+    assert(vSum == jSum, s"variant $vSum vs json-path $jSum")
+  }
+
   test("q201: joint fit decorrelates weekend from trend (finite, plausible coefficients)") {
     import graft.operators.Behavior
     val rows = Behavior.q201MultiRegression(spark, sf).collect()

@@ -18,7 +18,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q189_block_diff","q190_source_jaccard","q191_rendezvous",
   "q192_retractable_agg","q193_sliding_distinct","q194_cc_two_phase",
   "q195_hll","q196_embed_moments","q198_ref_integrity","q199_feature_label",
-  "q200_media_batches","q201_multi_regression")
+  "q200_media_batches","q201_multi_regression","q202_variant")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
