@@ -324,14 +324,95 @@ object GraphOps {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Bellman–Ford relaxation rounds for q203 (unrolled in the oracle). */
+  val SsspRounds = 4
+
+  /** q203 — weighted single-source shortest paths, [[SsspRounds]]
+    * Bellman–Ford rounds over the supplier co-occurrence graph.
+    *
+    * q176's recursive-CTE BFS counts hops; this is the weighted tier —
+    * edges are supplier pairs sharing an order, with integer weight
+    * `max(1, 1000000 div shared_orders)` (more shared orders = closer),
+    * so every distance is an exact BIGINT sum and the result hash-matches
+    * with no float machinery. The source is the MIN supplier key,
+    * computed as a 1-row aggregate that SEEDS the iteration as a
+    * DataFrame — the driver never sees a key, so the same plan works when
+    * the node table is too large to collect.
+    *
+    * Per-round shape (the scalable message-passing skeleton, same as
+    * q151/q194): one shuffle joining the frontier onto edge sources, one
+    * partial-aggregable MIN groupBy on the destination — work ∝ edges
+    * incident to reached nodes, state ∝ reached nodes. The edge list is
+    * built once and persisted across rounds (hash-partitioned on `u`, so
+    * each round's join reuses the layout without re-shuffling the edges).
+    * A fixed round count R yields "shortest distance using ≤ R edges" —
+    * deterministic and exactly mirrored by the oracle's unrolled CTEs;
+    * run-to-fixpoint is the q194 while-loop variant of the same rounds.
+    * Per-order edge fan-out is bounded by lines-per-order (≤ 7 here), so
+    * the pair self-join cannot blow up on a hot order key.
+    */
+  def q203SsspWeighted(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val weighted = pairs.withColumn("w",
+      greatest(lit(1L), expr("1000000 div cnt"))).select("u", "v", "w")
+    val edges = weighted
+      .unionAll(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .persist()
+    var dist = Tables.supplier(s, d)
+      .agg(min(col("s_suppkey")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = dist.join(edges, dist("node") === edges("u"))
+        .select(edges("v").as("node"), (dist("dist") + edges("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node").as("s_suppkey"), col("dist")).orderBy(col("s_suppkey"))
+  }
+
+  /** Oracle: identical edge weights and the rounds unrolled as CTEs. */
+  val q203Sql: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.v, r.dist + e.w FROM r${i - 1} r JOIN edges e ON e.u = r.node
+         |  ) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT x.l_suppkey AS u, y.l_suppkey AS v, COUNT(*) AS cnt
+       |  FROM ls x JOIN ls y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT u, v, GREATEST(1, 1000000 // cnt) AS w FROM pairs
+       |  UNION ALL
+       |  SELECT v AS u, u AS v, GREATEST(1, 1000000 // cnt) AS w FROM pairs),
+       |r0 AS (SELECT (SELECT MIN(s_suppkey) FROM supplier) AS node,
+       |              CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT node AS s_suppkey, dist FROM r$SsspRounds ORDER BY s_suppkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_pagerank" -> q151Pagerank _,
     "q162_triangle_count" -> q162TriangleCount _,
     "q176_recursive_bfs" -> q176RecursiveBfs _,
-    "q194_cc_two_phase" -> q194CcTwoPhase _)
+    "q194_cc_two_phase" -> q194CcTwoPhase _,
+    "q203_sssp_weighted" -> q203SsspWeighted _)
   val oracles: Map[String, String] = Map(
     "q151_pagerank" -> q151Sql,
     "q162_triangle_count" -> q162Sql,
     "q176_recursive_bfs" -> q176Sql,
-    "q194_cc_two_phase" -> q194Sql)
+    "q194_cc_two_phase" -> q194Sql,
+    "q203_sssp_weighted" -> q203Sql)
 }

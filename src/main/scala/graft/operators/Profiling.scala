@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators: the "describe this table" surface a warehouse
@@ -239,17 +239,195 @@ object Profiling {
       |  MAX(o_totalprice) AS hi, ROUND(MAX(pr), 6) AS edge_pr
       |FROM r GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** q205 — dependency discovery audit: inclusion dependencies (IND) and
+    * functional dependencies (FD) over the star schema, Metanome-style.
+    *
+    * The structural complement of q198's referential-integrity gate:
+    * q198 *verifies declared* FKs; this *measures candidate* dependencies
+    * — the profiling step that DISCOVERS join keys and determinants in an
+    * unfamiliar feed. Each IND row reports how much of A's distinct value
+    * set is contained in B (coefficient 1.0 = a valid FK candidate); each
+    * FD row reports how many LHS groups map to more than one RHS value
+    * (0 violations = a valid determinant).
+    *
+    * Scale shape: every check is distinct-project → LEFT ANTI join (IND,
+    * so the probe side never materializes B's columns and duplicate keys
+    * cannot multiply rows) or groupBy + count-distinct (FD) — all
+    * partial-aggregable, each over only the two columns involved (column
+    * pruning reaches the scan). The seven 1-row results union into one
+    * report; at 100 TB each check is an independent job over a 1–2 column
+    * projection of one table.
+    */
+  def q205DependencyAudit(s: SparkSession, d: String): DataFrame = {
+    def report(name: String, lhsCount: Column, viol: Column): Seq[Column] = Seq(
+      lit(name).as("chk"), lhsCount.as("lhs_count"), viol.as("violations"),
+      ((lhsCount - viol).cast("double") / lhsCount.cast("double")).as("coefficient"))
+    def ind(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val da = a.toDF("k").distinct()
+      val db = b.toDF("k").distinct()
+      val agg = da.join(db, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(da.agg(count(lit(1)).as("lhs_count")))
+      agg.select(report(name, col("lhs_count"), col("violations")): _*)
+    }
+    def fd(name: String, grouped: DataFrame): DataFrame =
+      grouped.agg(count(lit(1)).as("lhs_count"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("violations"))
+        .select(report(name, col("lhs_count"), col("violations")): _*)
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val p = Tables.part(s, d)
+    val checks = Seq(
+      ind("ind_l_orderkey_in_o_orderkey",
+        li.select(col("l_orderkey")), o.select(col("o_orderkey"))),
+      ind("ind_o_orderkey_in_l_orderkey",
+        o.select(col("o_orderkey")), li.select(col("l_orderkey"))),
+      ind("ind_o_custkey_in_c_custkey",
+        o.select(col("o_custkey")), c.select(col("c_custkey"))),
+      ind("ind_l_partkey_in_p_partkey",
+        li.select(col("l_partkey")), p.select(col("p_partkey"))),
+      ind("ind_p_partkey_in_l_partkey",
+        p.select(col("p_partkey")), li.select(col("l_partkey"))),
+      fd("fd_p_brand_to_p_type",
+        p.groupBy(col("p_brand")).agg(countDistinct(col("p_type")).as("nv"))),
+      fd("fd_l_orderkey_to_l_shipdate",
+        li.groupBy(col("l_orderkey")).agg(countDistinct(col("l_shipdate")).as("nv"))))
+    checks.reduce(_ unionAll _).orderBy(col("chk"))
+  }
+
+  val q205Sql: String = {
+    def ind(name: String, aCol: String, aTab: String, bCol: String, bTab: String) =
+      s"""SELECT '$name' AS chk,
+         |  CAST(COUNT(*) AS BIGINT) AS lhs_count,
+         |  CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CAST(COUNT(*) - SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS coefficient
+         |FROM (SELECT DISTINCT $aCol AS k FROM $aTab) a
+         |LEFT JOIN (SELECT DISTINCT $bCol AS k FROM $bTab) b USING (k)""".stripMargin
+    def fd(name: String, lhs: String, rhs: String, tab: String) =
+      s"""SELECT '$name' AS chk,
+         |  CAST(COUNT(*) AS BIGINT) AS lhs_count,
+         |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CAST(COUNT(*) - SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS coefficient
+         |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nv FROM $tab GROUP BY $lhs)""".stripMargin
+    Seq(
+      ind("ind_l_orderkey_in_o_orderkey", "l_orderkey", "lineitem", "o_orderkey", "orders"),
+      ind("ind_o_orderkey_in_l_orderkey", "o_orderkey", "orders", "l_orderkey", "lineitem"),
+      ind("ind_o_custkey_in_c_custkey", "o_custkey", "orders", "c_custkey", "customer"),
+      ind("ind_l_partkey_in_p_partkey", "l_partkey", "lineitem", "p_partkey", "part"),
+      ind("ind_p_partkey_in_l_partkey", "p_partkey", "part", "l_partkey", "lineitem"),
+      fd("fd_p_brand_to_p_type", "p_brand", "p_type", "part"),
+      fd("fd_l_orderkey_to_l_shipdate", "l_orderkey", "l_shipdate", "lineitem"))
+      .map(q => s"($q)").mkString("", "\nUNION ALL\n", "\nORDER BY chk")
+  }
+
+  /** q206 — robust outlier detection by median absolute deviation (MAD)
+    * per event type, exact and cross-engine bit-identical.
+    *
+    * q144 flags outliers by z-score, which a heavy tail inflates (the
+    * outliers drag the mean and stddev toward themselves); the MAD is the
+    * standard robust substitute — breakdown point 50%. Exactness comes
+    * from the "doubled median" device: values are 6-dp micro-unit longs
+    * ([[Det.fixed6]]), and 2×median = v[⌈n/2⌉] + v[⌊n/2⌋+1] is an INTEGER
+    * for every n — no interpolation float whose op order could differ
+    * between engines. Deviations |2v − med2| stay integer, the MAD is the
+    * same doubled median of them, and the outlier test dev2 > 3·mad2 is
+    * an integer compare. Only the two report columns divide back to
+    * doubles (single division each).
+    *
+    * Scale shape: two rank passes, each a window partitioned by
+    * event_type (parallel across groups; within-group sort is the price
+    * of exact order statistics — the 100 TB substitute is q127/q134-style
+    * binning, same trade as q145's documented exact-ntile). Both median
+    * lookups are partial-aggregable conditional sums; the per-type med2
+    * relation is |types|-sized and AQE broadcasts it back onto the data.
+    */
+  def q206MadOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def med2Of(df: DataFrame, c: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col(c))
+      val wAll = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          (sum(when(col("rn") === expr("(n + 1) div 2"), col(c))) +
+            sum(when(col("rn") === expr("n div 2 + 1"), col(c)))).as(out))
+    }
+    val ev = Tables.events(s, d).select(col("event_type"),
+      Det.fixed6(col("value")).cast("long").as("v"))
+    val med = med2Of(ev, "v", "med2")
+    val dev = ev.join(med.select(col("event_type"), col("med2")), "event_type")
+      .withColumn("dev2", abs(col("v") * 2 - col("med2")))
+    val mad = med2Of(dev, "dev2", "mad2").select(col("event_type"), col("mad2"))
+    val outl = dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("dev2") > col("mad2") * 3, 1L).otherwise(0L)).as("n_outliers"))
+    med.join(mad, "event_type").join(outl, "event_type")
+      .select(col("event_type"), col("n"),
+        (col("med2").cast("double") / lit(2000000.0)).as("median_value"),
+        (col("mad2").cast("double") / lit(2000000.0)).as("mad_value"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q206Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r1 AS (
+      |  SELECT event_type, v,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |med AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |         SUM(CASE WHEN rn = (n + 1) // 2 THEN v END)
+      |           + SUM(CASE WHEN rn = n // 2 + 1 THEN v END) AS med2
+      |  FROM r1 GROUP BY event_type),
+      |dev AS (
+      |  SELECT ev.event_type, ABS(ev.v * 2 - med.med2) AS dev2
+      |  FROM ev JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, dev2,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type,
+      |         SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+      |           + SUM(CASE WHEN rn = n // 2 + 1 THEN dev2 END) AS mad2
+      |  FROM r2 GROUP BY event_type),
+      |outl AS (
+      |  SELECT dev.event_type,
+      |         CAST(SUM(CASE WHEN dev.dev2 > mad.mad2 * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_outliers
+      |  FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type)
+      |SELECT med.event_type, med.n,
+      |       CAST(med.med2 AS DOUBLE) / 2000000.0 AS median_value,
+      |       CAST(mad.mad2 AS DOUBLE) / 2000000.0 AS mad_value,
+      |       outl.n_outliers
+      |FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q144_zscore_outliers" -> q144ZscoreOutliers _,
     "q145_deciles" -> q145Deciles _,
     "q133_profile" -> q133Profile _,
     "q134_histogram" -> q134Histogram _,
-    "q138_skew_diag" -> q138SkewDiag _)
+    "q138_skew_diag" -> q138SkewDiag _,
+    "q205_dependency_audit" -> q205DependencyAudit _,
+    "q206_mad_outliers" -> q206MadOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q144_zscore_outliers" -> q144Sql,
     "q145_deciles" -> q145Sql,
     "q133_profile" -> q133Sql,
     "q134_histogram" -> q134Sql,
-    "q138_skew_diag" -> q138Sql)
+    "q138_skew_diag" -> q138Sql,
+    "q205_dependency_audit" -> q205Sql,
+    "q206_mad_outliers" -> q206Sql)
 }

@@ -136,11 +136,123 @@ object Retrieval {
        |  FROM t)
        |SELECT doc_id, n_occ FROM c WHERE n_occ > 0 ORDER BY doc_id""".stripMargin
 
+  /** Relevance threshold for q204's planted judgments: tf ≥ 2. */
+  val RelTf = 2.0
+
+  /** q204 — retrieval quality evaluation (precision@10, recall@10,
+    * reciprocal rank) of per-term BM25 rankings against a planted
+    * relevance set.
+    *
+    * The harness side of the q185 retrieval tier: every ranking change
+    * in a curation pipeline needs an eval readout, and the metrics
+    * themselves must be deterministic or the eval is noise. Each of the
+    * three query terms is run as a single-term BM25 query; a document is
+    * "relevant" iff the term occurs ≥ [[RelTf]] times (a judgment
+    * derivable on both engines — no human labels in the fixture).
+    *
+    * Scale shape: identical to q185 — postings are cut to the query
+    * terms BEFORE any shuffle, collection stats are broadcast, and the
+    * per-term ranking window partitions on the term (parallel across
+    * queries; within one query the ranking is the per-query result set,
+    * which is the thing being evaluated — never corpus-sized). Metrics
+    * are one partial-aggregable groupBy over the postings. Ties and
+    * floats: scores are the same IEEE sequence as q185 (hash-matched
+    * there), ranking ties break on doc_id, and each metric ends in a
+    * single double division so cross-engine bit parity holds with no
+    * fixed-point machinery.
+    */
+  def q204RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf") +
+      lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf") * lit(K1 + 1.0)) / denom)
+      .withColumn("rel", col("tf") >= lit(RelTf))
+    val w = Window.partitionBy(col("term")).orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .groupBy(col("term").as("query_term"))
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("rel") && col("rnk") <= 10, 1L).otherwise(0L)).as("hits10"),
+        min(when(col("rel"), col("rnk"))).as("first_rel"))
+      .select(
+        col("query_term"), col("n_rel"), col("hits10"),
+        (col("hits10").cast("double") / lit(10.0)).as("precision10"),
+        when(col("n_rel") > 0,
+          col("hits10").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("recall10"),
+        when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel").cast("double"))
+          .otherwise(lit(0.0)).as("rr"))
+      .orderBy(col("query_term"))
+  }
+
+  val q204Sql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+       |  WHERE term IN ($terms)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * (tf * ${K1 + 1.0})
+       |           / (tf + $K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / avgdl)))
+       |           AS s,
+       |         tf >= $RelTf AS rel
+       |  FROM tf JOIN df USING (term), st),
+       |rk AS (
+       |  SELECT term, rel,
+       |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rnk
+       |  FROM sc),
+       |m AS (
+       |  SELECT term AS query_term,
+       |         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |         CAST(SUM(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+       |         MIN(CASE WHEN rel THEN rnk END) AS first_rel
+       |  FROM rk GROUP BY term)
+       |SELECT query_term, n_rel, hits10,
+       |       CAST(hits10 AS DOUBLE) / 10.0 AS precision10,
+       |       CASE WHEN n_rel > 0
+       |            THEN CAST(hits10 AS DOUBLE) / CAST(n_rel AS DOUBLE)
+       |            ELSE 0.0 END AS recall10,
+       |       CASE WHEN first_rel IS NOT NULL
+       |            THEN 1.0 / CAST(first_rel AS DOUBLE)
+       |            ELSE 0.0 END AS rr
+       |FROM m ORDER BY query_term""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q185_bm25" -> q185Bm25 _,
-    "q186_phrase_search" -> q186PhraseSearch _)
+    "q186_phrase_search" -> q186PhraseSearch _,
+    "q204_retrieval_eval" -> q204RetrievalEval _)
 
   val oracles: Map[String, String] = Map(
     "q185_bm25" -> q185Sql,
-    "q186_phrase_search" -> q186Sql)
+    "q186_phrase_search" -> q186Sql,
+    "q204_retrieval_eval" -> q204Sql)
 }

@@ -236,15 +236,93 @@ object ScaleOps2 {
        |WHERE (rn - 1) * 4 < nl
        |ORDER BY lang, rn""".stripMargin
 
+  /** Count-Min sketch geometry for q207: depth (hash rows) × width. */
+  val CmsDepth = 4
+  val CmsWidth = 64L
+
+  /** q207 — Count-Min sketch frequency estimates next to exact counts.
+    *
+    * The OVER-estimating counterpart of q179's Misra–Gries (which
+    * under-counts): CMS hashes every occurrence into [[CmsDepth]] counter
+    * rows of [[CmsWidth]] buckets and answers `min_i counter[i][h_i(x)]`
+    * — never below the true count, above it only by colliding mass. The
+    * sketch is a 256-cell integer grid whatever the vocabulary, counters
+    * are plain sums (partial-aggregable, mergeable across
+    * days/shards — the same algebra as q181's KMV and q195's HLL), and
+    * the estimate's guaranteed one-sided error is surfaced per token as
+    * `overcount = est − exact` (≥ 0 by construction; asserted in the
+    * spec and visible in the graded output).
+    *
+    * Vocabulary trick (the q30 theme): occurrences are never hashed —
+    * exact per-token counts are aggregated FIRST (one partial-aggregable
+    * groupBy over the token stream), then the [[Portable.polyHash]] and
+    * the [[CmsDepth]] bucket probes run once per DISTINCT token. Summing
+    * `cnt` into a bucket is arithmetically identical to hashing each
+    * occurrence, at vocabulary cost instead of corpus cost.
+    */
+  def q207CountMin(s: SparkSession, d: String): DataFrame = {
+    val as = MinHashA.take(CmsDepth)
+    val bs = MinHashB.take(CmsDepth)
+    val exact = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", polyHash(col("tok")))
+      .persist()
+    def bucket(i: Int) = ((lit(as(i)) * col("h") + lit(bs(i))) % lit(P)) % lit(CmsWidth)
+    val cells = (0 until CmsDepth).map(i =>
+      exact.select(lit(i).as("r"), bucket(i).as("bucket"), col("cnt"))).reduce(_ unionAll _)
+    val counters = cells.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("csum"))
+    val probes = (0 until CmsDepth).map(i =>
+      exact.select(col("tok"), col("cnt"), lit(i).as("r"), bucket(i).as("bucket")))
+      .reduce(_ unionAll _)
+    probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("csum")).as("cms_est"))
+      .select(col("tok"), col("cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(10)
+  }
+
+  val q207Sql: String = {
+    val as = MinHashA.take(CmsDepth)
+    val bs = MinHashB.take(CmsDepth)
+    def bucket(i: Int) = s"((${as(i)}*h + ${bs(i)}) % $P) % $CmsWidth"
+    val cells = (0 until CmsDepth).map(i =>
+      s"SELECT $i AS r, ${bucket(i)} AS bucket, cnt FROM h").mkString("\n  UNION ALL ")
+    val probes = (0 until CmsDepth).map(i =>
+      s"SELECT tok, cnt, $i AS r, ${bucket(i)} AS bucket FROM h").mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(${tokensSql("text")}) AS tok FROM documents),
+       |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+       |h AS (SELECT tok, cnt, ${polyHashSql("tok")} AS h FROM exact),
+       |cells AS (
+       |  $cells),
+       |counters AS (
+       |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS csum
+       |  FROM cells GROUP BY r, bucket),
+       |probes AS (
+       |  $probes),
+       |est AS (
+       |  SELECT tok, cnt, MIN(csum) AS cms_est
+       |  FROM probes JOIN counters USING (r, bucket)
+       |  GROUP BY tok, cnt)
+       |SELECT tok, cnt, cms_est, cms_est - cnt AS overcount
+       |FROM est ORDER BY cnt DESC, tok LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q179_heavy_hitters" -> q179HeavyHitters _,
     "q180_pps_sample" -> q180PpsSample _,
     "q181_kmv_distinct" -> q181KmvDistinct _,
-    "q182_lang_strata" -> q182LangStrata _)
+    "q182_lang_strata" -> q182LangStrata _,
+    "q207_count_min" -> q207CountMin _)
 
   val oracles: Map[String, String] = Map(
     "q179_heavy_hitters" -> q179Sql,
     "q180_pps_sample" -> q180Sql,
     "q181_kmv_distinct" -> q181Sql,
-    "q182_lang_strata" -> q182Sql)
+    "q182_lang_strata" -> q182Sql,
+    "q207_count_min" -> q207Sql)
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{GraphOps, Profiling, Retrieval, ScaleOps2}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the round-7 analytics additions: weighted SSSP
+  * (q203), retrieval evaluation metrics (q204), dependency discovery
+  * (q205), MAD outliers (q206), and the Count-Min sketch (q207). Value
+  * parity with DuckDB is the oracle gate's job; these pin the semantics
+  * each operator guarantees — q203 and q206 against brute-force
+  * re-derivations, q205 against the fixture's known FKs, q207 against
+  * CMS's one-sided error theorem. */
+class Round7AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q203: matches a driver-side Bellman-Ford on the same edges") {
+    val got = GraphOps.q203SsspWeighted(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild edges brute-force: supplier pairs sharing an order
+    val ls = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = ls.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    byOrder.values.foreach { sup =>
+      for (i <- sup.indices; j <- i + 1 until sup.size)
+        cnt.updateWith((sup(i), sup(j)))(c => Some(c.getOrElse(0L) + 1))
+    }
+    val edges = cnt.toSeq.flatMap { case ((u, v), c) =>
+      val w = math.max(1L, 1000000L / c)
+      Seq((u, v, w), (v, u, w))
+    }
+    val src = Tables.supplier(spark, sf).agg(min("s_suppkey")).collect().head.getLong(0)
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to GraphOps.SsspRounds) {
+      val relaxed = edges.flatMap { case (u, v, w) => dist.get(u).map(du => v -> (du + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist, s"got ${got.size} nodes, expected ${dist.size}")
+    assert(got(src) == 0L)
+  }
+
+  test("q204: metric bounds and internal consistency hold per query term") {
+    val rows = Retrieval.q204RetrievalEval(spark, sf).collect()
+    assert(rows.length == Retrieval.QueryTerms.size)
+    rows.foreach { r =>
+      val (nRel, hits10) = (r.getLong(1), r.getLong(2))
+      val (p10, r10, rr) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(hits10 <= math.min(10L, nRel))
+      assert(p10 >= 0.0 && p10 <= 1.0)
+      assert(r10 >= 0.0 && r10 <= 1.0)
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(p10 == hits10 / 10.0)
+      if (nRel > 0) assert(rr > 0.0, "relevant docs exist, so some rank must be hit")
+    }
+  }
+
+  test("q205: declared FKs score coefficient 1.0; all coefficients in [0,1]") {
+    val rows = Profiling.q205DependencyAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == 7)
+    Seq("ind_l_orderkey_in_o_orderkey", "ind_o_custkey_in_c_custkey",
+      "ind_l_partkey_in_p_partkey").foreach { fk =>
+      assert(rows(fk)._2 == 0L, s"$fk should have no orphans")
+      assert(rows(fk)._3 == 1.0)
+    }
+    rows.foreach { case (chk, (lhs, viol, coef)) =>
+      assert(lhs > 0 && viol >= 0 && viol <= lhs, chk)
+      assert(coef >= 0.0 && coef <= 1.0, chk)
+    }
+  }
+
+  test("q206: median/MAD/outliers match a driver-side recompute") {
+    val got = Profiling.q206MadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong))
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s(n / 2)
+    }
+    raw.groupBy(_._1).foreach { case (et, xs) =>
+      val vs = xs.map(_._2).toSeq
+      val m2 = med2(vs)
+      val devs = vs.map(v => math.abs(2 * v - m2))
+      val mad2 = med2(devs)
+      val nOut = devs.count(_ > 3 * mad2)
+      val (n, med, mad, out) = got(et)
+      assert(n == vs.size, et)
+      assert(med == m2.toDouble / 2000000.0, et)
+      assert(mad == mad2.toDouble / 2000000.0, et)
+      assert(out == nOut.toLong, et)
+    }
+  }
+
+  test("q207: CMS estimate is never below the exact count") {
+    val rows = ScaleOps2.q207CountMin(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (cnt, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= cnt, s"CMS under-counted ${r.getString(0)}")
+      assert(over == est - cnt)
+    }
+    // the top-10 exact counts agree with a direct groupBy
+    val direct = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).sameElements(direct))
+  }
+}
