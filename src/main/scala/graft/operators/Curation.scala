@@ -573,7 +573,99 @@ object Curation {
        |  ROUND(MIN(alp), 6) AS min_logprob2
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Marker standing for the round-1 merged symbol in q208's round-2
+    * strings (a control char that cannot occur in the tokenized text). */
+  val BpeMarker = "\u0001"
+
+  /** q208 — byte-pair-encoding merge-rule training, two merge steps.
+    *
+    * The tokenizer-training op itself — the step that PRODUCES the vocab
+    * q110/q116/q118 consume. Classic BPE (Sennrich et al., ACL 2016):
+    * count adjacent symbol pairs across the corpus weighted by word
+    * frequency, merge the most frequent pair everywhere, recount, repeat.
+    * Two rounds are graded with the second COUNTED ON THE MERGED TEXT, so
+    * the oracle checks the actual train loop (merge application included),
+    * not two independent pair counts.
+    *
+    * Two scale devices:
+    *  - the vocabulary trick (q30/q207 theme): pairs are counted once per
+    *    DISTINCT word × its frequency — corpus cost is the one groupBy
+    *    that builds the word-frequency table; every BPE round is
+    *    vocabulary-sized work (this is why production BPE trainers run on
+    *    word counts, not raw text);
+    *  - merge application with no per-row loop: round-1 symbols are
+    *    single chars, so "merge pair (l,r) greedily leftmost,
+    *    non-overlapping" is EXACTLY `replace(w, l||r, marker)` — one
+    *    codegen'd string op, identical semantics in Spark and DuckDB
+    *    (proven on overlap cases in the spec), with a control-char
+    *    [[BpeMarker]] as the merged symbol's name.
+    *
+    * The chosen pair is a 1-row relation cross-joined back (broadcast) —
+    * the argmax never reaches the driver. Ties break on pair bytes; all
+    * counts are exact BIGINTs.
+    */
+  def q208BpeMerges(s: SparkSession, d: String): DataFrame = {
+    def pairsOf(w: Column): Column =
+      when(length(w) >= 2,
+        transform(sequence(lit(1), length(w) - 1),
+          i => concat(w.substr(i, lit(1)), w.substr(i + 1, lit(1)))))
+        .otherwise(array().cast("array<string>"))
+    def pairCounts(words: DataFrame): DataFrame = words
+      .select(col("freq"), explode(pairsOf(col("w"))).as("pr"))
+      .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+    def best(pc: DataFrame): DataFrame =
+      pc.orderBy(col("cnt").desc, col("pr")).limit(1)
+    val w0 = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(col("tok").as("w"), col("freq"))
+      .persist()
+    val b1 = best(pairCounts(w0)).select(col("pr").as("bp1"), col("cnt").as("cnt1"))
+    val w1 = w0.crossJoin(broadcast(b1))
+      .select(replace(col("w"), col("bp1"), lit(BpeMarker)).as("w"), col("freq"))
+    val b2 = best(pairCounts(w1)).select(col("pr").as("bp2"), col("cnt").as("cnt2"))
+    val step1 = b1.select(lit(1).as("step"),
+      substring(col("bp1"), 1, 1).as("left_sym"),
+      substring(col("bp1"), 2, 1).as("right_sym"),
+      col("cnt1").as("pair_cnt"))
+    // round-2 symbol names: the marker unfolds back to round-1's pair
+    val step2 = b2.crossJoin(broadcast(b1)).select(lit(2).as("step"),
+      replace(substring(col("bp2"), 1, 1), lit(BpeMarker), col("bp1")).as("left_sym"),
+      replace(substring(col("bp2"), 2, 1), lit(BpeMarker), col("bp1")).as("right_sym"),
+      col("cnt2").as("pair_cnt"))
+    step1.unionAll(step2).orderBy(col("step"))
+  }
+
+  val q208Sql: String =
+    s"""WITH w0 AS (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+       |  GROUP BY tok),
+       |p1 AS (
+       |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || w[i+1])) AS pr,
+       |           freq
+       |    FROM w0)
+       |  GROUP BY pr),
+       |b1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
+       |w1 AS (SELECT replace(w0.w, b1.pr, chr(1)) AS w, w0.freq FROM w0, b1),
+       |p2 AS (
+       |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || w[i+1])) AS pr,
+       |           freq
+       |    FROM w1)
+       |  GROUP BY pr),
+       |b2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1)
+       |SELECT 1 AS step, b1.pr[1] AS left_sym, b1.pr[2] AS right_sym,
+       |       b1.cnt AS pair_cnt FROM b1
+       |UNION ALL
+       |SELECT 2 AS step, replace(b2.pr[1], chr(1), b1.pr) AS left_sym,
+       |       replace(b2.pr[2], chr(1), b1.pr) AS right_sym,
+       |       b2.cnt AS pair_cnt FROM b2, b1
+       |ORDER BY step""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q208_bpe_merges" -> q208BpeMerges _,
     "q154_bigram_quality" -> q154BigramQuality _,
     "q141_curation_funnel" -> q141CurationFunnel _,
     "q110_seq_pack" -> q110SeqPack _,
@@ -583,6 +675,7 @@ object Curation {
     "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
+    "q208_bpe_merges" -> q208Sql,
     "q154_bigram_quality" -> q154Sql,
     "q141_curation_funnel" -> q141Sql,
     "q110_seq_pack" -> q110Sql,

@@ -95,6 +95,57 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q208: two BPE merge rounds match a driver-side trainer") {
+    import graft.operators.Curation
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+      .collect().map(_.getString(0))
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def pairCounts(words: Map[String, Long]): Map[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          m.update(p, m.getOrElse(p, 0L) + f)
+        }
+      }
+      m.toMap
+    }
+    def best(pc: Map[String, Long]): (String, Long) =
+      pc.toSeq.maxBy { case (p, c) => (c, p) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    // explicit greedy leftmost non-overlapping BPE merge scan — the
+    // definition; the operator uses replace(), which must coincide
+    def mergeScan(w: String, l: Char, r: Char, m: Char): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == l && w(i + 1) == r) { sb += m; i += 2 }
+        else { sb += w(i); i += 1 }
+      }
+      sb.toString
+    }
+    val (bp1, cnt1) = best(pairCounts(freq))
+    val marker = Curation.BpeMarker.head
+    freq.keys.foreach { w =>
+      assert(w.replace(bp1, Curation.BpeMarker) ==
+        mergeScan(w, bp1(0), bp1(1), marker),
+        s"replace() diverges from the BPE merge scan on '$w'")
+    }
+    val freq1 = freq.toSeq
+      .map { case (w, f) => (w.replace(bp1, Curation.BpeMarker), f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (bp2, cnt2) = best(pairCounts(freq1))
+    def unfold(c: Char): String =
+      if (c == marker) bp1 else c.toString
+    val rows = Curation.q208BpeMerges(spark, sf).collect()
+    assert(rows.length == 2)
+    assert((rows(0).getString(1), rows(0).getString(2), rows(0).getLong(3)) ==
+      (bp1(0).toString, bp1(1).toString, cnt1))
+    assert((rows(1).getString(1), rows(1).getString(2), rows(1).getLong(3)) ==
+      (unfold(bp2(0)), unfold(bp2(1)), cnt2))
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
