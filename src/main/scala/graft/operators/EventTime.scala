@@ -314,7 +314,58 @@ object EventTime {
        |ORDER BY co_active_us DESC, ua, ub
        |LIMIT $OverlapTopK""".stripMargin
 
+  /** q210 — EWMA smoothing of the daily event-count series per type
+    * (α = ½), bit-identical across engines via an ordered array fold.
+    *
+    * The exponential moving average is the one smoothing primitive a
+    * monitoring tier needs (q166's seasonal baseline and q131's
+    * hour-over-hour ratio are its discrete cousins), but its recurrence
+    * e_t = ½e_{t−1} + ½c_t is NOT associative — a parallel sum cannot
+    * compute it and a naive Σ c_i·2^{i} reformulation overflows/loses
+    * exactness. The portable form: reduce each type's day series to an
+    * ordered array (bounded by the calendar — |days| elements, row-local
+    * after one partial-aggregable groupBy) and FOLD it sequentially with
+    * the same lambda in both engines — the fold runs the identical IEEE
+    * op sequence seeded on the first element (Spark `aggregate` over
+    * `slice(arr, 2, …)`; DuckDB `list_reduce`, which seeds the same
+    * way), so even the float trajectory hash-matches.
+    *
+    * Scale: the shuffle is the (type, day) count groupBy — domain-
+    * bounded; the per-type array is |days| long whatever the event
+    * volume. The same shape smooths any per-key daily KPI at 100 TB. */
+  def q210Ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(collect_list(struct(col("day"), col("c"))).as("sc"),
+        count(lit(1)).as("n_days"))
+      .withColumn("arr",
+        transform(array_sort(col("sc")), x => x("c").cast("double")))
+    ser.select(col("event_type"), col("n_days"),
+        aggregate(
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          element_at(col("arr"), 1),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+      .orderBy(col("event_type"))
+  }
+
+  val q210Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type,
+      |         list(CAST(c AS DOUBLE) ORDER BY day) AS arr,
+      |         CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |       list_reduce(arr, (a, b) -> a * 0.5 + b * 0.5) AS ewma
+      |FROM ser ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q210_ewma" -> q210Ewma _,
     "q171_interval_overlap" -> q171IntervalOverlap _,
     "q165_interval_merge" -> q165IntervalMerge _,
     "q83_gap_fill" -> q83GapFill _,
@@ -324,6 +375,7 @@ object EventTime {
     "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q210_ewma" -> q210Sql,
     "q171_interval_overlap" -> q171Sql,
     "q165_interval_merge" -> q165Sql,
     "q83_gap_fill" -> q83Sql,

@@ -413,6 +413,131 @@ object Profiling {
       |FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q209 — two-sample Kolmogorov–Smirnov drift statistic per event
+    * type, integer-exact.
+    *
+    * The distribution-drift gate next to q120's KL divergence: KL needs
+    * binning (a modeling choice); KS compares the raw empirical CDFs —
+    * D = max |F_A(v) − F_B(v)| over observed values — with no bins and a
+    * distribution-free null. The A/B split is the deterministic
+    * event_id parity (any even/odd split of one stream should NOT drift;
+    * a real deployment compares yesterday vs today). Exactness: with
+    * 6-dp micro-unit values, cumulative counts ca/cb are integers and
+    * D's argmax is found on the INTEGER cross-product ca·n_b − cb·n_a —
+    * the single division happens once on the final max. Ties are handled
+    * by aggregating per distinct value BEFORE the cumsum, so the CDF is
+    * evaluated exactly at each step point.
+    *
+    * Scale shape: one groupBy (type, value) with map-side partials, one
+    * cumsum window partitioned by type (the per-type sort is the price
+    * of an exact CDF; at 100 TB substitute the q180 two-phase prefix-sum
+    * decomposition — same identity, bucketed), one max. */
+  def q209KsDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("event_type"),
+      Det.fixed6(col("value")).cast("long").as("v"),
+      (col("event_id") % 2 === 0).cast("long").as("isa"))
+    val byV = ev.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("isa")).as("na_v"), sum(lit(1) - col("isa")).as("nb_v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = byV
+      .withColumn("ca", sum(col("na_v")).over(w))
+      .withColumn("cb", sum(col("nb_v")).over(w))
+    val tot = ev.groupBy(col("event_type"))
+      .agg(sum(col("isa")).as("n_a"), sum(lit(1) - col("isa")).as("n_b"))
+    cum.join(tot, "event_type")
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("ks_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      .orderBy(col("event_type"))
+  }
+
+  val q209Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS v,
+      |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+      |  FROM events),
+      |byv AS (
+      |  SELECT event_type, v,
+      |         CAST(SUM(isa) AS BIGINT) AS na_v,
+      |         CAST(SUM(1 - isa) AS BIGINT) AS nb_v
+      |  FROM ev GROUP BY event_type, v),
+      |cum AS (
+      |  SELECT event_type,
+      |         SUM(na_v) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+      |         SUM(nb_v) OVER (PARTITION BY event_type ORDER BY v) AS cb
+      |  FROM byv),
+      |tot AS (
+      |  SELECT event_type,
+      |         CAST(SUM(isa) AS BIGINT) AS n_a,
+      |         CAST(SUM(1 - isa) AS BIGINT) AS n_b
+      |  FROM ev GROUP BY event_type)
+      |SELECT cum.event_type, tot.n_a, tot.n_b,
+      |       CAST(MAX(ABS(cum.ca * tot.n_b - cum.cb * tot.n_a)) AS BIGINT) AS ks_num,
+      |       CAST(MAX(ABS(cum.ca * tot.n_b - cum.cb * tot.n_a)) AS DOUBLE)
+      |         / CAST(tot.n_a * tot.n_b AS DOUBLE) AS ks
+      |FROM cum JOIN tot USING (event_type)
+      |GROUP BY cum.event_type, tot.n_a, tot.n_b
+      |ORDER BY event_type""".stripMargin
+
+  /** q211 — Benford first-digit audit of `o_totalprice` with per-digit
+    * χ² contributions.
+    *
+    * The forensic-profiling classic: naturally-arising multiplicative
+    * amounts follow P(d) = log10(1 + 1/d); a feed whose first-digit
+    * histogram departs sharply is synthetic, truncated, or corrupted.
+    * (The fixture IS synthetic — the non-conforming χ² is the point: the
+    * audit must report what the data shows.) The first digit is taken
+    * lexically (first char of the integer part as a string) — no
+    * log/pow on the data path, so there is nothing to diverge between
+    * engines; the nine log10 expectations are Scala-computed literals
+    * inlined identically into both plans, and each χ² term is the same
+    * IEEE sequence. One scan, a 9-row broadcast join, nulls folded so
+    * absent digits report obs = 0 instead of vanishing.
+    */
+  def q211Benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probs = (1 to 9).map(dd => (dd, math.log10(1.0 + 1.0 / dd)))
+      .toDF("digit", "p")
+    val orders = Tables.orders(s, d)
+    val obs = orders
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val n = orders.agg(count(lit(1)).as("n"))
+    val expected = col("n").cast("double") * col("p")
+    val diff = coalesce(col("obs"), lit(0L)).cast("double") - expected
+    probs.join(obs, Seq("digit"), "left").crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+        expected.as("expected"),
+        (diff * diff / expected).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val q211Sql: String = {
+    // exponent form forces DuckDB to type the literal DOUBLE — a plain
+    // decimal literal becomes DECIMAL(17,17), whose double conversion is
+    // not correctly rounded for every value (digit 3 lands 1 ulp off)
+    val values = (1 to 9)
+      .map(dd => f"($dd, ${math.log10(1.0 + 1.0 / dd)}%.17e)").mkString(", ")
+    s"""WITH probs(digit, p) AS (VALUES $values),
+       |obs AS (
+       |  SELECT CAST((CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))[1] AS INTEGER) AS digit,
+       |         CAST(COUNT(*) AS BIGINT) AS obs
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+       |SELECT probs.digit, COALESCE(obs.obs, 0) AS obs,
+       |       CAST(n.n AS DOUBLE) * probs.p AS expected,
+       |       (CAST(COALESCE(obs.obs, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * probs.p)
+       |         * (CAST(COALESCE(obs.obs, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * probs.p)
+       |         / (CAST(n.n AS DOUBLE) * probs.p) AS chi2_term
+       |FROM probs LEFT JOIN obs USING (digit) CROSS JOIN n
+       |ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q144_zscore_outliers" -> q144ZscoreOutliers _,
     "q145_deciles" -> q145Deciles _,
@@ -420,7 +545,9 @@ object Profiling {
     "q134_histogram" -> q134Histogram _,
     "q138_skew_diag" -> q138SkewDiag _,
     "q205_dependency_audit" -> q205DependencyAudit _,
-    "q206_mad_outliers" -> q206MadOutliers _)
+    "q206_mad_outliers" -> q206MadOutliers _,
+    "q209_ks_drift" -> q209KsDrift _,
+    "q211_benford" -> q211Benford _)
 
   val oracles: Map[String, String] = Map(
     "q144_zscore_outliers" -> q144Sql,
@@ -429,5 +556,7 @@ object Profiling {
     "q134_histogram" -> q134Sql,
     "q138_skew_diag" -> q138Sql,
     "q205_dependency_audit" -> q205Sql,
-    "q206_mad_outliers" -> q206Sql)
+    "q206_mad_outliers" -> q206Sql,
+    "q209_ks_drift" -> q209Sql,
+    "q211_benford" -> q211Sql)
 }

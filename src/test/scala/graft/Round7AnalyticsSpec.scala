@@ -146,6 +146,50 @@ class Round7AnalyticsSpec extends AnyFunSuite {
       (unfold(bp2(0)), unfold(bp2(1)), cnt2))
   }
 
+  test("q209: KS statistic matches a driver-side CDF recompute") {
+    val got = Profiling.q209KsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong,
+        r.getLong(2) % 2 == 0))
+    raw.groupBy(_._1).foreach { case (et, xs) =>
+      val a = xs.filter(_._3).map(_._2).sorted
+      val b = xs.filterNot(_._3).map(_._2).sorted
+      val ksNum = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+      }.max
+      assert(got(et) == ((a.length.toLong, b.length.toLong, ksNum)), et)
+    }
+  }
+
+  test("q210: EWMA equals the sequential recurrence on ordered daily counts") {
+    import graft.operators.EventTime
+    val got = EventTime.q210Ewma(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val series = xs.sortBy(_._2.getTime).map(_._3.toDouble)
+      val ewma = series.tail.foldLeft(series.head)((acc, x) => acc * 0.5 + x * 0.5)
+      val (nDays, gotEwma) = got(et)
+      assert(nDays == series.length, et)
+      assert(gotEwma == ewma, s"$et: $gotEwma != $ewma")
+    }
+  }
+
+  test("q211: Benford audit partitions the rows and conserves expectation") {
+    val rows = Profiling.q211Benford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "every order has exactly one first digit")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - n) < 1e-6,
+      "Benford probabilities must sum to 1")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
