@@ -18,7 +18,10 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q189_block_diff","q190_source_jaccard","q191_rendezvous",
   "q192_retractable_agg","q193_sliding_distinct","q194_cc_two_phase",
   "q195_hll","q196_embed_moments","q198_ref_integrity","q199_feature_label",
-  "q200_media_batches","q201_multi_regression","q202_variant")
+  "q200_media_batches","q201_multi_regression","q202_variant",
+  "q203_sssp_weighted","q204_retrieval_eval","q205_dependency_audit",
+  "q206_mad_outliers","q207_count_min","q208_bpe_merges",
+  "q209_ks_drift","q210_ewma","q211_benford")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -80,7 +83,19 @@ sb.append("|docs|^2), interval merge (q165: one shuffle on user_id, islands\n")
 sb.append("via running-max window then two partial-aggregable rollups),\n")
 sb.append("and seasonal anomaly (q166: hour rollup partial-aggregable, the\n")
 sb.append("168-slot baseline re-key over already-aggregated rows, baseline\n")
-sb.append("table broadcast back onto the hourly probe).\n")
+sb.append("table broadcast back onto the hourly probe), weighted SSSP\n")
+sb.append("(q203: per round one frontier-edge join plus one MIN rollup,\n")
+sb.append("edges persisted hash-partitioned once), the dependency audit\n")
+sb.append("(q205: each IND a distinct-project LEFT ANTI join, each FD a\n")
+sb.append("partial-aggregable count-distinct -- 2-column scans only), the\n")
+sb.append("Count-Min sketch (q207: per-distinct-token probes against a\n")
+sb.append("256-cell broadcast counter grid), BPE training (q208: pair\n")
+sb.append("counts per distinct word, the chosen pair a broadcast 1-row\n")
+sb.append("relation, merge application one codegen'd replace()), KS drift\n")
+sb.append("(q209: per-(type,value) pre-aggregation before the type-keyed\n")
+sb.append("cumsum window, integer cross-products until one division), and\n")
+sb.append("EWMA (q210: domain-bounded (type, day) rollup, then a row-local\n")
+sb.append("sequential array fold).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
