@@ -664,7 +664,98 @@ object Curation {
        |       b2.cnt AS pair_cnt FROM b2, b1
        |ORDER BY step""".stripMargin
 
+  /** q212 — water-filling token-budget allocation across sources.
+    *
+    * The data-mixing op a training run actually executes: given
+    * per-source token supplies c_i and a total budget B (= half the
+    * corpus here), find the water level t with Σ min(c_i, t) = B — small
+    * sources contribute everything they have, large sources are capped
+    * at the level. q88 caps each source at a FIXED quota; water-filling
+    * is the budget-first dual (the cap emerges from the budget), the
+    * allocation DoReMi-style domain reweighting starts from.
+    *
+    * Exact integer solution with no iteration: sort sources ascending
+    * by supply; j* = the largest prefix where funding the prefix fully
+    * and every remaining source at least c_j* fits the budget
+    * (P_j + (n−j)·c_j ≤ B — monotone in j, so one window pass finds it);
+    * the remaining budget spreads over the n−j* capped sources by
+    * largest-remainder (base = R div m, the first R mod m sources by
+    * name get +1 — provably base < every capped supply, so allocations
+    * never exceed caps and Σ alloc = B exactly; asserted in the spec).
+    *
+    * Scale: everything after the per-source supply rollup (the only
+    * corpus-sized shuffle, partial-aggregable) runs on the |sources|-row
+    * relation — the ordered window is over that bounded domain (the q151
+    * top-20 exception to the no-global-window rule), and the j* argmax
+    * is a 1-row broadcast joined back.
+    */
+  def q212WaterFilling(s: SparkSession, d: String): DataFrame = {
+    val caps = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("tot"), count(lit(1)).as("n"))
+      .select(col("tot"), col("n"), expr("tot div 2").as("budget"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("cap")).over(w))
+      .withColumn("funded", col("p") + (col("n") - col("j")) * col("cap") <= col("budget"))
+    val jstar = ranked.agg(
+      max(when(col("funded"), col("j"))).as("js"),
+      max(when(col("funded"), col("p"))).as("pjs"))
+      .select(coalesce(col("js"), lit(0L)).as("js"), coalesce(col("pjs"), lit(0L)).as("pjs"))
+    val withBase = ranked.crossJoin(broadcast(jstar))
+      .withColumn("m", col("n") - col("js"))
+      .withColumn("r", col("budget") - col("pjs"))
+      .withColumn("base", when(col("m") > 0, expr("r div m")).otherwise(lit(0L)))
+      .withColumn("extra", when(col("m") > 0, col("r") % col("m")).otherwise(lit(0L)))
+    val wu = Window.orderBy(col("source"))
+    val unfunded = withBase.filter(!col("funded"))
+      .withColumn("rn", row_number().over(wu).cast("long"))
+      .withColumn("alloc", col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+    val funded = withBase.filter(col("funded")).withColumn("alloc", col("cap"))
+    funded.select(col("source"), col("cap"), col("alloc"), col("funded"))
+      .unionAll(unfunded.select(col("source"), col("cap"), col("alloc"), col("funded")))
+      .orderBy(col("source"))
+  }
+
+  val q212Sql: String =
+    """WITH caps AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(cap) AS BIGINT) AS tot,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(cap) AS BIGINT) // 2 AS budget
+      |  FROM caps),
+      |ranked AS (
+      |  SELECT caps.*, tot.*,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS j,
+      |         SUM(cap) OVER (ORDER BY cap, source) AS p
+      |  FROM caps, tot),
+      |flagged AS (
+      |  SELECT *, p + (n - j) * cap <= budget AS funded FROM ranked),
+      |jstar AS (
+      |  SELECT COALESCE(MAX(CASE WHEN funded THEN j END), 0) AS js,
+      |         COALESCE(MAX(CASE WHEN funded THEN p END), 0) AS pjs
+      |  FROM flagged),
+      |base AS (
+      |  SELECT f.*, (n - js) AS m, (budget - pjs) AS r,
+      |         CASE WHEN n - js > 0 THEN (budget - pjs) // (n - js) ELSE 0 END AS base,
+      |         CASE WHEN n - js > 0 THEN (budget - pjs) % (n - js) ELSE 0 END AS extra
+      |  FROM flagged f, jstar),
+      |unf AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS rn
+      |  FROM base WHERE NOT funded)
+      |SELECT source, cap, cap AS alloc, funded FROM base WHERE funded
+      |UNION ALL
+      |SELECT source, cap,
+      |       CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+      |       funded
+      |FROM unf
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q212_water_filling" -> q212WaterFilling _,
     "q208_bpe_merges" -> q208BpeMerges _,
     "q154_bigram_quality" -> q154BigramQuality _,
     "q141_curation_funnel" -> q141CurationFunnel _,
@@ -675,6 +766,7 @@ object Curation {
     "q109_unigram_quality" -> q109UnigramQuality _)
 
   val oracles: Map[String, String] = Map(
+    "q212_water_filling" -> q212Sql,
     "q208_bpe_merges" -> q208Sql,
     "q154_bigram_quality" -> q154Sql,
     "q141_curation_funnel" -> q141Sql,

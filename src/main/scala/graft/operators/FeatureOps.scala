@@ -195,13 +195,89 @@ object FeatureOps {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + len(tok) AS BIGINT) AS end_pos
       |FROM u ORDER BY doc_id, pos""".stripMargin
 
+  /** q213 — the d×d embedding covariance matrix (upper triangle), the
+    * sufficient statistic PCA / whitening / Mahalanobis all start from.
+    *
+    * q196's per-dimension moments generalized to cross-dimension: C_ij =
+    * E[x_i x_j] − E[x_i]E[x_j]. The scalable shape is the q196 lesson at
+    * d² width — the naive plan (posexplode twice, groupBy (i,j)) ships
+    * d²·N rows through the exchange; here the d²-length outer product is
+    * built ROW-LOCALLY (flatten of a nested transform — one projection)
+    * and summed by the [[graft.functions.ArraySumFixed]]
+    * TypedImperativeAggregate, so partials merge map-side and exactly
+    * ONE d²-length buffer per partition reaches the shuffle. The
+    * posexplode back to (i, j) rows runs on the single aggregated row.
+    * Indices derive from the flattened offset (i = idx div d, j = idx
+    * mod d) with d read from the result array itself — no hardcoded
+    * dimensionality.
+    *
+    * Portability: per-term 6-dp quantization inside the aggregate
+    * (floats cast to double, multiplied, floor(p·1e6 + 0.5)) summed
+    * exactly; the final covariance stays in micro-units via the same
+    * floor sequence as q196's var_micro. The oracle recomputes from a
+    * positional self-join of the unnested elements — the d²-amplified
+    * plan this query exists to avoid, proving both agree.
+    */
+  def q213Covariance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ArraySumFixed.register(s)
+    val agg = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n"),
+        expr("array_sum_fixed(embedding)").as("s1"),
+        expr("""array_sum_fixed(
+            flatten(transform(embedding,
+              xi -> transform(embedding,
+                xj -> CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)))))""").as("sxy"))
+    val dim = size(col("s1")).cast("long")
+    val i = expr("idx div dim")
+    val j = col("idx") % col("dim")
+    val mx = col("sx").cast("double") / col("n") / lit(1000000.0)
+    val my = col("sy").cast("double") / col("n") / lit(1000000.0)
+    val covMicro = floor(col("z").cast("double") / col("n")
+      - mx * my * lit(1000000.0) + lit(0.5)).cast("long")
+    agg.select(col("n"), col("s1"),
+        posexplode(col("sxy")).as(Seq("idx", "z")))
+      .withColumn("dim", dim)
+      .select(col("n"), col("s1"), col("z"),
+        i.cast("long").as("i"), j.cast("long").as("j"))
+      .filter(col("i") <= col("j"))
+      .withColumn("sx", element_at(col("s1"), (col("i") + 1).cast("int")))
+      .withColumn("sy", element_at(col("s1"), (col("j") + 1).cast("int")))
+      .select(col("i"), col("j"), covMicro.as("cov_micro"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q213Sql: String =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      |u AS (
+      |  SELECT vec_id,
+      |         unnest(range(0, len(embedding))) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |sx AS (
+      |  SELECT i, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS s
+      |  FROM u GROUP BY i),
+      |terms AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |         SUM(CAST(floor(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS z
+      |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2)
+      |SELECT t.i, t.j,
+      |       CAST(floor(CAST(t.z AS DOUBLE) / n
+      |              - (CAST(sa.s AS DOUBLE) / n / 1000000.0)
+      |                * (CAST(sb.s AS DOUBLE) / n / 1000000.0) * 1000000.0
+      |              + 0.5) AS BIGINT) AS cov_micro
+      |FROM terms t JOIN sx sa ON sa.i = t.i JOIN sx sb ON sb.i = t.j, nn
+      |ORDER BY t.i, t.j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q195_hll" -> q195Hll _,
     "q196_embed_moments" -> q196EmbedMoments _,
-    "q197_token_offsets" -> q197TokenOffsets _)
+    "q197_token_offsets" -> q197TokenOffsets _,
+    "q213_covariance" -> q213Covariance _)
 
   val oracles: Map[String, String] = Map(
     "q195_hll" -> q195Sql,
     "q196_embed_moments" -> q196Sql,
-    "q197_token_offsets" -> q197Sql)
+    "q197_token_offsets" -> q197Sql,
+    "q213_covariance" -> q213Sql)
 }

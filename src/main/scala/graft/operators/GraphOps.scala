@@ -368,8 +368,13 @@ object GraphOps {
       .agg(min(col("s_suppkey")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to SsspRounds) {
-      val relaxed = dist.join(edges, dist("node") === edges("u"))
-        .select(edges("v").as("node"), (dist("dist") + edges("w")).as("dist"))
+      // renamed frontier columns keep the self-join unambiguous; the
+      // eager per-round checkpoint materializes the |reached|-bounded
+      // frontier and truncates lineage (measured faster than both the
+      // lazy and no-checkpoint variants at sf0.1)
+      val frontier = dist.select(col("node").as("fn"), col("dist").as("fd"))
+      val relaxed = frontier.join(edges, col("fn") === col("u"))
+        .select(col("v").as("node"), (col("fd") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()

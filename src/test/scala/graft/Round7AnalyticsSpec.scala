@@ -190,6 +190,49 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
 
+  test("q212: allocations are capped, exhaust the budget exactly, and fund small sources fully") {
+    import graft.operators.Curation
+    val rows = Curation.q212WaterFilling(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val tot = rows.map(_._2).sum
+    val budget = tot / 2
+    assert(rows.map(_._3).sum == budget, "water level must spend the budget exactly")
+    rows.foreach { case (src, cap, alloc, funded) =>
+      assert(alloc >= 0 && alloc <= cap, src)
+      if (funded) assert(alloc == cap, s"$src is funded, so it contributes everything")
+    }
+    // every funded supply is <= every capped source's allocation floor
+    val fundedCaps = rows.filter(_._4).map(_._2)
+    val cappedAllocs = rows.filterNot(_._4).map(_._3)
+    if (fundedCaps.nonEmpty && cappedAllocs.nonEmpty)
+      assert(fundedCaps.max <= cappedAllocs.min,
+        "water level sits above every fully-funded supply")
+  }
+
+  test("q213: covariance matches a driver-side recompute from raw embeddings") {
+    import graft.operators.FeatureOps
+    val got = FeatureOps.q213Covariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val embs = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = embs.length
+    val dim = embs.head.length
+    assert(got.size == dim * (dim + 1) / 2)
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // spot-check a diagonal and two off-diagonal cells exactly
+    for ((i, j) <- Seq((0, 0), (0, 1), (3, 17), (dim - 1, dim - 1))) {
+      val sxy = embs.map(e => micro(e(i).toDouble * e(j).toDouble)).sum
+      val sx = embs.map(e => micro(e(i).toDouble)).sum
+      val sy = embs.map(e => micro(e(j).toDouble)).sum
+      val mx = sx.toDouble / n / 1e6
+      val my = sy.toDouble / n / 1e6
+      val expect = math.floor(sxy.toDouble / n - mx * my * 1e6 + 0.5).toLong
+      assert(got((i.toLong, j.toLong)) == expect, s"($i,$j)")
+    }
+    // diagonal cells are variances: non-negative (up to quantization)
+    (0 until dim).foreach(i => assert(got((i.toLong, i.toLong)) >= -1L, s"var($i)"))
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
