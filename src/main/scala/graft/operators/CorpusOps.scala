@@ -587,7 +587,72 @@ object CorpusOps {
        |LIMIT $PmiTopK""".stripMargin
   }
 
+  /** Skip-gram context radius for q214. */
+  val SkipWindow = 5
+
+  /** 6-dp micro-unit weight for a pair at token distance `off`: 1/off. */
+  def skipWeight(off: Int): Long = math.floor(1e6 / off + 0.5).toLong
+
+  /** q214 — distance-weighted skip-gram co-occurrence counts (the
+    * word2vec/GloVe input matrix), top-50 pairs.
+    *
+    * q169's PMI collocations score ADJACENT pairs; embedding trainers
+    * consume co-occurrence within a context window, each pair weighted
+    * 1/distance (the GloVe recipe). The weights are 6-dp micro-unit
+    * integer literals computed once in Scala and inlined identically
+    * into both engines, so the weighted counts are exact BIGINTs — the
+    * ranking key never touches a float (one division surfaces the
+    * human-readable weight at the end).
+    *
+    * Scale shape: [[SkipWindow]] lead() columns over one doc-keyed
+    * window (the q86 gram pattern — one shuffle by doc_id), pairs
+    * emitted at ≤ W rows per token (bounded fan-out, never |doc|²),
+    * unordered via LEAST/GREATEST, then one partial-aggregable groupBy;
+    * top-50 is orderBy+limit → TakeOrderedAndProject. */
+  def q214SkipgramCooc(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 to SkipWindow).foldLeft(toks) {
+      (df, i) => df.withColumn(s"t$i", lead(col("tok"), i).over(wp))
+    }
+    val pairs = (1 to SkipWindow).map { i =>
+      withLeads.filter(col(s"t$i").isNotNull)
+        .select(least(col("tok"), col(s"t$i")).as("w1"),
+          greatest(col("tok"), col(s"t$i")).as("w2"),
+          lit(skipWeight(i)).as("wm"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("wm")).as("wsum_micro"))
+      .orderBy(col("wsum_micro").desc, col("w1"), col("w2"))
+      .limit(50)
+      .select(col("w1"), col("w2"), col("n_pairs"),
+        (col("wsum_micro").cast("double") / lit(1000000.0)).as("wsum"))
+  }
+
+  val q214Sql: String = {
+    val offs = (1 to SkipWindow).map { off =>
+      s"""SELECT LEAST(toks[i], toks[i + $off]) AS w1,
+         |       GREATEST(toks[i], toks[i + $off]) AS w2,
+         |       ${skipWeight(off)} AS wm
+         |FROM (SELECT unnest(range(1, len(toks) - $off + 1)) AS i, toks FROM t)""".stripMargin
+    }.map(q => s"($q)").mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT ${tokensSql("text")} AS toks FROM documents),
+       |pairs AS (
+       |$offs),
+       |cooc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |         CAST(SUM(wm) AS BIGINT) AS wsum_micro
+       |  FROM pairs GROUP BY w1, w2)
+       |SELECT w1, w2, n_pairs,
+       |       CAST(wsum_micro AS DOUBLE) / 1000000.0 AS wsum
+       |FROM cooc ORDER BY wsum_micro DESC, w1, w2 LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_skipgram_cooc" -> q214SkipgramCooc _,
     "q169_pmi_collocations" -> q169PmiCollocations _,
     "q147_semantic_dedup_trained" -> q147SemanticDedupTrained _,
     "q127_percentile_trim" -> q127PercentileTrim _,
@@ -599,6 +664,7 @@ object CorpusOps {
     "q118_length_batching" -> q118LengthBatching _)
 
   val oracles: Map[String, String] = Map(
+    "q214_skipgram_cooc" -> q214Sql,
     "q169_pmi_collocations" -> q169Sql,
     "q127_percentile_trim" -> q127Sql,
     "q128_argmax_keep" -> q128Sql,

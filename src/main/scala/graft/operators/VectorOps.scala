@@ -259,12 +259,88 @@ object VectorOps {
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(dist_sq, 6) AS dist6
        |FROM a4 ORDER BY vec_id""".stripMargin
 
+  /** q215 — kNN label propagation over the trained IVF cells: the
+    * semi-supervised labeling op (spread scarce labels onto unlabeled
+    * data through embedding neighborhoods) that weak-supervision
+    * pipelines run before training a classifier.
+    *
+    * Every fifth vector plays "unlabeled" (vec_id % 5 = 0 — a
+    * deterministic mask, so the true label survives for the graded
+    * accuracy readout); each one takes the majority label of its 5
+    * nearest LABELED neighbors within its own coarse cell. Using q148's
+    * trained quantizer as the blocking structure is the point: the
+    * neighbor search is |cell|-bounded (never corpus × corpus — this is
+    * the q115/q147 SemDeDup argument applied to classification), and the
+    * 6-dp-rounded Lloyd model keeps the whole pipeline — cells,
+    * sequential-fold distances, votes — bit-identical to the oracle's
+    * unrolled CTEs. Ties break (count desc, label asc); a masked vector
+    * alone in its cell with no labeled neighbors drops out on both
+    * engines (probing adjacent cells is q67's multi-probe extension).
+    */
+  def q215LabelProp(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    val e = Tables.embeddings(s, d)
+    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3,
+      trackInertia = false, roundCentroids = true)
+    val assigned = KMeansIvf.assign(e, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+    val wl = e.select(col("vec_id"), col("embedding"), col("label"))
+      .join(assigned, "vec_id")
+    val masked = wl.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"), col("cluster"))
+    val labeled = wl.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("nl"), col("cluster"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    val knn = masked.join(labeled, "cluster")
+      .withColumn("d2", distSq(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val votes = knn.groupBy(col("qid"), col("true_label"), col("nl"))
+      .agg(count(lit(1)).as("nv"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("nv").desc, col("nl"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("nl").as("predicted_label"),
+        col("true_label"),
+        (col("nl") === col("true_label")).cast("int").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q215 oracle: the shared trained-model CTEs, then the same blocked
+    * kNN vote serially. */
+  val q215Sql: String =
+    s"""WITH $trainedModelCtes,
+       |wl AS (
+       |  SELECT v.vec_id, v.ve, e.label, a4.cluster
+       |  FROM v JOIN a4 USING (vec_id) JOIN embeddings e USING (vec_id)),
+       |mq AS (SELECT vec_id AS qid, ve AS qe, label AS true_label, cluster
+       |       FROM wl WHERE vec_id % 5 = 0),
+       |lb AS (SELECT vec_id AS cid, ve AS ce, label AS nl, cluster
+       |       FROM wl WHERE vec_id % 5 <> 0),
+       |knn AS (
+       |  SELECT qid, true_label, nl FROM (
+       |    SELECT mq.qid, mq.true_label, lb.nl,
+       |      ROW_NUMBER() OVER (PARTITION BY mq.qid
+       |        ORDER BY ${distSqSql("mq.qe", "lb.ce")}, lb.cid) AS rnk
+       |    FROM mq JOIN lb USING (cluster))
+       |  WHERE rnk <= 5),
+       |votes AS (
+       |  SELECT qid, true_label, nl, COUNT(*) AS nv
+       |  FROM knn GROUP BY qid, true_label, nl)
+       |SELECT qid AS vec_id, nl AS predicted_label, true_label,
+       |       CAST(nl = true_label AS INTEGER) AS correct
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nv DESC, nl) AS vr
+       |      FROM votes)
+       |WHERE vr = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q38_knn_brute" -> q38KnnBrute _,
     "q39_knn_ivf" -> q39IvfAssign _,
     "q67_ivf_search_trained" -> q67IvfSearch _,
     "q148_ivf_assign" -> q148IvfAssign _,
+    "q215_label_prop" -> q215LabelProp _,
     "q91_knn_native_expr" -> q91KnnNative _)
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +348,6 @@ object VectorOps {
     "q38_knn_brute" -> q38Sql,
     "q39_knn_ivf" -> q39Sql,
     "q148_ivf_assign" -> q148Sql,
+    "q215_label_prop" -> q215Sql,
     "q91_knn_native_expr" -> q38Sql)
 }

@@ -233,6 +233,45 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     (0 until dim).foreach(i => assert(got((i.toLong, i.toLong)) >= -1L, s"var($i)"))
   }
 
+  test("q214: skip-gram pairs match a driver-side window scan") {
+    import graft.operators.CorpusOps
+    val got = CorpusOps.q214SkipgramCooc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val acc = scala.collection.mutable.HashMap.empty[(String, String), (Long, Long)]
+    docs.foreach { ts =>
+      for (i <- ts.indices; off <- 1 to CorpusOps.SkipWindow if i + off < ts.length) {
+        val (a, b) = (ts(i), ts(i + off))
+        val key = if (a <= b) (a, b) else (b, a)
+        val (n, w) = acc.getOrElse(key, (0L, 0L))
+        acc.update(key, (n + 1, w + CorpusOps.skipWeight(off)))
+      }
+    }
+    val expected = acc.toSeq
+      .map { case ((a, b), (n, w)) => (a, b, n, w) }
+      .sortBy { case (a, b, _, w) => (-w, a, b) }
+      .take(50)
+      .map { case (a, b, n, w) => (a, b, n, w.toDouble / 1e6) }
+    assert(got.toSeq == expected)
+  }
+
+  test("q215: predictions are majority votes of in-cell labeled neighbors") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.q215LabelProp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (vid, pred, truth, correct) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(vid % 5 == 0, "only masked vectors get predictions")
+      assert(truth == labels(vid), "true label survives the mask")
+      assert(labels.values.exists(_ == pred), "prediction is a real label")
+      assert(correct == (if (pred == truth) 1 else 0))
+    }
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
