@@ -938,7 +938,203 @@ object Behavior {
        |  ${q201Select.mkString(",\n  ")}
        |FROM stats ORDER BY event_type""".stripMargin
 
+  /** q216 — position-based (U-shaped) multi-touch attribution.
+    *
+    * q146 credits each conversion's LAST touch; position-based
+    * attribution splits credit 40/20/40 across the touch sequence in
+    * the same 30-minute window: a lone touch takes 1.0, two touches
+    * split 0.5/0.5, otherwise first and last take 0.4 each and the
+    * middles share 0.2 evenly (one double division; every other weight
+    * is a shared literal — identical IEEE on both engines, summed with
+    * [[Det.dsum]]). The spec asserts total credit equals the number of
+    * attributed conversions exactly.
+    *
+    * Scale shape: the touch-window join is a per-user equi-join with a
+    * time-range residual (q130's bounded-fan-out class — per-user event
+    * counts bound the pairs; a pathological hot user takes the q171
+    * interval-binning treatment), then one window rank per conversion
+    * (partitioned by conversion id) and a |touch types|-row rollup. */
+  def q216MultitouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("ct"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        unix_micros(col("ts")).as("tt"), col("event_type").as("touch_type"))
+    val win = 30L * 60 * 1000000
+    val pairs = conv.join(touches, "user_id")
+      .filter(col("tt") <= col("ct") && col("ct") - col("tt") <= win)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("tt"), col("touch_id"))
+    val ww = Window.partitionBy(col("conv_id"))
+    val credited = pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(ww))
+      .withColumn("w",
+        when(col("k") === 1, lit(1.0))
+          .when(col("k") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k") - 2).cast("double")))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        Det.dsum(col("w")).as("credit"))
+      .orderBy(col("touch_type"))
+  }
+
+  val q216Sql: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ct
+      |  FROM events WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tt,
+      |         event_type AS touch_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT conv.conv_id, touches.touch_id, touches.tt, touches.touch_type
+      |  FROM conv JOIN touches USING (user_id)
+      |  WHERE tt <= ct AND ct - tt <= 30 * 60 * 1000000),
+      |credited AS (
+      |  SELECT touch_type, conv_id,
+      |    CASE WHEN k = 1 THEN 1.0
+      |         WHEN k = 2 THEN 0.5
+      |         WHEN rn = 1 OR rn = k THEN 0.4
+      |         ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS w
+      |  FROM (
+      |    SELECT touch_type, conv_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tt, touch_id) AS BIGINT) AS rn,
+      |      COUNT(*) OVER (PARTITION BY conv_id) AS k
+      |    FROM pairs))
+      |SELECT touch_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  (CAST(SUM(CAST(floor(w*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) AS credit
+      |FROM credited GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** q217 — acquisition-cohort cumulative-LTV matrix.
+    *
+    * q125 counts RETAINED customers per (cohort, age); revenue teams
+    * read the money version — cumulative spend per acquisition cohort by
+    * months-since-acquisition. Cohort and age are pure integer calendar
+    * arithmetic (y·12+m, so no months_between float); per-cell spend
+    * sums 6-dp micro-units, and the running total is a window cumsum
+    * over the SAME exact longs, partitioned by cohort over a
+    * calendar-bounded age axis — divided back to doubles once each at
+    * the end. */
+  def q217CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+    val firsts = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort_ym"))
+    val cells = o.join(firsts, "o_custkey")
+      .withColumn("age", (col("ym") - col("cohort_ym")).cast("int"))
+      .groupBy(col("cohort_ym"), col("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(Det.fixed6(col("o_totalprice")).cast("long")).as("sp_micro"))
+    val w = Window.partitionBy(col("cohort_ym")).orderBy(col("age"))
+    cells.withColumn("cum_micro", sum(col("sp_micro")).over(w))
+      .select(col("cohort_ym"), col("age"), col("n_active"),
+        (col("sp_micro").cast("double") / lit(1000000.0)).as("spend"),
+        (col("cum_micro").cast("double") / lit(1000000.0)).as("cum_spend"))
+      .orderBy(col("cohort_ym"), col("age"))
+  }
+
+  val q217Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         CAST(date_part('year', o_orderdate) * 12
+      |              + date_part('month', o_orderdate) AS INTEGER) AS ym
+      |  FROM orders),
+      |firsts AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+      |cells AS (
+      |  SELECT cohort_ym, CAST(ym - cohort_ym AS INTEGER) AS age,
+      |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+      |         CAST(SUM(CAST(floor(o_totalprice*1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS sp_micro
+      |  FROM o JOIN firsts USING (o_custkey)
+      |  GROUP BY cohort_ym, ym - cohort_ym)
+      |SELECT cohort_ym, age, n_active,
+      |       CAST(sp_micro AS DOUBLE) / 1000000.0 AS spend,
+      |       CAST(SUM(sp_micro) OVER (PARTITION BY cohort_ym ORDER BY age) AS DOUBLE)
+      |         / 1000000.0 AS cum_spend
+      |FROM cells ORDER BY cohort_ym, age""".stripMargin
+
+  /** Lags evaluated by q218. */
+  val XcorrLags: Seq[Int] = Seq(0, 1, 2)
+
+  /** q218 — lagged cross-correlation between event-type daily series.
+    *
+    * "Does event type A lead type B by k days?" — the time-series
+    * screening question behind alerting and feature selection. Daily
+    * counts are integers, so for each (typeA, typeB, lag) the five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integer
+    * sums over the lag-aligned day join (epoch-day integers — no date
+    * arithmetic in the join key), and Pearson r is one shared-literal
+    * IEEE expression at the end (the q85/q172/q201 sufficient-statistics
+    * discipline). Zero-variance series yield NULL on both engines.
+    *
+    * Scale: the corpus-sized work is one (type, day) count rollup;
+    * everything after runs on |types|²·|lags| joined series cells. */
+  def q218LagCorrelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date")).as("di"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val lags = XcorrLags.toDF("lag")
+    val a = daily.select(col("event_type").as("ta"), col("di"), col("c").as("x"))
+    val b = daily.select(col("event_type").as("tb"), col("di").as("dib"), col("c").as("y"))
+    val joined = a.crossJoin(broadcast(lags))
+      .join(b, col("dib") === col("di") + col("lag") && col("ta") =!= col("tb"))
+    val st = joined.groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    st.select(col("ta"), col("tb"), col("lag"), col("n"),
+        when(den > 0, num / den).otherwise(lit(null).cast("double")).as("r"))
+      .orderBy(col("ta"), col("tb"), col("lag"))
+  }
+
+  val q218Sql: String = {
+    val lagsValues = XcorrLags.map(l => s"($l)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS di,
+       |         CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |lags(lag) AS (VALUES $lagsValues),
+       |j AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, lags.lag,
+       |         a.c AS x, b.c AS y
+       |  FROM daily a CROSS JOIN lags
+       |  JOIN daily b ON b.di = a.di + lags.lag AND a.event_type <> b.event_type),
+       |st AS (
+       |  SELECT ta, tb, lag,
+       |         CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+       |         CAST(SUM(y*y) AS BIGINT) AS syy
+       |  FROM j GROUP BY ta, tb, lag)
+       |SELECT ta, tb, lag, n,
+       |       CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+       |                      * CAST(n*syy - sy*sy AS DOUBLE)) > 0
+       |            THEN CAST(n*sxy - sx*sy AS DOUBLE)
+       |                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+       |                        * CAST(n*syy - sy*sy AS DOUBLE))
+       |            ELSE NULL END AS r
+       |FROM st ORDER BY ta, tb, lag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_multitouch_attribution" -> q216MultitouchAttribution _,
+    "q217_cohort_ltv" -> q217CohortLtv _,
+    "q218_lag_correlation" -> q218LagCorrelation _,
     "q201_multi_regression" -> q201MultiRegression _,
     "q164_funnel_latency" -> q164FunnelLatency _,
     "q166_seasonal_anomaly" -> q166SeasonalAnomaly _,
@@ -959,6 +1155,9 @@ object Behavior {
     "q126_bitmask_profile" -> q126BitmaskProfile _)
 
   val oracles: Map[String, String] = Map(
+    "q216_multitouch_attribution" -> q216Sql,
+    "q217_cohort_ltv" -> q217Sql,
+    "q218_lag_correlation" -> q218Sql,
     "q164_funnel_latency" -> q164Sql,
     "q166_seasonal_anomaly" -> q166Sql,
     "q168_cusum" -> q168Sql,

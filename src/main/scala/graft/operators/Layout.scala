@@ -164,11 +164,61 @@ object Layout {
        |FROM f WHERE kind = 1 AND pt IS NOT NULL
        |ORDER BY user_id, tick""".stripMargin
 
+  /** Shard count for the q219 publication manifest. */
+  val NumShards = 16
+
+  /** q219 — dataset publication manifest: content-addressed sharding
+    * with per-shard verifiable digests.
+    *
+    * The export step at the end of every curation pipeline: documents
+    * are assigned to [[NumShards]] shards by a hash of their CONTENT
+    * (two md5 hex chars folded to an integer — content addressing means
+    * a re-run, a reshuffle, or a different cluster layout publishes
+    * byte-identical shards; a row-number split would not survive any of
+    * them), and each shard row carries the counts, byte totals, and an
+    * order-independent id digest (md5 of the sorted id list) a consumer
+    * can re-derive to verify a delivered shard. The final row set IS the
+    * manifest file a WebDataset/TFRecord-style publication ships.
+    *
+    * Scale: one scan, one groupBy(shard) — the digest input is the
+    * sorted per-shard id list, which is |shard| ids of bounded width
+    * (collect at the aggregate is the manifest's nature: a manifest row
+    * summarizes its shard; shard count × shard size is chosen so each
+    * fits an executor — the same contract as any file writer). */
+  def q219ShardManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("shard",
+        (ascii(substring(col("h"), 1, 1)) * 31 + ascii(substring(col("h"), 2, 1)))
+          % NumShards)
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))), ",")
+          .cast("binary")).as("ids_md5"))
+      .orderBy(col("shard"))
+  }
+
+  val q219Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars,
+       |         (ascii(substr(md5(text), 1, 1)) * 31
+       |          + ascii(substr(md5(text), 2, 1))) % $NumShards AS shard
+       |  FROM documents)
+       |SELECT shard,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+       |           ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+       |FROM docs GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q187_skyline" -> q187Skyline _,
-    "q188_resample_interp" -> q188ResampleInterp _)
+    "q188_resample_interp" -> q188ResampleInterp _,
+    "q219_shard_manifest" -> q219ShardManifest _)
 
   val oracles: Map[String, String] = Map(
     "q187_skyline" -> q187Sql,
-    "q188_resample_interp" -> q188Sql)
+    "q188_resample_interp" -> q188Sql,
+    "q219_shard_manifest" -> q219Sql)
 }

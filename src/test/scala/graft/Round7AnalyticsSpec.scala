@@ -272,6 +272,84 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q216: U-shaped credit sums to one per attributed conversion") {
+    import graft.operators.Behavior
+    val rows = Behavior.q216MultitouchAttribution(spark, sf).collect()
+    val credit = rows.map(_.getDouble(3)).sum
+    // conversions with >= 1 touch in the window, recomputed directly
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val win = 30L * 60 * 1000000
+    val attributed = byUser.values.map { es =>
+      val convs = es.filter(_._3 == "purchase")
+      val touches = es.filter(_._3 != "purchase")
+      convs.count(c => touches.exists(t => t._4 <= c._4 && c._4 - t._4 <= win))
+    }.sum
+    // per-touch 6-dp quantization bounds the drift at 5e-7 per touch
+    val nTouches = rows.map(_.getLong(1)).sum
+    assert(math.abs(credit - attributed) <= nTouches * 5e-7 + 1e-9,
+      s"credit $credit vs $attributed conversions")
+  }
+
+  test("q217: the cumulative column telescopes to the cohort total") {
+    import graft.operators.Behavior
+    val rows = Behavior.q217CohortLtv(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (cohort, cells) =>
+      val ordered = cells.sortBy(_._2)
+      var run = 0.0
+      ordered.foreach { case (_, _, _, spend, cum) =>
+        run += spend
+        assert(math.abs(cum - run) < 1e-6, s"cohort $cohort")
+      }
+      assert(ordered.head._2 == 0, s"cohort $cohort starts at age 0")
+    }
+  }
+
+  test("q218: lag-0 correlation is symmetric and bounded") {
+    import graft.operators.Behavior
+    val rows = Behavior.q218LagCorrelation(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((ta, tb, lag), (n, r)) =>
+      assert(n > 0, s"$ta/$tb/$lag")
+      r.foreach(v => assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"$ta/$tb/$lag"))
+    }
+    rows.keys.filter(_._3 == 0).foreach { case k @ (ta, tb, _) =>
+      assert(rows(k)._2 == rows((tb, ta, 0))._2, s"lag-0 r($ta,$tb) symmetric")
+    }
+  }
+
+  test("q219: shards partition the corpus and digests are re-derivable") {
+    import graft.operators.Layout
+    val rows = Layout.q219ShardManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < Layout.NumShards))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shardOf(text: String): Int = {
+      val h = md5hex(text)
+      (h(0).toInt * 31 + h(1).toInt) % Layout.NumShards
+    }
+    val expect = docs.groupBy(d => shardOf(d._2))
+    rows.foreach { case (shard, nDocs, totalChars, idsMd5) =>
+      val ds = expect(shard)
+      assert(nDocs == ds.length, s"shard $shard")
+      assert(totalChars == ds.map(_._3).sum, s"shard $shard")
+      val digest = md5hex(ds.map(_._1.toString).sorted.mkString(","))
+      assert(idsMd5 == digest, s"shard $shard digest")
+    }
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
