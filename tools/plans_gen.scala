@@ -21,7 +21,10 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q200_media_batches","q201_multi_regression","q202_variant",
   "q203_sssp_weighted","q204_retrieval_eval","q205_dependency_audit",
   "q206_mad_outliers","q207_count_min","q208_bpe_merges",
-  "q209_ks_drift","q210_ewma","q211_benford")
+  "q209_ks_drift","q210_ewma","q211_benford","q212_water_filling",
+  "q213_covariance","q214_skipgram_cooc","q215_label_prop",
+  "q216_multitouch_attribution","q217_cohort_ltv","q218_lag_correlation",
+  "q219_shard_manifest")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -95,7 +98,17 @@ sb.append("relation, merge application one codegen'd replace()), KS drift\n")
 sb.append("(q209: per-(type,value) pre-aggregation before the type-keyed\n")
 sb.append("cumsum window, integer cross-products until one division), and\n")
 sb.append("EWMA (q210: domain-bounded (type, day) rollup, then a row-local\n")
-sb.append("sequential array fold).\n")
+sb.append("sequential array fold), water-filling (q212: ordered window\n")
+sb.append("over the |sources| relation only), covariance (q213: row-local\n")
+sb.append("outer product into ObjectHashAggregate partials -- one d^2\n")
+sb.append("buffer per partition through the exchange), skip-gram (q214:\n")
+sb.append("bounded lead() fan-out, TakeOrderedAndProject top-50), label\n")
+sb.append("propagation (q215: masked x labeled joined ON the trained\n")
+sb.append("cell), multi-touch attribution (q216: per-user bounded join,\n")
+sb.append("conversion-keyed rank windows), cohort LTV (q217: integer\n")
+sb.append("calendar keys, cohort-partitioned cumsum), lag correlation\n")
+sb.append("(q218: one (type, day) rollup then |types|^2 x lags cells),\n")
+sb.append("and the shard manifest (q219: one scan, one groupBy(shard)).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
