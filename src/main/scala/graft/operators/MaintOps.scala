@@ -122,11 +122,85 @@ object MaintOps {
        |  ON u.day BETWEEN d.day - ${WindowDays - 1} AND d.day
        |GROUP BY d.day ORDER BY d.day""".stripMargin
 
+  /** Order-date cutoff splitting q220's state from its delta batch. */
+  val JoinIvmCutoff = "1998-01-01"
+
+  /** Deterministic q220 dimension update: every 7th customer's balance
+    * moves by +100 in the new dimension version. */
+  val IvmBalBump = 100.0
+
+  /** q220 — incremental maintenance of a materialized JOIN view.
+    *
+    * q192 maintains an AGGREGATE under a CDC delta; the other half of
+    * view maintenance is the denormalized join view (orders ⋈ customer,
+    * the shape every "wide table" pipeline materializes). Under a fact
+    * delta (new orders) and a dimension update (changed balances), the
+    * maintained view is NOT recomputed: existing rows take the dimension
+    * change as a broadcast PATCH join on the dim key (each view row has
+    * exactly one dim match — PK — so the patch is row-preserving
+    * coalesce, never a multiplying join), and the fact delta joins the
+    * NEW dimension version once. V' = patch(V, ΔC) ⊎ (ΔO ⋈ C_new) — at
+    * warehouse scale the patch is a MERGE keyed on the view PK
+    * (o_orderkey) touching only ΔC-matching rows, and ΔO work is ∝ the
+    * delta. The graded output is a per-nation rollup of the MAINTAINED
+    * view; the oracle recomputes the target snapshot join from scratch —
+    * the q192 discipline that maintenance must be indistinguishable from
+    * recomputation.
+    */
+  def q220JoinIvm(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val cNew = c.withColumn("c_acctbal",
+      when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(IvmBalBump))
+        .otherwise(col("c_acctbal")))
+    val deltaC = cNew.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_acctbal").as("new_bal"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val dims = c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val vOld = o.filter(col("o_orderdate") < lit(JoinIvmCutoff))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+    val patched = vOld
+      .join(broadcast(deltaC.withColumnRenamed("c_custkey", "pk")),
+        col("o_custkey") === col("pk"), "left")
+      .withColumn("c_acctbal", coalesce(col("new_bal"), col("c_acctbal")))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_nationkey"), col("c_acctbal"))
+    val fresh = o.filter(col("o_orderdate") >= lit(JoinIvmCutoff))
+      .join(cNew.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_nationkey"), col("c_acctbal"))
+    patched.unionAll(fresh)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("revenue"),
+        Det.dsum(col("c_acctbal")).as("bal_mass"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q220 oracle: the target snapshot recomputed directly — all orders
+    * joined to the NEW dimension version. */
+  val q220Sql: String =
+    s"""WITH cnew AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + $IvmBalBump
+       |              ELSE c_acctbal END AS c_acctbal
+       |  FROM customer)
+       |SELECT c_nationkey,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       ${Det.dsumSql("o_totalprice")} AS revenue,
+       |       ${Det.dsumSql("c_acctbal")} AS bal_mass
+       |FROM orders JOIN cnew ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q192_retractable_agg" -> q192RetractableAgg _,
-    "q193_sliding_distinct" -> q193SlidingDistinct _)
+    "q193_sliding_distinct" -> q193SlidingDistinct _,
+    "q220_join_ivm" -> q220JoinIvm _)
 
   val oracles: Map[String, String] = Map(
     "q192_retractable_agg" -> q192Sql,
-    "q193_sliding_distinct" -> q193Sql)
+    "q193_sliding_distinct" -> q193Sql,
+    "q220_join_ivm" -> q220Sql)
 }

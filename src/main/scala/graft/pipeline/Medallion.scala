@@ -238,7 +238,14 @@ object Medallion {
       spark.read.format("csv")
         .option("header", true).option("inferSchema", true).load(csvPath))
     nonEmptyOrNone(raw).map { staged =>
+      // A1 count gate via df.observe: the row count rides the bronze
+      // write job as a CollectMetrics node instead of costing its own
+      // count() action over the staged input (one job, not two — at
+      // 100 TB the saved pass is the difference that matters)
+      val obs = org.apache.spark.sql.Observation(s"run_${table}_${t0}")
       val enriched = enrichAudit(staged, database, updatedBy, updatedOn)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
       val bronzeTarget = resolveBronzeTarget(spark, bronzeBase, table, today)
       writeBronze(enriched, bronzeTarget)
       val bronze = spark.read.parquet(bronzeTarget)
@@ -246,7 +253,7 @@ object Medallion {
         TableConfig.registry.getOrElse(table, TableConfig(table)))
       val silver = bronzeToSilverDf(bronze, cfg)
       writeSilver(spark, silver, silverBase, table, today)
-      val n = staged.count()
+      val n = obs.get("n").asInstanceOf[Long]
       staged.unpersist()
       RunReport(table, database, n, (System.nanoTime() - t0) / 1e9)
     }

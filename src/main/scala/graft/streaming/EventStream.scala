@@ -198,6 +198,28 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Left-outer stream-stream join — [[clickViewJoin]] with unmatched
+    * clicks RETAINED. The outer row cannot emit when the click arrives
+    * (a matching view may still come); it emits with null view columns
+    * only once the watermark passes the click's join horizon and its
+    * state is evicted — state eviction IS the outer-emission trigger,
+    * which is why outer stream-stream joins require both watermarks and
+    * a time-bounded condition. Unmatched views never emit (left outer). */
+  def clickViewJoinOuter(clicks0: DataFrame, views0: DataFrame): DataFrame = {
+    val clicks = clicks0.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = views0.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   final case class SpikeState(open: Map[Long, Long], lastN: Long)
   final case class SpikeOut(event_type: String, h: java.sql.Timestamp,
       n: Long, prev: Long, ratio: Double, spike: Int)

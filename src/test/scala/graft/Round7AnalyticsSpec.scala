@@ -350,6 +350,28 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q220: maintained join view is indistinguishable from recomputation") {
+    import graft.operators.MaintOps
+    val maintained = MaintOps.q220JoinIvm(spark, sf).collect()
+    // recompute the target snapshot directly: all orders x new dim version
+    val c = Tables.customer(spark, sf)
+    val cNew = c.withColumn("c_acctbal",
+      when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(MaintOps.IvmBalBump))
+        .otherwise(col("c_acctbal")))
+    val target = Tables.orders(spark, sf)
+      .join(cNew, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Det.dsum(col("o_totalprice")).as("revenue"),
+        graft.operators.Det.dsum(col("c_acctbal")).as("bal_mass"))
+      .orderBy(col("c_nationkey")).collect()
+    assert(maintained.map(_.toString).sameElements(target.map(_.toString)))
+    // the split is non-trivial: both the state and the delta sides are populated
+    val nDelta = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(MaintOps.JoinIvmCutoff)).count()
+    assert(nDelta > 0 && nDelta < Tables.orders(spark, sf).count())
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)

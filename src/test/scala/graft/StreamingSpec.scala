@@ -314,6 +314,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks on watermark eviction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_outer")
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(dir.resolve(name).toString)
+    // batch 1: click 10 has a view 1 min earlier; click 20 has none
+    write("f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 09:59:00"), 1, "view", 0.0),
+      EventStream.Event(10, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(20, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 2.0)))
+    // the join's eviction watermark is the MIN across both sides, so a
+    // sentinel must advance each side (disjoint users so the sentinels
+    // can't join each other); the outer emission then happens in the
+    // automatic no-data batch after the last file commits the watermark
+    write("f1", Seq(
+      EventStream.Event(99, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 9, "view", 0.0)))
+    write("f2", Seq(
+      EventStream.Event(100, java.sql.Timestamp.valueOf("2024-01-02 12:30:00"), 8, "click", 0.0)))
+    def stream() = spark.readStream
+      .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      EventStream.clickViewJoinOuter(stream(), stream()), "ssouter")
+    try {
+      val rows = spark.table("ssouter")
+        .select(col("click_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted
+      assert(rows.toSeq == Seq((10L, 1L), (20L, -1L)),
+        s"expected matched click 10 and null-matched click 20, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stateful dedup runs identically on the RocksDB state store provider") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_rocksdb")
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(dir.resolve(name).toString)
+    write("f0", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2, "view", 2.0)))
+    write("f1", Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1, "click", 1.0),
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 3, "click", 3.0)))
+    // RocksDB bounds executor memory for state (spill to local disk) —
+    // the provider a 100 TB streaming job runs; results must not differ
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.resolve("*").toString)
+      val q = EventStream.runToMemory(EventStream.dedupEvents(stream), "rocks_dedup")
+      try {
+        val ids = spark.table("rocks_dedup").select(col("event_id"))
+          .as[Long].collect().sorted
+        assert(ids.sameElements(Array(1L, 2L, 3L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionization emits closed sessions with correct stats") {
     import spark.implicits._
     val events = Seq(
