@@ -428,7 +428,50 @@ object PipelineQueries {
        |  COUNT(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q221 — fixed-width ingestion through the custom DataSourceV2 reader
+    * ([[graft.sources.FixedWidthSource]]), round-tripped and aggregated.
+    *
+    * The query formats lineitem rows as zero-padded fixed-width records
+    * (the mainframe extract layout), writes them as text, reads them
+    * back through the V2 connector — where the `flag = 'R'` and
+    * `qty >= 25` predicates PUSH into the scan and the unused partkey
+    * column's byte range is never parsed (SupportsPushDownFilters /
+    * SupportsPushDownRequiredColumns, asserted in
+    * FixedWidthSourceSpec) — and rolls up. The oracle recomputes the
+    * same aggregate straight from lineitem (the q75 discipline: the
+    * write→read round-trip must be value-transparent). Quantities are
+    * integral doubles, so the long cast is exact on both engines. */
+  def q221FixedWidth(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fw_${math.abs(d.hashCode)}"
+    Tables.lineitem(s, d).select(concat(
+        lpad(col("l_orderkey").cast("string"), 12, "0"),
+        lpad(col("l_partkey").cast("string"), 12, "0"),
+        lpad(col("l_quantity").cast("long").cast("string"), 4, "0"),
+        col("l_returnflag")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read.format("graft.sources.FixedWidthSource")
+      .option("path", tmp)
+      .option("fields", "l_orderkey:12:long,l_partkey:12:long,qty:4:long,flag:1:string")
+      .load()
+      .filter(col("flag") === "R" && col("qty") >= 25)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qty")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("flag"))
+  }
+
+  val q221Sql: String =
+    """SELECT l_returnflag AS flag,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND CAST(l_quantity AS BIGINT) >= 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q221_fixed_width" -> q221FixedWidth _,
     "q177_schema_drift" -> q177SchemaDrift _,
     "q76_gold_mart" -> q76GoldMart _,
     "q77_partition_pruned" -> q77PartitionPruned _,
@@ -443,6 +486,7 @@ object PipelineQueries {
     "q74_upsert_merge" -> q74UpsertMerge _)
 
   val oracles: Map[String, String] = Map(
+    "q221_fixed_width" -> q221Sql,
     "q177_schema_drift" -> q177Sql,
     "q70_audit_enrich" -> q70Sql,
     "q71_rename_bulk" -> q71Sql,
