@@ -364,7 +364,67 @@ object EventTime {
       |       list_reduce(arr, (a, b) -> a * 0.5 + b * 0.5) AS ewma
       |FROM ser ORDER BY event_type""".stripMargin
 
+  /** q222 — time-weighted average value (TWAP) per user.
+    *
+    * The metrics/finance primitive a plain AVG gets wrong on an
+    * irregular stream: each observation holds until the next one, so
+    * its weight is the microseconds it was in force, not 1. Exactness:
+    * segment durations are integer epoch-micros from a lead() window,
+    * values are 6-dp micro-units, and durations are truncated to whole
+    * SECONDS before weighting — that keeps every vm·Δt product and its
+    * sum inside BIGINT, where both engines convert to double identically
+    * (a DECIMAL(38)/HUGEINT accumulator was bit-exact as an integer but
+    * its double CONVERSION disagreed by 1 ulp past 2^63). The TWAP
+    * surfaces through two divisions in a fixed order. The last
+    * observation of a user carries no duration — both engines drop it —
+    * and a user whose whole span truncates to zero seconds is excluded
+    * by the mirrored HAVING.
+    *
+    * Scale: one user-keyed window (high-cardinality partitioning) and
+    * one partial-aggregable rollup; decimal partials merge map-side. */
+  def q222Twap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("t"),
+      Det.fixed6(col("value")).cast("long").as("vm"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    // second-resolution durations keep vm*dt inside BIGINT on both
+    // engines — the DECIMAL/HUGEINT double conversions disagree by 1 ulp
+    // at 2^63-exceeding magnitudes, so the weighted sum must stay a long
+    ev.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .withColumn("dt_s", expr("(t2 - t) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt_s")).as("span_s"),
+        sum(col("vm") * col("dt_s")).as("wsum"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("n_segments"), col("span_s"),
+        (col("wsum").cast("double") / col("span_s").cast("double")
+          / lit(1000000.0)).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  val q222Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |         CAST(floor(value*1000000.0 + 0.5) AS BIGINT) AS vm
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, vm,
+      |         (LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+      |           // 1000000 AS dt_s
+      |  FROM ev)
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |       CAST(SUM(dt_s) AS BIGINT) AS span_s,
+      |       CAST(CAST(SUM(vm * dt_s) AS BIGINT) AS DOUBLE)
+      |         / CAST(CAST(SUM(dt_s) AS BIGINT) AS DOUBLE) / 1000000.0 AS twap
+      |FROM seg WHERE dt_s IS NOT NULL
+      |GROUP BY user_id HAVING CAST(SUM(dt_s) AS BIGINT) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q222_twap" -> q222Twap _,
     "q210_ewma" -> q210Ewma _,
     "q171_interval_overlap" -> q171IntervalOverlap _,
     "q165_interval_merge" -> q165IntervalMerge _,
@@ -375,6 +435,7 @@ object EventTime {
     "q65_session_window_native" -> q65SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q222_twap" -> q222Sql,
     "q210_ewma" -> q210Sql,
     "q171_interval_overlap" -> q171Sql,
     "q165_interval_merge" -> q165Sql,

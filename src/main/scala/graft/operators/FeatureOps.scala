@@ -269,15 +269,93 @@ object FeatureOps {
       |FROM terms t JOIN sx sa ON sa.i = t.i JOIN sx sb ON sb.i = t.j, nn
       |ORDER BY t.i, t.j""".stripMargin
 
+  /** Bin count for the q223 weight-of-evidence table. */
+  val WoeBins = 10
+
+  /** q223 — weight-of-evidence / information-value binning of
+    * `o_totalprice` against the urgent-priority label.
+    *
+    * The classic credit-scoring feature transform: bin the continuous
+    * feature, and per bin report WOE = ln(P(bin|good)/P(bin|bad)) and
+    * its IV contribution (pg − pb)·WOE — the standard screen for
+    * whether a feature separates the classes at all. Bins are q134's
+    * arithmetic equi-width bucketing (broadcast min/max, no sort); all
+    * class counts are exact integers; pg/pb/WOE are the same
+    * shared-order IEEE expression on both engines (ln parity per the
+    * q185 precedent), and one-sided bins yield NULL WOE with a zero IV
+    * term rather than ±∞.
+    *
+    * Scale: one scan + a 1-row bounds aggregate + a B-row rollup —
+    * nothing is ever sorted or sampled. */
+  def q223WoeIv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("x"),
+      (col("o_orderpriority") === "1-URGENT").cast("long").as("good"))
+    val bounds = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val cells = o.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(WoeBins - 1),
+        floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(WoeBins.toDouble))).cast("int")))
+      .groupBy(col("bin"))
+      .agg(sum(col("good")).as("n_good"),
+        sum(lit(1) - col("good")).as("n_bad"))
+    val tot = cells.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+    val pg = col("n_good").cast("double") / col("tg").cast("double")
+    val pb = col("n_bad").cast("double") / col("tb").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        // ln differs between libms by 1 ulp at some arguments (the q21
+        // discipline): round the log to 6 dp with the portable floor form
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          floor(log(pg / pb) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("iv_term",
+        when(col("woe").isNotNull, (pg - pb) * col("woe")).otherwise(lit(0.0)))
+      // woe is already 6-dp rounded, so iv_term is the same IEEE product
+      .select(col("bin"), col("n_good"), col("n_bad"), col("woe"), col("iv_term"))
+      .orderBy(col("bin"))
+  }
+
+  val q223Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_totalprice AS x,
+       |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS good
+       |  FROM orders),
+       |bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM o),
+       |cells AS (
+       |  SELECT LEAST($WoeBins - 1,
+       |           CAST(FLOOR((x - lo) / ((hi - lo) / CAST($WoeBins AS DOUBLE))) AS INTEGER))
+       |           AS bin,
+       |         CAST(SUM(good) AS BIGINT) AS n_good,
+       |         CAST(SUM(1 - good) AS BIGINT) AS n_bad
+       |  FROM o, bounds GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+       |               CAST(SUM(n_bad) AS BIGINT) AS tb FROM cells)
+       |SELECT bin, n_good, n_bad,
+       |       CASE WHEN n_good > 0 AND n_bad > 0
+       |            THEN FLOOR(LN((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+       |                    / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+       |                  * 1000000.0 + 0.5) / 1000000.0
+       |            ELSE NULL END AS woe,
+       |       CASE WHEN n_good > 0 AND n_bad > 0
+       |            THEN (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+       |                  - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+       |                 * (FLOOR(LN((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+       |                      / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+       |                    * 1000000.0 + 0.5) / 1000000.0)
+       |            ELSE 0.0 END AS iv_term
+       |FROM cells, tot ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q195_hll" -> q195Hll _,
     "q196_embed_moments" -> q196EmbedMoments _,
     "q197_token_offsets" -> q197TokenOffsets _,
-    "q213_covariance" -> q213Covariance _)
+    "q213_covariance" -> q213Covariance _,
+    "q223_woe_iv" -> q223WoeIv _)
 
   val oracles: Map[String, String] = Map(
     "q195_hll" -> q195Sql,
     "q196_embed_moments" -> q196Sql,
     "q197_token_offsets" -> q197Sql,
-    "q213_covariance" -> q213Sql)
+    "q213_covariance" -> q213Sql,
+    "q223_woe_iv" -> q223Sql)
 }

@@ -105,14 +105,20 @@ object FixedWidth {
   }
 }
 
-class FwTable(path: String, fieldSpec: String) extends Table with SupportsRead {
+class FwTable(path: String, fieldSpec: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val fields = FixedWidth.parseFields(fieldSpec)
   override def name(): String = s"fixed_width($path)"
   override def schema(): StructType = FixedWidth.schemaOf(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(path, fields)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FwWriteBuilder(path, fields, info.schema())
 }
 
 class FwScanBuilder(path: String, fields: Seq[FixedWidth.Field])
@@ -203,4 +209,87 @@ class FwReaderFactory(fields: Seq[FixedWidth.Field], required: Array[String],
       override def close(): Unit = reader.close()
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Write path — the DSv2 two-phase commit protocol for the same layout.
+//
+// Each task writes its partition to a UUID-named temp file and reports the
+// name in its commit message; the DRIVER's commit() renames the complete
+// set into place and abort() deletes strays — so a failed/speculative task
+// can never leave a half-visible file (the same task-attempt isolation
+// contract as Spark's FileFormatWriter, expressed through the public
+// connector API). TRUNCATE capability maps mode("overwrite") to "clear the
+// directory in commit", keeping even overwrites atomic-per-job.
+// ---------------------------------------------------------------------------
+
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+class FwWriteBuilder(path: String, fields: Seq[FixedWidth.Field],
+    schema: StructType) extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FwBatchWrite(path, fields, schema, truncateFirst)
+  }
+}
+
+final case class FwCommit(tempFile: String) extends WriterCommitMessage
+
+class FwBatchWrite(path: String, fields: Seq[FixedWidth.Field],
+    schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(schema.fieldNames.sameElements(fields.map(_.name)),
+      s"write schema ${schema.fieldNames.mkString(",")} must match the fixed-width layout")
+    new FwWriterFactory(path, fields)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncateFirst && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(dir)
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val tmp = new Path(m.asInstanceOf[FwCommit].tempFile)
+      fs.rename(tmp, new Path(dir, f"part-$i%05d.fw"))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.filter(_ != null).foreach { m =>
+      fs.delete(new Path(m.asInstanceOf[FwCommit].tempFile), false)
+    }
+  }
+}
+
+class FwWriterFactory(path: String, fields: Seq[FixedWidth.Field])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp = new Path(path + "_tmp",
+        s"task-$partitionId-$taskId-${java.util.UUID.randomUUID()}.fw")
+      private val fs = tmp.getFileSystem(new Configuration())
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new StringBuilder
+        fields.zipWithIndex.foreach { case (f, i) =>
+          val s = f.tpe match {
+            case "long" => row.getLong(i).toString.reverse.padTo(f.width, '0').reverse.toString
+            case "double" => row.getDouble(i).toString.reverse.padTo(f.width, '0').reverse.toString
+            case _ => row.getUTF8String(i).toString.padTo(f.width, ' ').toString
+          }
+          require(s.length == f.width, s"value '$s' overflows field ${f.name}(${f.width})")
+          sb.append(s)
+        }
+        out.write(sb.toString); out.newLine()
+      }
+
+      override def commit(): WriterCommitMessage = { out.close(); FwCommit(tmp.toString) }
+      override def abort(): Unit = { out.close(); fs.delete(tmp, false) }
+      override def close(): Unit = ()
+    }
 }

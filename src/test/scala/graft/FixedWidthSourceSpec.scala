@@ -74,6 +74,34 @@ class FixedWidthSourceSpec extends AnyFunSuite {
       s"scan node missing from:\n$plan")
   }
 
+  test("DSv2 write commits atomically: temp files renamed, overwrite truncates") {
+    val dir = java.nio.file.Files.createTempDirectory("fw_write").toString + "/out"
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("flag"))
+    def writeOnce(): Unit = src.write
+      .format("graft.sources.FixedWidthSource")
+      .option("path", dir).option("fields", fieldSpec)
+      .mode("overwrite").save()
+    writeOnce()
+    writeOnce() // second overwrite must truncate, not duplicate
+    val back = read(dir)
+    assert(back.count() == src.count(), "overwrite truncated the previous commit")
+    val got = back.orderBy(col("l_orderkey"), col("l_partkey"), col("qty"), col("flag"))
+      .collect().map(_.toString)
+    val expect = src.orderBy(col("l_orderkey"), col("l_partkey"), col("qty"), col("flag"))
+      .collect().map(_.toString)
+    assert(got.sameElements(expect))
+    // committed files carry the driver-assigned names; no task temp files remain
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(names.forall(_.matches("part-\\d{5}\\.fw")), names.mkString(","))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_tmp")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_tmp")).isEmpty,
+      "no stray task temp files after commit")
+  }
+
   test("column pruning reaches the parser: only requested slices are parsed") {
     val fields = FixedWidth.parseFields(fieldSpec)
     val b = new FwScanBuilder("/unused", fields)

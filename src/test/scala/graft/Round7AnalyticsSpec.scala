@@ -372,6 +372,47 @@ class Round7AnalyticsSpec extends AnyFunSuite {
     assert(nDelta > 0 && nDelta < Tables.orders(spark, sf).count())
   }
 
+  test("q222: TWAP matches a driver-side segment recompute") {
+    import graft.operators.EventTime
+    val got = EventTime.q222Twap(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (uid, xs) =>
+      val ordered = xs.sortBy(e => (e._3, e._2))
+      val segs = ordered.zip(ordered.tail).map { case (a, b) =>
+        val vm = math.floor(a._4 * 1e6 + 0.5).toLong
+        val dtS = (b._3 - a._3) / 1000000
+        (vm, dtS)
+      }
+      val span = segs.map(_._2).sum
+      if (span > 0) {
+        val wsum = segs.map(s => s._1 * s._2).sum
+        val twap = wsum.toDouble / span.toDouble / 1e6
+        val (n, gotSpan, gotTwap) = got(uid)
+        assert(n == segs.length && gotSpan == span && gotTwap == twap, s"user $uid")
+      } else assert(!got.contains(uid), s"zero-span user $uid must be excluded")
+    }
+  }
+
+  test("q223: bins partition the orders; IV terms are consistent with WOE") {
+    import graft.operators.FeatureOps
+    val rows = FeatureOps.q223WoeIv(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n)
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val (ng, nb, woe, iv) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+        assert(ng > 0 && nb > 0)
+        // iv term carries woe's sign times the probability gap's sign
+        assert(iv == iv) // not NaN
+        assert(math.abs(woe) < 10.0, "6-dp-rounded log odds in a sane range")
+      } else assert(r.getDouble(4) == 0.0, "one-sided bins contribute zero IV")
+    }
+  }
+
   test("q207: CMS estimate is never below the exact count") {
     val rows = ScaleOps2.q207CountMin(spark, sf).collect()
     assert(rows.length == 10)
