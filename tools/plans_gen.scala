@@ -24,7 +24,8 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q209_ks_drift","q210_ewma","q211_benford","q212_water_filling",
   "q213_covariance","q214_skipgram_cooc","q215_label_prop",
   "q216_multitouch_attribution","q217_cohort_ltv","q218_lag_correlation",
-  "q219_shard_manifest")
+  "q219_shard_manifest","q220_join_ivm","q221_fixed_width",
+  "q222_twap","q223_woe_iv")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
@@ -108,7 +109,12 @@ sb.append("cell), multi-touch attribution (q216: per-user bounded join,\n")
 sb.append("conversion-keyed rank windows), cohort LTV (q217: integer\n")
 sb.append("calendar keys, cohort-partitioned cumsum), lag correlation\n")
 sb.append("(q218: one (type, day) rollup then |types|^2 x lags cells),\n")
-sb.append("and the shard manifest (q219: one scan, one groupBy(shard)).\n")
+sb.append("and the shard manifest (q219: one scan, one groupBy(shard)),\n")
+sb.append("join IVM (q220: broadcast dim patch + delta join, no\n")
+sb.append("recompute), the DSv2 fixed-width connector (q221: pushed\n")
+sb.append("filters and pruned fields visible in the custom scan), TWAP\n")
+sb.append("(q222: user-keyed lead window + integer-weighted rollup), and\n")
+sb.append("WOE binning (q223: 1-row bounds broadcast, B-row rollup).\n")
 sb.append("Regenerate with tools/gen_plans.sh.\n")
 keys.foreach { k =>
   val df = graft.SparkEntry.queries(k)(spark, d)
