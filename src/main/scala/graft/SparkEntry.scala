@@ -44,7 +44,8 @@ object SparkEntry {
       operators.SyncOps.queries ++
       operators.MaintOps.queries ++
       operators.FeatureOps.queries ++
-      operators.QualityOps.queries
+      operators.QualityOps.queries ++
+      operators.MlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +79,6 @@ object SparkEntry {
       operators.SyncOps.oracles ++
       operators.MaintOps.oracles ++
       operators.FeatureOps.oracles ++
-      operators.QualityOps.oracles
+      operators.QualityOps.oracles ++
+      operators.MlOps.oracles
 }
