@@ -45,7 +45,8 @@ object SparkEntry {
       operators.MaintOps.queries ++
       operators.FeatureOps.queries ++
       operators.QualityOps.queries ++
-      operators.MlOps.queries
+      operators.MlOps.queries ++
+      operators.InfraOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -80,5 +81,6 @@ object SparkEntry {
       operators.MaintOps.oracles ++
       operators.FeatureOps.oracles ++
       operators.QualityOps.oracles ++
-      operators.MlOps.oracles
+      operators.MlOps.oracles ++
+      operators.InfraOps.oracles
 }
