@@ -46,7 +46,8 @@ object SparkEntry {
       operators.FeatureOps.queries ++
       operators.QualityOps.queries ++
       operators.MlOps.queries ++
-      operators.InfraOps.queries
+      operators.InfraOps.queries ++
+      operators.RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +83,6 @@ object SparkEntry {
       operators.FeatureOps.oracles ++
       operators.QualityOps.oracles ++
       operators.MlOps.oracles ++
-      operators.InfraOps.oracles
+      operators.InfraOps.oracles ++
+      operators.RankOps.oracles
 }

@@ -1,0 +1,396 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-stratification and retrieval-ranking operators: CCNet-style
+  * perplexity bucketing with a held-out LM, batch-hard triplet mining for
+  * contrastive training, reciprocal-rank-fusion hybrid search, and the
+  * k-fold split-balance audit.
+  */
+object RankOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Interpolation weights of the q233 scorer (literals on both engines
+    * so no 1−λ subtraction enters the float path). */
+  val Lam = 0.7
+  val LamC = 0.3
+  /** Normal-tercile z boundary for the head/middle/tail split. */
+  val TercileZ = 0.4307
+
+  /** q233 — perplexity stratification (the CCNet head/middle/tail split):
+    * an interpolated bigram LM is fitted on the 4/5 hash split and scores
+    * the held-out 1/5; held-out docs are bucketed by their z-score
+    * against the scored population's exact moments.
+    *
+    * This is the corpus-quality stratifier in front of LLM pretraining:
+    * "head" (most-fluent-under-the-LM) data is kept or upsampled, "tail"
+    * is dropped or audited. Model tables are bounded exactly as q154
+    * (symbols collapse to VocabCap+OOV BEFORE bigram counting, so the
+    * model is (K+1)²); scoring is one scan over held-out bigrams with
+    * bounded broadcast joins. Unseen-history bigrams take the unigram
+    * backoff alone; the unigram is add-one smoothed over the closed
+    * symbol space so p > 0 always. Buckets come from mean/σ of the
+    * scored docs — exact integer sums, one sqrt (correctly rounded in
+    * IEEE, hence engine-portable, unlike ln/pow) — not from a global
+    * sort: the 100 TB path needs no ntile over the corpus.
+    */
+  def q233PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), (pmod(col("doc_id"), lit(5)) === 0).as("is_test"))
+    val tok = docs
+      .select(col("doc_id"), col("is_test"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val top = tok.filter(!col("is_test"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(Curation.VocabCap).select(col("tok"))
+    val sym = tok.join(broadcast(top.withColumn("inv", lit(1))), Seq("tok"), "left")
+      .select(col("doc_id"), col("is_test"), col("pos"),
+        when(col("inv").isNotNull, col("tok")).otherwise(lit("")).as("sym"))
+      .persist()
+    val uni = sym.filter(!col("is_test")).groupBy(col("sym")).agg(count(lit(1)).as("u"))
+    val stats = uni.agg(sum(col("u")).as("t"), count(lit(1)).as("vs"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = sym
+      .withColumn("sym2", lead(col("sym"), 1).over(wp))
+      .filter(col("sym2").isNotNull)
+      .select(col("doc_id"), col("is_test"), col("sym"), col("sym2"))
+    val bcnt = big.filter(!col("is_test"))
+      .groupBy(col("sym"), col("sym2")).agg(count(lit(1)).as("bc"))
+    val hcnt = bcnt.groupBy(col("sym")).agg(sum(col("bc")).as("hc"))
+    val p =
+      when(col("bc").isNotNull,
+        lit(Lam) * (col("bc").cast("double") / col("hc").cast("double")))
+        .otherwise(lit(0.0)) +
+        lit(LamC) * ((coalesce(col("u"), lit(0L)) + 1).cast("double") /
+          (col("t") + col("vs")).cast("double"))
+    val scored = big.filter(col("is_test"))
+      .join(broadcast(bcnt), Seq("sym", "sym2"), "left")
+      .join(broadcast(hcnt), Seq("sym"), "left")
+      .join(broadcast(uni.select(col("sym").as("sym2"), col("u"))), Seq("sym2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp_micro", floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum((col("sym2") === "").cast("long")).as("n_oov"),
+        floor(sum(col("lp_micro")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("alp_micro"))
+    val mom = perDoc.agg(count(lit(1)).as("n"),
+      sum(col("alp_micro")).as("s1"),
+      sum(col("alp_micro") * col("alp_micro")).as("s2"))
+    val mu = col("s1").cast("double") / col("n").cast("double")
+    val sig = sqrt(col("s2").cast("double") / col("n").cast("double") - mu * mu)
+    perDoc.crossJoin(broadcast(mom))
+      .withColumn("bucket",
+        when(col("alp_micro").cast("double") > mu + lit(TercileZ) * sig, "head")
+          .when(col("alp_micro").cast("double") < mu - lit(TercileZ) * sig, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("nb"), col("n_oov"), col("alp_micro"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q233Sql: String = {
+    val k = Curation.VocabCap
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk, (doc_id % 5 = 0) AS is_test
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(tk) AS tok FROM docs WHERE NOT is_test),
+       |topl AS (SELECT LIST(tok) AS toplist FROM
+       |  (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1)
+       |   ORDER BY c DESC, tok LIMIT $k)),
+       |syms AS (SELECT doc_id, is_test,
+       |    list_transform(tk, x -> CASE WHEN list_contains(toplist, x)
+       |      THEN x ELSE chr(1) END) AS sl
+       |  FROM docs CROSS JOIN topl),
+       |uni AS (SELECT sym, CAST(COUNT(*) AS BIGINT) AS u
+       |  FROM (SELECT unnest(sl) AS sym FROM syms WHERE NOT is_test) GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(u) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+       |big AS (
+       |  SELECT doc_id, is_test,
+       |         unnest(list_transform(range(1, len(sl)), i -> sl[i])) AS sym,
+       |         unnest(list_transform(range(1, len(sl)), i -> sl[i+1])) AS sym2
+       |  FROM syms WHERE len(sl) >= 2),
+       |bcnt AS (SELECT sym, sym2, CAST(COUNT(*) AS BIGINT) AS bc FROM big
+       |         WHERE NOT is_test GROUP BY 1, 2),
+       |hcnt AS (SELECT sym, CAST(SUM(bc) AS BIGINT) AS hc FROM bcnt GROUP BY 1),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |         b.sym2 = chr(1) AS is_oov,
+       |         CAST(FLOOR(LN(
+       |           CASE WHEN bc IS NOT NULL
+       |                THEN $Lam * (CAST(bc AS DOUBLE) / CAST(hc AS DOUBLE)) ELSE 0.0 END
+       |           + $LamC * (CAST(COALESCE(u, 0) + 1 AS DOUBLE) / CAST(t + vs AS DOUBLE))
+       |         ) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+       |  FROM big b
+       |  LEFT JOIN bcnt ON bcnt.sym = b.sym AND bcnt.sym2 = b.sym2
+       |  LEFT JOIN hcnt ON hcnt.sym = b.sym
+       |  LEFT JOIN uni ON uni.sym = b.sym2
+       |  CROSS JOIN stats
+       |  WHERE b.is_test),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+       |         CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |         CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+       |           AS alp_micro
+       |  FROM scored GROUP BY doc_id),
+       |mom AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(alp_micro) AS BIGINT) AS s1,
+       |         CAST(SUM(alp_micro * alp_micro) AS BIGINT) AS s2
+       |  FROM per_doc)
+       |SELECT doc_id, nb, n_oov, alp_micro,
+       |       CASE WHEN CAST(alp_micro AS DOUBLE) >
+       |                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                 + $TercileZ * SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |            THEN 'head'
+       |            WHEN CAST(alp_micro AS DOUBLE) <
+       |                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                 - $TercileZ * SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |            THEN 'tail'
+       |            ELSE 'middle' END AS bucket
+       |FROM per_doc, mom ORDER BY doc_id""".stripMargin
+  }
+
+  /** Anchor stride for q234 (every 17th vector anchors a triplet). */
+  val AnchorMod = 17
+
+  /** q234 — batch-hard triplet mining (FaceNet/contrastive training): for
+    * each anchor, the hardest positive (same label, LOWEST cosine) and
+    * hardest negative (different label, HIGHEST cosine), with the triplet
+    * margin. Anchors are a strided slice — the "batch" — so the pair
+    * space is |anchors|·N, never N²; at scale the anchor batch rides a
+    * broadcast against the corpus scan exactly like q38's documented
+    * exactness baseline (the production path swaps the candidate
+    * generator to q148's IVF cells; the per-anchor argmin/argmax window
+    * is |batch|-bounded either way).
+    */
+  def q234TripletMine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import graft.functions.VectorExpressions.cosineF
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") % AnchorMod === 0)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"), col("embedding").as("ae"))
+    val cands = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val scored = cands.join(broadcast(anchors), col("aid") =!= col("cid"))
+      .withColumn("cos", cosineF("ae", "ce"))
+      .persist()
+    val wPos = Window.partitionBy(col("aid")).orderBy(col("cos").asc, col("cid"))
+    val pos = scored.filter(col("clabel") === col("alabel"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("aid"), col("alabel"), col("cid").as("pos_id"), col("cos").as("cos_pos"))
+    val wNeg = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("cid"))
+    val neg = scored.filter(col("clabel") =!= col("alabel"))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("aid"), col("cid").as("neg_id"), col("cos").as("cos_neg"))
+    pos.join(neg, "aid")
+      .select(col("aid"), col("alabel"), col("pos_id"), col("cos_pos"),
+        col("neg_id"), col("cos_neg"),
+        round(col("cos_neg") - col("cos_pos"), 6).as("hardness"))
+      .orderBy(col("aid"))
+  }
+
+  val q234Sql: String =
+    s"""WITH a AS (SELECT vec_id AS aid, label AS alabel, embedding AS ae
+       |           FROM embeddings WHERE vec_id % $AnchorMod = 0),
+       |c AS (SELECT vec_id AS cid, label AS clabel, embedding AS ce FROM embeddings),
+       |scored AS (
+       |  SELECT aid, alabel, cid, clabel, ${cosineSql("ae", "ce")} AS cos
+       |  FROM a JOIN c ON aid <> cid),
+       |pos AS (
+       |  SELECT aid, alabel, cid AS pos_id, cos AS cos_pos,
+       |         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos ASC, cid) AS rn
+       |  FROM scored WHERE clabel = alabel),
+       |neg AS (
+       |  SELECT aid, cid AS neg_id, cos AS cos_neg,
+       |         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored WHERE clabel <> alabel)
+       |SELECT pos.aid, alabel, pos_id, cos_pos, neg_id, cos_neg,
+       |       ROUND(cos_neg - cos_pos, 6) AS hardness
+       |FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
+       |WHERE pos.rn = 1 AND neg.rn = 1
+       |ORDER BY pos.aid""".stripMargin
+
+  /** RRF rank constant (the standard k=60 from Cormack et al.). */
+  val RrfK = 60
+  /** Fused results kept per query in q235. */
+  val RrfTopN = 10
+
+  /** q235 — reciprocal-rank-fusion hybrid search: every query document
+    * retrieves by embedding cosine AND by 3-gram Jaccard, and the two
+    * rankings fuse as Σ 1/(60+rank) — the standard hybrid
+    * (dense + lexical) retrieval combiner, rank-based so the two
+    * incomparable score scales never mix. Ranks come from per-query
+    * windows (|queries|-bounded partitions); the fused score is micro-
+    * quantized from an identical two-term IEEE sum.
+    *
+    * The lexical leg runs as an INVERTED INDEX (dict-encoded shingles,
+    * query postings broadcast, intersections as a count aggregate) —
+    * never as per-pair array scans, whose cost is |q|·N·|shingle|² and
+    * whose arrays would have to ride every row of the pair grid. The
+    * dense leg is the codegen'd cosine over the same broadcast query
+    * batch (q38's documented exactness baseline); at scale both legs
+    * swap their candidate generators for q148 IVF cells and q35 LSH
+    * buckets, and the fusion is unchanged.
+    */
+  def q235RrfHybrid(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import graft.functions.VectorExpressions.cosineF
+    // dict-encoded 3-gram shingle postings (the q229/q86 pattern: hash
+    // each DISTINCT token once, fold grams from lead windows)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val postings = tok.join(broadcast(dict), "tok")
+      .withColumn("h2", lead(col("h"), 1).over(wp))
+      .withColumn("h3", lead(col("h"), 2).over(wp))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"),
+        (((col("h") * 31 + col("h2")) % P) * 31 + col("h3")).mod(P).as("sh"))
+      .distinct()
+      .persist()
+    val sz = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val qPost = postings.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"), col("sh"))
+    val inter = postings.join(broadcast(qPost), "sh")
+      .filter(col("qid") =!= col("doc_id"))
+      .groupBy(col("qid"), col("doc_id").as("cid"))
+      .agg(count(lit(1)).as("ninter"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qEmb = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(qEmb), col("qid") =!= col("cid"))
+      .withColumn("cos", cosineF("qe", "ce"))
+      .join(inter, Seq("qid", "cid"), "left")
+      .join(sz.select(col("doc_id").as("cid"), col("nsh").as("csz")), "cid")
+      .join(broadcast(sz.select(col("doc_id").as("qid"), col("nsh").as("qsz"))), "qid")
+      .withColumn("ni", coalesce(col("ninter"), lit(0L)))
+      .withColumn("jac_micro",
+        floor(col("ni").cast("double") /
+          (col("qsz") + col("csz") - col("ni")).cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val r1 = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
+    val r2 = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("cid")))
+    val ranked = pairs.withColumn("r1", r1).withColumn("r2", r2)
+      .withColumn("rrf_micro",
+        floor((lit(1.0) / (lit(RrfK) + col("r1")).cast("double") +
+          lit(1.0) / (lit(RrfK) + col("r2")).cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    ranked.withColumn("rank_fused", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("cid"))))
+      .filter(col("rank_fused") <= RrfTopN)
+      .select(col("qid"), col("rank_fused").cast("long").as("rank_fused"), col("cid"),
+        col("r1").cast("long").as("r1"), col("r2").cast("long").as("r2"), col("rrf_micro"))
+      .orderBy(col("qid"), col("rank_fused"))
+  }
+
+  val q235Sql: String = {
+    val sh = shingleHashesSql(tokenHashesSql(tokensSql("text")))
+    s"""WITH ds AS (SELECT doc_id, $sh AS sh FROM documents),
+       |j AS (SELECT doc_id, sh, embedding FROM ds JOIN embeddings ON doc_id = vec_id),
+       |q AS (SELECT doc_id AS qid, sh AS qsh, embedding AS qe FROM j WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id AS cid, sh AS csh, embedding AS ce FROM j),
+       |pairs AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS cos,
+       |         CAST(FLOOR(
+       |           CAST(len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
+       |           / CAST(len(qsh) + len(csh)
+       |               - len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
+       |           * 1000000.0 + 0.5) AS BIGINT) AS jac_micro
+       |  FROM q JOIN c ON qid <> cid),
+       |ranked AS (
+       |  SELECT qid, cid, jac_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid) AS r2
+       |  FROM pairs),
+       |fused AS (
+       |  SELECT qid, cid, r1, r2,
+       |         CAST(FLOOR((1.0 / CAST($RrfK + r1 AS DOUBLE)
+       |                     + 1.0 / CAST($RrfK + r2 AS DOUBLE))
+       |                * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro
+       |  FROM ranked),
+       |topn AS (
+       |  SELECT qid, cid, r1, r2, rrf_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, cid)
+       |           AS rank_fused
+       |  FROM fused)
+       |SELECT qid, rank_fused, cid, r1, r2, rrf_micro
+       |FROM topn WHERE rank_fused <= $RrfTopN
+       |ORDER BY qid, rank_fused""".stripMargin
+  }
+
+  /** Fold count and mixing constant for the q236 split audit. */
+  val Folds = 5
+  val FoldMix = 2654435761L
+
+  /** q236 — k-fold split assignment + balance audit: rows land in folds
+    * by a Knuth-multiplicative id hash (deterministic, data-independent,
+    * re-derivable by any consumer — the q219 manifest's argument applied
+    * to cross-validation), and the audit reports the fold×label
+    * contingency with each cell's expected count and χ² contribution —
+    * the standard check that a "random" split didn't correlate with the
+    * label. One scan, one (K·|labels|)-cell aggregate; χ² from exact
+    * integers in one shared-order division each.
+    */
+  def q236FoldAudit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(pmod(col("o_orderkey") * FoldMix % P, lit(Folds)).as("fold"),
+        col("o_orderpriority").as("label"))
+    val cells = o.groupBy(col("fold"), col("label")).agg(count(lit(1)).as("n"))
+    val foldTot = cells.groupBy(col("fold")).agg(sum(col("n")).as("nf"))
+    val labTot = cells.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val expd = col("nf").cast("double") * col("nl").cast("double") / col("nn").cast("double")
+    val chi = (col("n").cast("double") - expd) * (col("n").cast("double") - expd) / expd
+    cells.join(broadcast(foldTot), "fold").join(broadcast(labTot), "label")
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("label"), col("n"),
+        floor(expd * lit(1000000.0) + lit(0.5)).cast("long").as("expected_micro"),
+        floor(chi * lit(1000000.0) + lit(0.5)).cast("long").as("chi2_micro"))
+      .orderBy(col("fold"), col("label"))
+  }
+
+  val q236Sql: String =
+    s"""WITH o AS (
+       |  SELECT ((o_orderkey * $FoldMix % $P) + $P) % $P % $Folds AS fold,
+       |         o_orderpriority AS label
+       |  FROM orders),
+       |cells AS (SELECT fold, label, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM o GROUP BY 1, 2),
+       |ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS nf FROM cells GROUP BY 1),
+       |lt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM cells GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+       |SELECT fold, label, n,
+       |       CAST(FLOOR(CAST(nf AS DOUBLE) * CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS expected_micro,
+       |       CAST(FLOOR((CAST(n AS DOUBLE)
+       |                - CAST(nf AS DOUBLE) * CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+       |              * (CAST(n AS DOUBLE)
+       |                - CAST(nf AS DOUBLE) * CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+       |              / (CAST(nf AS DOUBLE) * CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+       |              * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+       |FROM cells JOIN ft USING (fold) JOIN lt USING (label), tt
+       |ORDER BY fold, label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q233_ppl_buckets" -> q233PerplexityBuckets _,
+    "q234_triplet_mine" -> q234TripletMine _,
+    "q235_rrf_hybrid" -> q235RrfHybrid _,
+    "q236_fold_audit" -> q236FoldAudit _)
+
+  val oracles: Map[String, String] = Map(
+    "q233_ppl_buckets" -> q233Sql,
+    "q234_triplet_mine" -> q234Sql,
+    "q235_rrf_hybrid" -> q235Sql,
+    "q236_fold_audit" -> q236Sql)
+}
