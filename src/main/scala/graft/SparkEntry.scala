@@ -47,7 +47,8 @@ object SparkEntry {
       operators.QualityOps.queries ++
       operators.MlOps.queries ++
       operators.InfraOps.queries ++
-      operators.RankOps.queries
+      operators.RankOps.queries ++
+      operators.NoveltyOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +85,6 @@ object SparkEntry {
       operators.QualityOps.oracles ++
       operators.MlOps.oracles ++
       operators.InfraOps.oracles ++
-      operators.RankOps.oracles
+      operators.RankOps.oracles ++
+      operators.NoveltyOps.oracles
 }
