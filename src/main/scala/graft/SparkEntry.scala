@@ -48,7 +48,8 @@ object SparkEntry {
       operators.MlOps.queries ++
       operators.InfraOps.queries ++
       operators.RankOps.queries ++
-      operators.NoveltyOps.queries
+      operators.NoveltyOps.queries ++
+      operators.ChunkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +87,6 @@ object SparkEntry {
       operators.MlOps.oracles ++
       operators.InfraOps.oracles ++
       operators.RankOps.oracles ++
-      operators.NoveltyOps.oracles
+      operators.NoveltyOps.oracles ++
+      operators.ChunkOps.oracles
 }
