@@ -301,15 +301,45 @@ object InfraOps {
        |FROM h GROUP BY 1 ORDER BY h_bucket""".stripMargin
   }
 
+  /** q244 — q232's native twin: the identical Hilbert layout computed by
+    * the codegen'd [[graft.functions.HilbertIndexF]] expression instead
+    * of the interpreted higher-order fold (the q90/q91 portable-vs-native
+    * pattern). Same oracle SQL — the hash check proves the custom
+    * expression's walk is bit-equal to the portable recurrence; the spec
+    * additionally proves it over the full grid and pins the codegen plan.
+    */
+  def q244HilbertNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LayoutExpressions.register(s, ScaleOps.ZBits)
+    import graft.functions.LayoutExpressions.hilbertF
+    val n = 1 << ScaleOps.ZBits
+    val x = pmod(col("o_custkey"), lit(n))
+    val y = pmod(month(col("o_orderdate")) - 1 + (year(col("o_orderdate")) - 1995) * 12,
+      lit(n))
+    Tables.orders(s, d)
+      .select(x.cast("long").as("xb"), y.cast("long").as("yb"))
+      .withColumn("h", hilbertF("xb", "yb"))
+      .withColumn("h_bucket", shiftright(col("h"), ScaleOps.ZBits))
+      .groupBy(col("h_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+        min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+      .withColumn("span_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("h_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q229_bloom_prefilter" -> q229BloomPrefilter _,
     "q230_feature_hash" -> q230FeatureHash _,
     "q231_compaction_plan" -> q231CompactionPlan _,
-    "q232_hilbert_layout" -> q232HilbertLayout _)
+    "q232_hilbert_layout" -> q232HilbertLayout _,
+    "q244_hilbert_native" -> q244HilbertNative _)
 
   val oracles: Map[String, String] = Map(
     "q229_bloom_prefilter" -> q229Sql,
     "q230_feature_hash" -> q230Sql,
     "q231_compaction_plan" -> q231Sql,
-    "q232_hilbert_layout" -> q232Sql)
+    "q232_hilbert_layout" -> q232Sql,
+    "q244_hilbert_native" -> q232Sql)
 }

@@ -90,6 +90,20 @@ class InfraOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q244: native hilbert expression is bit-equal to the portable fold on the full grid") {
+    val n = 1 << ScaleOps.ZBits
+    graft.functions.LayoutExpressions.register(spark, ScaleOps.ZBits)
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("xb"), (col("id") % n).cast("long").as("yb"))
+      .withColumn("h_fold", InfraOps.hilbertCol)
+      .withColumn("h_native", graft.functions.LayoutExpressions.hilbertF("xb", "yb"))
+    assert(grid.filter(col("h_fold") =!= col("h_native")).count() == 0)
+    // the native path stays inside whole-stage codegen (no interpreted HOF)
+    // `*(n)` marks a WholeStageCodegen stage in the rendered plan
+    val plan = grid.select("h_native").queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen in:\n$plan")
+  }
+
   test("q232 vs q119: hilbert buckets are no looser than morton buckets") {
     val hil = InfraOps.q232HilbertLayout(spark, sf)
       .agg(sum(col("span_area") * col("n_rows"))).collect().head.getLong(0)
