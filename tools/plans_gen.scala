@@ -25,7 +25,11 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q213_covariance","q214_skipgram_cooc","q215_label_prop",
   "q216_multitouch_attribution","q217_cohort_ltv","q218_lag_correlation",
   "q219_shard_manifest","q220_join_ivm","q221_fixed_width",
-  "q222_twap","q223_woe_iv")
+  "q222_twap","q223_woe_iv",
+  "q224_target_encode","q226_naive_bayes","q229_bloom_prefilter",
+  "q231_compaction_plan","q232_hilbert_layout","q233_ppl_buckets",
+  "q235_rrf_hybrid","q237_novelty","q241_cdc_chunks","q242_lsh_tuning",
+  "q244_hilbert_native")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
