@@ -49,7 +49,8 @@ object SparkEntry {
       operators.InfraOps.queries ++
       operators.RankOps.queries ++
       operators.NoveltyOps.queries ++
-      operators.ChunkOps.queries
+      operators.ChunkOps.queries ++
+      operators.WeightOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +89,6 @@ object SparkEntry {
       operators.InfraOps.oracles ++
       operators.RankOps.oracles ++
       operators.NoveltyOps.oracles ++
-      operators.ChunkOps.oracles
+      operators.ChunkOps.oracles ++
+      operators.WeightOps.oracles
 }

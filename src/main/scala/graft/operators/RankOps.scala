@@ -239,7 +239,9 @@ object RankOps {
     * swap their candidate generators for q148 IVF cells and q35 LSH
     * buckets, and the fusion is unchanged.
     */
-  def q235RrfHybrid(s: SparkSession, d: String): DataFrame = {
+  /** The shared dense+lexical ranking core of q235/q246: per (query,
+    * candidate), cosine rank r1 and shingle-Jaccard rank r2. */
+  private[operators] def hybridRanks(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     import graft.functions.VectorExpressions.cosineF
     // dict-encoded 3-gram shingle postings (the q229/q86 pattern: hash
@@ -281,7 +283,35 @@ object RankOps {
       Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
     val r2 = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("cid")))
-    val ranked = pairs.withColumn("r1", r1).withColumn("r2", r2)
+    pairs.withColumn("r1", r1).withColumn("r2", r2)
+      .select(col("qid"), col("cid"),
+        col("r1").cast("long").as("r1"), col("r2").cast("long").as("r2"))
+  }
+
+  /** The shared DuckDB CTE chain producing (qid, cid, r1, r2). */
+  private[operators] val hybridRanksCtes: String = {
+    val sh = shingleHashesSql(tokenHashesSql(tokensSql("text")))
+    s"""ds AS (SELECT doc_id, $sh AS sh FROM documents),
+       |j AS (SELECT doc_id, sh, embedding FROM ds JOIN embeddings ON doc_id = vec_id),
+       |q AS (SELECT doc_id AS qid, sh AS qsh, embedding AS qe FROM j WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id AS cid, sh AS csh, embedding AS ce FROM j),
+       |hpairs AS (
+       |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS cos,
+       |         CAST(FLOOR(
+       |           CAST(len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
+       |           / CAST(len(qsh) + len(csh)
+       |               - len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
+       |           * 1000000.0 + 0.5) AS BIGINT) AS jac_micro
+       |  FROM q JOIN c ON qid <> cid),
+       |hranked AS (
+       |  SELECT qid, cid, jac_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid) AS r2
+       |  FROM hpairs)""".stripMargin
+  }
+
+  def q235RrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val ranked = hybridRanks(s, d)
       .withColumn("rrf_micro",
         floor((lit(1.0) / (lit(RrfK) + col("r1")).cast("double") +
           lit(1.0) / (lit(RrfK) + col("r2")).cast("double")) * lit(1000000.0) + lit(0.5))
@@ -382,15 +412,90 @@ object RankOps {
        |FROM cells JOIN ft USING (fold) JOIN lt USING (label), tt
        |ORDER BY fold, label""".stripMargin
 
+  /** RBO persistence parameter and truncation depth for q246. */
+  val RboP = 0.9
+  val RboDepth = 50
+
+  /** q246 — rank-biased overlap between the two retrieval legs: how much
+    * do the dense (cosine) and lexical (Jaccard) rankings of q235
+    * actually agree, top-weighted? RBO@50 with p=0.9 (Webber et al.) —
+    * the ranking-similarity metric that, unlike Kendall/Spearman, is
+    * defined on indefinite rankings and weights the head. Low RBO is the
+    * signal that fusion (q235) has something to add; RBO→1 means one leg
+    * is redundant.
+    *
+    * Determinism: the p^(d−1) weights are embedded as double LITERALS
+    * (Scala's Double.toString round-trips exactly, and both engines
+    * parse the same nearest double), each depth term is micro-quantized
+    * to a BIGINT before the (order-free, exact) sum, and the depth grid
+    * is a [[RboDepth]]-row broadcast — per-query work is D·|candidates|
+    * filtered rows into a D-cell aggregate.
+    */
+  def q246RankOverlap(s: SparkSession, d: String): DataFrame = {
+    val ranks = hybridRanks(s, d)
+    val weights = (1 to RboDepth).map(dep => (dep, math.pow(RboP, dep - 1)))
+    val depths = s.createDataFrame(weights).toDF("dep", "w")
+    val ov = ranks.join(broadcast(depths),
+        col("r1") <= col("dep") && col("r2") <= col("dep"))
+      .groupBy(col("qid"), col("dep"), col("w"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("term_nano",
+        floor(col("w") * col("ov").cast("double") / col("dep").cast("double") *
+          lit(1000000000.0) + lit(0.5)).cast("long"))
+    // anchor on the query list: zero-overlap queries report RBO 0
+    // instead of vanishing (an empty result is not a graded answer)
+    val agg = ov.groupBy(col("qid"))
+      .agg(sum(col("term_nano")).as("sum_nano"),
+        max(when(col("dep") === RboDepth, col("ov"))).as("ov_d"))
+    ranks.select(col("qid")).distinct()
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("ov_d"), lit(0L)).as("overlap_at_depth"),
+        coalesce(
+          floor(lit(1.0 - RboP) * col("sum_nano").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("rbo_nano"))
+      .orderBy(col("qid"))
+  }
+
+  val q246Sql: String = {
+    val weightRows = (1 to RboDepth)
+      .map(dep => s"(${dep}, ${math.pow(RboP, dep - 1)})").mkString(", ")
+    s"""WITH $hybridRanksCtes,
+       |depths(dep, w) AS (VALUES $weightRows),
+       |ov AS (
+       |  SELECT qid, dep, w, CAST(COUNT(*) AS BIGINT) AS ov
+       |  FROM hranked JOIN depths ON r1 <= dep AND r2 <= dep
+       |  GROUP BY qid, dep, w),
+       |terms AS (
+       |  SELECT qid, dep, ov,
+       |         CAST(FLOOR(w * CAST(ov AS DOUBLE) / CAST(dep AS DOUBLE)
+       |                * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+       |  FROM ov),
+       |agg AS (
+       |  SELECT qid,
+       |         CAST(MAX(CASE WHEN dep = $RboDepth THEN ov END) AS BIGINT) AS ov_d,
+       |         CAST(FLOOR(${1.0 - RboP} * CAST(SUM(term_nano) AS DOUBLE) + 0.5) AS BIGINT)
+       |           AS rbo_nano
+       |  FROM terms GROUP BY qid),
+       |qids AS (SELECT DISTINCT qid FROM hranked)
+       |SELECT qid,
+       |       COALESCE(ov_d, 0) AS overlap_at_depth,
+       |       COALESCE(rbo_nano, 0) AS rbo_nano
+       |FROM qids LEFT JOIN agg USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q233_ppl_buckets" -> q233PerplexityBuckets _,
     "q234_triplet_mine" -> q234TripletMine _,
     "q235_rrf_hybrid" -> q235RrfHybrid _,
-    "q236_fold_audit" -> q236FoldAudit _)
+    "q236_fold_audit" -> q236FoldAudit _,
+    "q246_rank_overlap" -> q246RankOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q233_ppl_buckets" -> q233Sql,
     "q234_triplet_mine" -> q234Sql,
     "q235_rrf_hybrid" -> q235Sql,
-    "q236_fold_audit" -> q236Sql)
+    "q236_fold_audit" -> q236Sql,
+    "q246_rank_overlap" -> q246Sql)
 }

@@ -64,6 +64,38 @@ class RankOpsSpec extends AnyFunSuite {
     assert(byQ.nonEmpty)
   }
 
+  test("q245: every doc weighted once; weights invert cluster sizes") {
+    val r = graft.operators.WeightOps.q245DedupWeights(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.length == nDocs)
+    assert(r.map(_.getLong(0)).distinct.length == nDocs)
+    r.foreach { row =>
+      val (csize, w) = (row.getLong(2), row.getLong(3))
+      assert(csize >= 1)
+      if (csize == 1L) assert(w == 1000000L)
+      else assert(w > 0 && w < 1000000L && math.abs(w * csize - 1000000L) <= csize)
+    }
+    // effective corpus (Σ weights) = #clusters, within per-cluster rounding
+    val sumW = r.map(_.getLong(3)).sum
+    val nClusters = r.map(row => 1.0 / row.getLong(2)).sum // Σ 1/size over docs = #clusters
+    assert(math.abs(sumW / 1e6 - nClusters) < 1.0)
+    // near-dups exist in the fixture, so some cluster must be > 1
+    assert(r.exists(_.getLong(2) > 1L))
+  }
+
+  test("q246: RBO is bounded and grows with overlap") {
+    val r = graft.operators.RankOps.q246RankOverlap(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0 && row.getLong(1) <= graft.operators.RankOps.RboDepth)
+      assert(row.getLong(2) >= 0 && row.getLong(2) <= 1000000000L)
+      // zero overlap at full depth forces RBO 0
+      if (row.getLong(1) == 0) assert(row.getLong(2) == 0)
+    }
+    // queries exist for every %97 doc that has both legs
+    assert(r.map(_.getLong(0)).forall(_ % 97 == 0))
+  }
+
   test("q236: folds partition the data and stay balanced") {
     val r = RankOps.q236FoldAudit(spark, sf).collect()
     assert(r.map(_.getLong(2)).sum == Tables.orders(spark, sf).count())
