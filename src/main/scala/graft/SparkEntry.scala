@@ -50,7 +50,8 @@ object SparkEntry {
       operators.RankOps.queries ++
       operators.NoveltyOps.queries ++
       operators.ChunkOps.queries ++
-      operators.WeightOps.queries
+      operators.WeightOps.queries ++
+      operators.AnnAudit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -90,5 +91,6 @@ object SparkEntry {
       operators.RankOps.oracles ++
       operators.NoveltyOps.oracles ++
       operators.ChunkOps.oracles ++
-      operators.WeightOps.oracles
+      operators.WeightOps.oracles ++
+      operators.AnnAudit.oracles
 }
