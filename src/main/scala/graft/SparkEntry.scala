@@ -51,7 +51,8 @@ object SparkEntry {
       operators.NoveltyOps.queries ++
       operators.ChunkOps.queries ++
       operators.WeightOps.queries ++
-      operators.AnnAudit.queries
+      operators.AnnAudit.queries ++
+      operators.SplitOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +93,6 @@ object SparkEntry {
       operators.NoveltyOps.oracles ++
       operators.ChunkOps.oracles ++
       operators.WeightOps.oracles ++
-      operators.AnnAudit.oracles
+      operators.AnnAudit.oracles ++
+      operators.SplitOps.oracles
 }
