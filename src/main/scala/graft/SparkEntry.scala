@@ -52,7 +52,8 @@ object SparkEntry {
       operators.ChunkOps.queries ++
       operators.WeightOps.queries ++
       operators.AnnAudit.queries ++
-      operators.SplitOps.queries
+      operators.SplitOps.queries ++
+      operators.MartOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,6 @@ object SparkEntry {
       operators.ChunkOps.oracles ++
       operators.WeightOps.oracles ++
       operators.AnnAudit.oracles ++
-      operators.SplitOps.oracles
+      operators.SplitOps.oracles ++
+      operators.MartOps.oracles
 }
