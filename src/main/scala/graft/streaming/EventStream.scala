@@ -306,6 +306,52 @@ object EventStream {
       .drop("d_user_id")
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, sum_micro: Long)
+
+  /** Spark 4 arbitrary-state API v2: a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * maintaining per-user running totals in a typed `ValueState`, driven
+    * through `transformWithState` (the successor of the
+    * flatMapGroupsWithState API used by [[sessionize]] — explicit state
+    * variables with per-state TTL and timer registration instead of one
+    * opaque state object). Totals are folded in (event_id) order within
+    * each batch so emitted updates are deterministic; values enter state
+    * as exact micro-unit longs (the Det contract applied to streaming
+    * state). transformWithState requires the RocksDB state-store
+    * provider — which is also the 100 TB answer: per-user state lives
+    * off-heap and spills to local disk, so state size is bounded by
+    * disk, not executor memory.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      val upd = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
+        UserTotals(key, acc.n_events + 1,
+          acc.sum_micro + math.floor(e.value * 1000000.0 + 0.5).toLong)
+      }
+      totals.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  /** Per-user running totals through the v2 state API; emits one updated
+    * totals row per (user, micro-batch). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark 4 transformWithState (arbitrary-state v2) surface: per-user
+  * running totals through a StatefulProcessor with a typed ValueState,
+  * proven equal to the batch aggregate after the stream drains. */
+class TransformWithStateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("runningTotals: v2 state API matches the batch aggregate across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_tws")
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(dir.resolve(name).toString)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch0 = Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.25),
+      EventStream.Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.5),
+      EventStream.Event(3, ts("2024-01-01 10:02:00"), 1, "view", 0.75))
+    val batch1 = Seq(
+      EventStream.Event(4, ts("2024-01-01 10:03:00"), 1, "click", 3.0),
+      EventStream.Event(5, ts("2024-01-01 10:04:00"), 3, "click", 4.5))
+    write("f0", batch0)
+    write("f1", batch1)
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.resolve("*").toString)
+        .as[EventStream.Event]
+      val q = EventStream.runToMemory(
+        EventStream.runningTotals(stream).toDF(), "tws_totals", OutputMode.Update())
+      try {
+        val updates = spark.table("tws_totals")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // state accumulated ACROSS micro-batches: user 1 must show an
+        // update with all 3 of its events even though they span batches
+        val finalPerUser = updates.groupBy(_._1).view
+          .mapValues(rows => rows.maxBy(_._2)).toMap
+        val expected = (batch0 ++ batch1).groupBy(_.user_id).map { case (u, es) =>
+          u -> (es.size.toLong,
+            es.map(e => math.floor(e.value * 1000000.0 + 0.5).toLong).sum)
+        }
+        expected.foreach { case (u, (n, sumMicro)) =>
+          val (_, gotN, gotSum) = finalPerUser(u)
+          assert(gotN == n, s"user $u count: $gotN != $n")
+          assert(gotSum == sumMicro, s"user $u sum: $gotSum != $sumMicro")
+        }
+        // user 1 received at least two updates (one per micro-batch seen)
+        assert(updates.count(_._1 == 1L) >= 2,
+          "Update mode must emit a row per micro-batch that touched the key")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
