@@ -53,7 +53,8 @@ object SparkEntry {
       operators.WeightOps.queries ++
       operators.AnnAudit.queries ++
       operators.SplitOps.queries ++
-      operators.MartOps.queries
+      operators.MartOps.queries ++
+      operators.EvalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +97,6 @@ object SparkEntry {
       operators.WeightOps.oracles ++
       operators.AnnAudit.oracles ++
       operators.SplitOps.oracles ++
-      operators.MartOps.oracles
+      operators.MartOps.oracles ++
+      operators.EvalOps.oracles
 }
