@@ -352,6 +352,79 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Inactivity gap that closes a q-v2 session (30 minutes, matching the
+    * flatMapGroupsWithState sessionizer). */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** The v2-API sessionizer: same semantics as [[sessionize]] (sessions
+    * close after a 30-minute event-time gap) but expressed with the
+    * Spark 4 primitives — a typed `ValueState` for the open session and
+    * an EVENT-TIME TIMER that fires when the watermark passes
+    * session-end + gap, emitting the closed session from
+    * `handleExpiredTimer` (the piece the old API could only approximate
+    * with GroupStateTimeout). In-batch gaps also close sessions inline,
+    * so both APIs agree row-for-row on closed sessions.
+    */
+  class SessionizerV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("open_session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def emit(key: Long, st: SessionState): SessionOut =
+      SessionOut(key, new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end),
+        st.n, st.sum)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.end > SessionGapMs =>
+            out ::= emit(key, st)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(st) =>
+            cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.sum + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        // re-arm: fire when the watermark passes the inactivity gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.end + SessionGapMs)
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val st = sess.get()
+        sess.clear()
+        Iterator.single(emit(key, st))
+      } else Iterator.empty
+  }
+
+  /** Sessionization through transformWithState with event-time timers;
+    * requires a watermark on `ts` upstream. */
+  def sessionizeV2(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizerV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -64,4 +64,51 @@ class TransformWithStateSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("sessionizeV2: in-batch gaps close inline, idle sessions close by event-time timer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_tws_sess")
+    def write(name: String, events: Seq[EventStream.Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").parquet(dir.resolve(name).toString)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events then a >30min gap inside the stream → inline close
+    // user 2: a single event, then silence → ONLY an expired timer can close it
+    write("f0", Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+      EventStream.Event(3, ts("2024-01-01 10:05:00"), 2, "view", 5.0)))
+    write("f1", Seq(
+      EventStream.Event(4, ts("2024-01-01 11:00:00"), 1, "click", 3.0)))
+    // a third batch pushes the watermark past user 2's end + gap so the
+    // registered timer actually expires
+    write("f2", Seq(
+      EventStream.Event(5, ts("2024-01-01 12:00:00"), 3, "click", 7.0)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.resolve("*").toString)
+        .as[EventStream.Event]
+      val q = EventStream.runToMemory(
+        EventStream.sessionizeV2(stream).toDF(), "tws_sessions")
+      try {
+        val rows = spark.table("tws_sessions")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+            r.getLong(3), r.getDouble(4)))
+        // user 1's first session closed INLINE by the 50-min in-stream gap
+        assert(rows.exists(r => r._1 == 1L && r._3 == 2L && r._4 == 3.0),
+          s"user 1's 2-event session must close inline, got ${rows.toSeq}")
+        // user 2's lone-event session closed by the EXPIRED TIMER
+        assert(rows.exists(r => r._1 == 2L && r._3 == 1L && r._4 == 5.0),
+          s"user 2's idle session must close via handleExpiredTimer, got ${rows.toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
