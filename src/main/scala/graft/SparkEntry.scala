@@ -54,7 +54,8 @@ object SparkEntry {
       operators.AnnAudit.queries ++
       operators.SplitOps.queries ++
       operators.MartOps.queries ++
-      operators.EvalOps.queries
+      operators.EvalOps.queries ++
+      operators.MonitorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +99,6 @@ object SparkEntry {
       operators.AnnAudit.oracles ++
       operators.SplitOps.oracles ++
       operators.MartOps.oracles ++
-      operators.EvalOps.oracles
+      operators.EvalOps.oracles ++
+      operators.MonitorOps.oracles
 }
