@@ -55,7 +55,8 @@ object SparkEntry {
       operators.SplitOps.queries ++
       operators.MartOps.queries ++
       operators.EvalOps.queries ++
-      operators.MonitorOps.queries
+      operators.MonitorOps.queries ++
+      operators.DedupQa.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +101,6 @@ object SparkEntry {
       operators.SplitOps.oracles ++
       operators.MartOps.oracles ++
       operators.EvalOps.oracles ++
-      operators.MonitorOps.oracles
+      operators.MonitorOps.oracles ++
+      operators.DedupQa.oracles
 }
