@@ -56,7 +56,8 @@ object SparkEntry {
       operators.MartOps.queries ++
       operators.EvalOps.queries ++
       operators.MonitorOps.queries ++
-      operators.DedupQa.queries
+      operators.DedupQa.queries ++
+      operators.RetrievalQa.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -102,5 +103,6 @@ object SparkEntry {
       operators.MartOps.oracles ++
       operators.EvalOps.oracles ++
       operators.MonitorOps.oracles ++
-      operators.DedupQa.oracles
+      operators.DedupQa.oracles ++
+      operators.RetrievalQa.oracles
 }
