@@ -57,7 +57,8 @@ object SparkEntry {
       operators.EvalOps.queries ++
       operators.MonitorOps.queries ++
       operators.DedupQa.queries ++
-      operators.RetrievalQa.queries
+      operators.RetrievalQa.queries ++
+      operators.CurveOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -104,5 +105,6 @@ object SparkEntry {
       operators.EvalOps.oracles ++
       operators.MonitorOps.oracles ++
       operators.DedupQa.oracles ++
-      operators.RetrievalQa.oracles
+      operators.RetrievalQa.oracles ++
+      operators.CurveOps.oracles
 }
