@@ -29,7 +29,8 @@ class HarnessSpec extends AnyFunSuite {
 
   // single-row scalar aggregates: order is trivially deterministic
   private val SingleRow = Set("q96_tpch_q6", "q97_tpch_q14", "q105_tpch_q17",
-    "q106_tpch_q19", "q122_funnel", "q141_curation_funnel", "q164_funnel_latency")
+    "q106_tpch_q19", "q122_funnel", "q141_curation_funnel", "q164_funnel_latency",
+    "q251_hll_merge", "q256_auc_exact", "q258_capture_recapture", "q262_bloom_fpr")
 
   test("every oracle is non-empty SQL ordered by something (or single-row)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>

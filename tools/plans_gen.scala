@@ -29,7 +29,12 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q224_target_encode","q226_naive_bayes","q229_bloom_prefilter",
   "q231_compaction_plan","q232_hilbert_layout","q233_ppl_buckets",
   "q235_rrf_hybrid","q237_novelty","q241_cdc_chunks","q242_lsh_tuning",
-  "q244_hilbert_native")
+  "q244_hilbert_native",
+  "q245_dedup_weights","q246_rank_overlap","q247_ivf_recall",
+  "q248_purged_split","q251_hll_merge","q253_markov_accuracy",
+  "q254_quantile_norm","q256_auc_exact","q257_sprt",
+  "q258_capture_recapture","q261_chain_merge","q263_ndcg",
+  "q265_value_curve","q266_oof_encode")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
