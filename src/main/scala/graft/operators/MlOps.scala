@@ -105,7 +105,7 @@ object MlOps {
     val tot = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
     val aCnt = pres.join(broadcast(df.select("tok")), "tok")
       .groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("a"))
-    val grid = df.crossJoin(langN)
+    val grid = df.crossJoin(broadcast(langN))
       .join(aCnt, Seq("tok", "lang"), "left")
       .na.fill(0L, Seq("a"))
       .crossJoin(broadcast(tot))
