@@ -58,7 +58,8 @@ object SparkEntry {
       operators.MonitorOps.queries ++
       operators.DedupQa.queries ++
       operators.RetrievalQa.queries ++
-      operators.CurveOps.queries
+      operators.CurveOps.queries ++
+      operators.SkipOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +107,6 @@ object SparkEntry {
       operators.MonitorOps.oracles ++
       operators.DedupQa.oracles ++
       operators.RetrievalQa.oracles ++
-      operators.CurveOps.oracles
+      operators.CurveOps.oracles ++
+      operators.SkipOps.oracles
 }

@@ -239,6 +239,11 @@ object InfraOps {
     s"$nd * 1048576 + $nx * 1024 + $ny"
   }
 
+  /** The DuckDB spelling of one packed-state xy2d step (shared with
+    * q268's layout comparison). */
+  private[operators] def hilbertStepSql(n: Int): String =
+    hilbertStep("//", "(CAST(1 AS BIGINT) << (2 * b))", (e, b) => s"($e >> $b)", n)
+
   /** The full Hilbert index as a Spark Column over `xb`/`yb` long
     * columns in [0, 2^ZBits). Public so the spec can prove bijectivity
     * over the whole grid with the exact production expression. */
