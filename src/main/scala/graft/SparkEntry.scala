@@ -59,7 +59,8 @@ object SparkEntry {
       operators.DedupQa.queries ++
       operators.RetrievalQa.queries ++
       operators.CurveOps.queries ++
-      operators.SkipOps.queries
+      operators.SkipOps.queries ++
+      operators.EmbedQa.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -108,5 +109,6 @@ object SparkEntry {
       operators.DedupQa.oracles ++
       operators.RetrievalQa.oracles ++
       operators.CurveOps.oracles ++
-      operators.SkipOps.oracles
+      operators.SkipOps.oracles ++
+      operators.EmbedQa.oracles
 }
