@@ -60,7 +60,8 @@ object SparkEntry {
       operators.RetrievalQa.queries ++
       operators.CurveOps.queries ++
       operators.SkipOps.queries ++
-      operators.EmbedQa.queries
+      operators.EmbedQa.queries ++
+      operators.SurvivalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -110,5 +111,6 @@ object SparkEntry {
       operators.RetrievalQa.oracles ++
       operators.CurveOps.oracles ++
       operators.SkipOps.oracles ++
-      operators.EmbedQa.oracles
+      operators.EmbedQa.oracles ++
+      operators.SurvivalOps.oracles
 }
