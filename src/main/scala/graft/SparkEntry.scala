@@ -61,7 +61,8 @@ object SparkEntry {
       operators.CurveOps.queries ++
       operators.SkipOps.queries ++
       operators.EmbedQa.queries ++
-      operators.SurvivalOps.queries
+      operators.SurvivalOps.queries ++
+      operators.GiniOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -112,5 +113,6 @@ object SparkEntry {
       operators.CurveOps.oracles ++
       operators.SkipOps.oracles ++
       operators.EmbedQa.oracles ++
-      operators.SurvivalOps.oracles
+      operators.SurvivalOps.oracles ++
+      operators.GiniOps.oracles
 }
