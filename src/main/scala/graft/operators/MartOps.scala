@@ -113,7 +113,10 @@ object MartOps {
       .join(broadcast(best), Seq("cur"), "left")
       .groupBy(col("cur"))
       .agg(count(lit(1)).as("n"),
-        sum((col("nxt") === col("pred")).cast("long")).as("n_correct"))
+        // coalesce per row: an event type seen only in the test split has
+        // pred = NULL, and sum(NULL·n) would surface NULL where the
+        // oracle's CASE ... ELSE 0 yields 0 (ADVICE r7 #1)
+        sum(coalesce((col("nxt") === col("pred")).cast("long"), lit(0L))).as("n_correct"))
       .withColumn("acc_micro",
         floor(col("n_correct").cast("double") / col("n").cast("double") *
           lit(1000000.0) + lit(0.5)).cast("long"))

@@ -389,8 +389,10 @@ object MlOps {
     * divisions happen once per output row in a shared op order.
     */
   def q228CohenKappa(s: SparkSession, d: String): DataFrame = {
+    // NULL sources get their own sentinel so they can never collide with
+    // the rollup grand-total row, which is labeled '__all__' (ADVICE r7 #3)
     val lab = Tables.documents(s, d)
-      .select(coalesce(col("source"), lit("__all__")).as("source"),
+      .select(coalesce(col("source"), lit("__null__")).as("source"),
         (size(tokens(col("text"))) >= KappaTokMin).cast("long").as("a"),
         (col("n_chars") >= KappaCharMin).cast("long").as("b"))
     val agg = lab.rollup(col("source"))
@@ -415,7 +417,7 @@ object MlOps {
 
   val q228Sql: String =
     s"""WITH lab AS (
-       |  SELECT COALESCE(source, '__all__') AS source,
+       |  SELECT COALESCE(source, '__null__') AS source,
        |         CASE WHEN len(${tokensSql("text")}) >= $KappaTokMin THEN 1 ELSE 0 END AS a,
        |         CASE WHEN n_chars >= $KappaCharMin THEN 1 ELSE 0 END AS b
        |  FROM documents),

@@ -209,7 +209,7 @@ object NoveltyOps {
        |SELECT doc_id,
        |       CAST(len(tk) AS BIGINT) AS n_orig,
        |       CAST(len(kept) AS BIGINT) AS n_kept,
-       |       list_aggregate(kept, 'string_agg', ' ') AS aug_text
+       |       COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text
        |FROM k ORDER BY doc_id""".stripMargin
 
   /** Checkpoint stride for the q240 growth curve (every 50th doc). */

@@ -235,9 +235,12 @@ object RankOps {
     * never as per-pair array scans, whose cost is |q|·N·|shingle|² and
     * whose arrays would have to ride every row of the pair grid. The
     * dense leg is the codegen'd cosine over the same broadcast query
-    * batch (q38's documented exactness baseline); at scale both legs
-    * swap their candidate generators for q148 IVF cells and q35 LSH
-    * buckets, and the fusion is unchanged.
+    * batch — q235/q246 are DOCUMENTED EXACTNESS BASELINES (the q38/q91
+    * precedent, allowlisted in PlanInvariantSpec): they rank every query
+    * against the whole corpus so the scale-bounded twin has an exact
+    * ground truth to be graded against. The production path is q274,
+    * which generates candidates from q148's trained IVF cells + q35's
+    * LSH bands and fuses identically.
     */
   /** The shared dense+lexical ranking core of q235/q246: per (query,
     * candidate), cosine rank r1 and shingle-Jaccard rank r2. */
@@ -272,13 +275,19 @@ object RankOps {
       .join(broadcast(qEmb), col("qid") =!= col("cid"))
       .withColumn("cos", cosineF("qe", "ce"))
       .join(inter, Seq("qid", "cid"), "left")
-      .join(sz.select(col("doc_id").as("cid"), col("nsh").as("csz")), "cid")
-      .join(broadcast(sz.select(col("doc_id").as("qid"), col("nsh").as("qsz"))), "qid")
+      // LEFT joins: a doc with < 3 tokens has no shingle rows at all, and
+      // an inner join here would drop it from the pair grid while the
+      // oracle keeps it with an empty shingle list (ADVICE r7 #4)
+      .join(sz.select(col("doc_id").as("cid"), col("nsh").as("csz")), Seq("cid"), "left")
+      .join(broadcast(sz.select(col("doc_id").as("qid"), col("nsh").as("qsz"))), Seq("qid"), "left")
       .withColumn("ni", coalesce(col("ninter"), lit(0L)))
+      .withColumn("den",
+        coalesce(col("qsz"), lit(0L)) + coalesce(col("csz"), lit(0L)) - col("ni"))
       .withColumn("jac_micro",
-        floor(col("ni").cast("double") /
-          (col("qsz") + col("csz") - col("ni")).cast("double") * lit(1000000.0) + lit(0.5))
-          .cast("long"))
+        when(col("den") === 0, lit(0L)).otherwise(
+          floor(col("ni").cast("double") /
+            col("den").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")))
     val r1 = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
     val r2 = row_number().over(
@@ -297,11 +306,14 @@ object RankOps {
        |c AS (SELECT doc_id AS cid, sh AS csh, embedding AS ce FROM j),
        |hpairs AS (
        |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS cos,
-       |         CAST(FLOOR(
+       |         CASE WHEN len(qsh) + len(csh)
+       |                   - len(list_filter(qsh, x -> list_contains(csh, x))) = 0
+       |              THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(FLOOR(
        |           CAST(len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
        |           / CAST(len(qsh) + len(csh)
        |               - len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
-       |           * 1000000.0 + 0.5) AS BIGINT) AS jac_micro
+       |           * 1000000.0 + 0.5) AS BIGINT) END AS jac_micro
        |  FROM q JOIN c ON qid <> cid),
        |hranked AS (
        |  SELECT qid, cid, jac_micro,
@@ -332,11 +344,14 @@ object RankOps {
        |c AS (SELECT doc_id AS cid, sh AS csh, embedding AS ce FROM j),
        |pairs AS (
        |  SELECT qid, cid, ${cosineSql("qe", "ce")} AS cos,
-       |         CAST(FLOOR(
+       |         CASE WHEN len(qsh) + len(csh)
+       |                   - len(list_filter(qsh, x -> list_contains(csh, x))) = 0
+       |              THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(FLOOR(
        |           CAST(len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
        |           / CAST(len(qsh) + len(csh)
        |               - len(list_filter(qsh, x -> list_contains(csh, x))) AS DOUBLE)
-       |           * 1000000.0 + 0.5) AS BIGINT) AS jac_micro
+       |           * 1000000.0 + 0.5) AS BIGINT) END AS jac_micro
        |  FROM q JOIN c ON qid <> cid),
        |ranked AS (
        |  SELECT qid, cid, jac_micro,
@@ -485,17 +500,228 @@ object RankOps {
        |ORDER BY qid""".stripMargin
   }
 
+  /** Constant query-batch size, IVF probe count, and quantizer shape for
+    * q274 (k/iters match q148 so the trained model is the same object). */
+  val HybridQueryCap = 16
+  val HybridProbes = 2
+  val HybridK = 8
+  val HybridIters = 3
+
+  /** q274 — the SCALE-BOUNDED hybrid retrieval fusion: q235's RRF over
+    * candidates generated by q148's trained IVF cells (dense leg) and
+    * q35's LSH band buckets (lexical leg), for a CONSTANT batch of
+    * [[HybridQueryCap]] queries.
+    *
+    * This is the production shape of hybrid search, where q235 is the
+    * exactness baseline: q235 ranks every query against the whole corpus
+    * (a |q|×N grid — fine for grading, quadratic at 100 TB), while here
+    * every per-query candidate set is bounded by 2 probed IVF cells plus
+    * the query's LSH bucket collisions, and ranks/RRF are computed within
+    * that pool (the standard candidate-generation → re-rank contract).
+    *
+    * Plan shape — deliberately nothing corpus-proportional crosses the
+    * wire or a broadcast:
+    *   - the Lloyd model (k=8, 6-dp-rounded, q148's trainer) is collected
+    *     once and embedded as LITERAL centroid arrays, so corpus cell
+    *     assignment is a pure codegen projection (argmin over 8
+    *     `dist_sq_a` folds) — no join at all, an improvement on the
+    *     broadcast-cross-join assign that q148 grades;
+    *   - query probing is a posexplode over the same 8-literal distance
+    *     array, top-[[HybridProbes]] per query (|q|×k rows);
+    *   - every join is an equi-join, and every broadcast side is
+    *     O(|q|) — probes (32 rows), query band keys (64), query
+    *     embeddings and shingle sets (16);
+    *   - the lexical index is q35's df-capped dict-encoded shingle
+    *     pipeline, linear in corpus size with one doc_id-keyed shuffle.
+    * The oracle re-derives the identical model (VectorOps.trainedModelCtes,
+    * the unrolled Lloyd recurrence) and replays both candidate generators
+    * serially, so candidate sets — and therefore ranks and fused scores —
+    * hash-match exactly; no recall slack is claimed.
+    */
+  def q274HybridIvfLsh(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.VectorExpressions.registerAny(s)
+    import graft.functions.VectorExpressions.cosineF
+    val e = Tables.embeddings(s, d)
+    // ---- dense leg: trained IVF cells (q148's model, literal-embedded)
+    val (centsDf, _) = KMeansIvf.fit(e, "vec_id", "embedding",
+      k = HybridK, iters = HybridIters, trackInertia = false, roundCentroids = true)
+    val model: Seq[Seq[Double]] = centsDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2).toIndexedSeq
+    def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array(model.map(c => call_function("dist_sq_a", vec, array(c.map(lit): _*))): _*)
+    val assigned = e.select(col("vec_id").as("cid"),
+      (array_position(dists(col("embedding")), array_min(dists(col("embedding")))) - 1)
+        .cast("int").as("cluster"))
+    val qv = e.filter(col("vec_id") < HybridQueryCap)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("cluster"))
+    val probes = qv
+      .select(col("qid"), posexplode(dists(col("qe"))).as(Seq("cluster", "dsq")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= HybridProbes)
+      .select(col("qid"), col("cluster").cast("int").as("cluster"))
+    val dcand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    // ---- lexical leg: q35's df-capped LSH bands, query-anchored
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh0 = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"),
+        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
+    val shingles = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sigAggs = (0 until 8).map(i =>
+      min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+    val docsSig = shingles.groupBy(col("doc_id"))
+      .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
+      .persist()
+    val bands = docsSig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
+          col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+    val qbands = bands.filter(col("doc_id") < HybridQueryCap)
+      .select(col("doc_id").as("qid"), col("bk").as("qbk"))
+    val lcand = bands.join(broadcast(qbands), col("bk") === col("qbk"))
+      .filter(col("qid") =!= col("doc_id"))
+      .select(col("qid"), col("doc_id").as("cid"))
+    // ---- candidate pool + re-rank (q235's scoring and fusion, verbatim)
+    val cand = dcand.union(lcand).distinct()
+    val sets = docsSig.select(col("doc_id"), col("sh_set"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(broadcast(qv), "qid")
+      .withColumn("cos", cosineF("qe", "ce"))
+      // LEFT joins: a candidate (or query) with < 3 tokens has no shingle
+      // row — it must stay in the pool with an empty set, not vanish
+      .join(sets.select(col("doc_id").as("cid"), col("sh_set").as("sb")), Seq("cid"), "left")
+      .join(broadcast(sets.filter(col("doc_id") < HybridQueryCap)
+        .select(col("doc_id").as("qid"), col("sh_set").as("sa"))), Seq("qid"), "left")
+      .withColumn("ni",
+        size(array_intersect(coalesce(col("sa"), array().cast("array<long>")),
+          coalesce(col("sb"), array().cast("array<long>")))).cast("long"))
+      .withColumn("den",
+        coalesce(size(col("sa")), lit(0)).cast("long") +
+          coalesce(size(col("sb")), lit(0)).cast("long") - col("ni"))
+      .withColumn("jac_micro",
+        when(col("den") === 0, lit(0L)).otherwise(
+          floor(col("ni").cast("double") / col("den").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+    val r1 = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
+    val r2 = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("cid")))
+    val fused = scored.withColumn("r1", r1).withColumn("r2", r2)
+      .withColumn("rrf_micro",
+        floor((lit(1.0) / (lit(RrfK) + col("r1")).cast("double") +
+          lit(1.0) / (lit(RrfK) + col("r2")).cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    fused.withColumn("rank_fused", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("cid"))))
+      .filter(col("rank_fused") <= RrfTopN)
+      .select(col("qid"), col("rank_fused").cast("long").as("rank_fused"), col("cid"),
+        col("r1").cast("long").as("r1"), col("r2").cast("long").as("r2"), col("rrf_micro"))
+      .orderBy(col("qid"), col("rank_fused"))
+  }
+
+  /** q274 oracle: the unrolled Lloyd model (shared with q148), both
+    * candidate generators replayed serially, then q235's scoring/fusion
+    * over the candidate pool. */
+  val q274Sql: String = {
+    val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    val distQ =
+      "list_reduce(list_transform(range(1, 65), j -> " +
+        "(qv.qe[j] - c.cent[j]) * (qv.qe[j] - c.cent[j])), (a, b) -> a + b)"
+    s"""WITH ${VectorOps.trainedModelCtes},
+       |qv AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < $HybridQueryCap),
+       |pd AS (SELECT qv.qid, c.cluster, $distQ AS dsq FROM qv CROSS JOIN c3 c),
+       |probes AS (SELECT qid, cluster FROM (
+       |    SELECT qid, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dsq, cluster) AS rn
+       |    FROM pd) WHERE rn <= $HybridProbes),
+       |dcand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p JOIN a4 a USING (cluster) WHERE a.vec_id <> p.qid),
+       |lt AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0
+       |       FROM documents),
+       |le AS (SELECT doc_id, unnest(sh0) AS sh FROM lt),
+       |ldf AS (SELECT sh, COUNT(*) AS df FROM le GROUP BY 1),
+       |lf AS (SELECT doc_id, list(sh) AS sh FROM le JOIN ldf USING (sh)
+       |       WHERE df <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
+       |lsig AS (SELECT doc_id, sh, $sigs FROM lf),
+       |lband AS (
+       |  SELECT doc_id, b AS band,
+       |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,
+       |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
+       |  FROM lsig, UNNEST(range(0, 4)) AS u(b)),
+       |lcand AS (
+       |  SELECT qb.doc_id AS qid, b.doc_id AS cid
+       |  FROM lband qb JOIN lband b
+       |    ON qb.band = b.band AND qb.v0 = b.v0 AND qb.v1 = b.v1
+       |  WHERE qb.doc_id < $HybridQueryCap AND b.doc_id <> qb.doc_id),
+       |cand AS (SELECT DISTINCT qid, cid FROM (
+       |  SELECT qid, cid FROM dcand UNION ALL SELECT qid, cid FROM lcand)),
+       |pairs AS (
+       |  SELECT cand.qid, cand.cid,
+       |         ${cosineSql("eq.embedding", "ec.embedding")} AS cos,
+       |         COALESCE(len(list_filter(fq.sh, x -> list_contains(fc.sh, x))), 0) AS ni,
+       |         COALESCE(len(fq.sh), 0) + COALESCE(len(fc.sh), 0)
+       |           - COALESCE(len(list_filter(fq.sh, x -> list_contains(fc.sh, x))), 0) AS den
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.qid
+       |  JOIN embeddings ec ON ec.vec_id = cand.cid
+       |  LEFT JOIN lf fq ON fq.doc_id = cand.qid
+       |  LEFT JOIN lf fc ON fc.doc_id = cand.cid),
+       |jp AS (
+       |  SELECT qid, cid, cos,
+       |         CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(FLOOR(CAST(ni AS DOUBLE) / CAST(den AS DOUBLE)
+       |                     * 1000000.0 + 0.5) AS BIGINT) END AS jac_micro
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT qid, cid, jac_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid) AS r2
+       |  FROM jp),
+       |fused AS (
+       |  SELECT qid, cid, r1, r2,
+       |         CAST(FLOOR((1.0 / CAST($RrfK + r1 AS DOUBLE)
+       |                     + 1.0 / CAST($RrfK + r2 AS DOUBLE))
+       |                * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro
+       |  FROM ranked),
+       |topn AS (
+       |  SELECT qid, cid, r1, r2, rrf_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, cid)
+       |           AS rank_fused
+       |  FROM fused)
+       |SELECT qid, rank_fused, cid, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       |       rrf_micro
+       |FROM topn WHERE rank_fused <= $RrfTopN
+       |ORDER BY qid, rank_fused""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q233_ppl_buckets" -> q233PerplexityBuckets _,
     "q234_triplet_mine" -> q234TripletMine _,
     "q235_rrf_hybrid" -> q235RrfHybrid _,
     "q236_fold_audit" -> q236FoldAudit _,
-    "q246_rank_overlap" -> q246RankOverlap _)
+    "q246_rank_overlap" -> q246RankOverlap _,
+    "q274_hybrid_ivf_lsh" -> q274HybridIvfLsh _)
 
   val oracles: Map[String, String] = Map(
     "q233_ppl_buckets" -> q233Sql,
     "q234_triplet_mine" -> q234Sql,
     "q235_rrf_hybrid" -> q235Sql,
     "q236_fold_audit" -> q236Sql,
-    "q246_rank_overlap" -> q246Sql)
+    "q246_rank_overlap" -> q246Sql,
+    "q274_hybrid_ivf_lsh" -> q274Sql)
 }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.BuildRight
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation, Window => LWindow}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI for SCALING.md's own plan rules, over the ENTIRE graded surface:
+  * every `SparkEntry.queries` plan is built at sf0.001 (AQE off so the
+  * static physical tree is walkable) and checked for the three
+  * anti-patterns that do not survive a 100× scale-up —
+  *
+  *   1. `BroadcastNestedLoopJoin` whose build side is NOT provably
+  *      bounded. A build side is statically bounded when every path to a
+  *      leaf passes a groupless aggregate (exactly 1 row), a limit /
+  *      top-k, or a literal local table (model constants, k centroids) —
+  *      the "1-row attach" and "k-row model" shapes that stay O(1) at
+  *      100 TB. Anything else (a corpus scan on the build side) fails.
+  *   2. `CartesianProduct` — same rule, non-broadcast spelling.
+  *   3. a logical `Window` with an EMPTY partitionSpec whose input is not
+  *      provably bounded the same way — a global sort + single-partition
+  *      funnel over unbounded input.
+  *
+  * The name allowlists below are the DOCUMENTED exceptions (graded
+  * exactness baselines that deliberately pay the quadratic/global cost
+  * beside their scale-bounded twins — see SCALING.md); removing an entry
+  * makes this spec fail on that query, so the list cannot drift silently.
+  * New queries are checked automatically because the loop runs off
+  * `SparkEntry.queries` itself.
+  */
+class PlanInvariantSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Corpus-proportional BNLJ kept AS THE GRADED EXACTNESS BASELINE next
+    * to a scale-bounded twin (SCALING.md "documented baselines"):
+    *  - q38/q91 brute-force kNN grid — twins: q39/q67/q148 (IVF), q274
+    *  - q115/q147 SemDeDup within-cell pair grids at sf-test cell sizes
+    *  - q153 TF-IDF all-pairs cosine — twin: q35 LSH / q274 candidates
+    *  - q233/q234/q235/q246 corpus-grid rankers — twin: q274 (IVF+LSH
+    *    candidate generation, constant query batch)
+    *  - q247 IVF recall audit re-runs the q38 grid as ground truth
+    *  - q190 source-pair Jaccard: |sources|² grid, corpus-bounded sets
+    *  - q204/q263 retrieval eval vs brute-force truth (graded metrics)
+    */
+  private val AllowBnlj: Set[String] = Set(
+    "q38_knn_brute", "q91_knn_native_expr", "q115_semantic_dedup",
+    "q147_semantic_dedup_trained", "q153_tfidf_cosine", "q190_source_jaccard",
+    "q204_retrieval_eval", "q233_ppl_buckets", "q234_triplet_mine",
+    "q235_rrf_hybrid", "q246_rank_overlap", "q247_ivf_recall", "q263_ndcg")
+
+  /** BNLJ build sides that ARE bounded, but by a closed value domain or a
+    * literal filter the static walk cannot prove (distinct from the
+    * quadratic baselines above — these stay O(1)-ish at 100 TB):
+    *  - q130: build = per-day DAU aggregate (|days| rows)
+    *  - q225/q226: build = per-language count table (|langs| rows)
+    *  - q240: build = every-[[NoveltyOps.GrowthStride]]th doc_id checkpoint
+    *    grid (diagnostic; stride scales with corpus in production)
+    *  - q264: build = the 16 literal-filtered seed centroids
+    *  - q39/q67: build = k seed/trained centroids behind a literal filter,
+    *    plus the q38 ground-truth grid they grade recall against
+    */
+  private val AllowDomainBoundedBuild: Set[String] = Set(
+    "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
+    "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
+    "q67_ivf_search_trained")
+
+  private val AllowCartesian: Set[String] = Set()
+
+  /** Global (empty-partitionSpec) windows whose input IS bounded, but by
+    * a grouping-key domain the static walk cannot see (grouped aggregates
+    * over closed domains), or kept as documented exact baselines:
+    *  - q145 exact global deciles — baseline beside q92/q127/q134
+    *  - q180/q265 cumulative take over per-source / per-bucket aggregates
+    *  - q187 skyline over the |brand|×|container| grid
+    *  - q212 water-filling over |sources| rows
+    *  - q254 CDF over the QnBins×|sources| histogram grid
+    *  - q256/q259/q260 ROC sweeps over distinct quantized scores
+    *  - q272 Kaplan–Meier over distinct event times (|weeks| domain)
+    */
+  private val AllowGlobalWindow: Set[String] = Set(
+    "q145_deciles", "q180_pps_sample", "q187_skyline", "q212_water_filling",
+    "q254_quantile_norm", "q256_auc_exact", "q259_roc", "q260_threshold",
+    "q265_value_curve", "q272_survival_km")
+
+  /** Statically bounded physical subtree: every leaf-ward path passes a
+    * 1-row aggregate, a limit/top-k, or a literal table. */
+  private def boundedP(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+    // leaf wrappers that reference another plan: follow the reference —
+    // a reused 1-row broadcast and a persisted k-row model table are as
+    // bounded as their originals
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => boundedP(r.child)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      boundedP(m.relation.cachedPlan)
+    case other if other.children.nonEmpty => other.children.forall(boundedP)
+    case _ => false
+  }
+
+  /** Same notion on the logical plan (windows are checked pre-planning —
+    * rank-over-limit compiles to TakeOrderedAndProject and vanishes from
+    * the physical tree). */
+  private def boundedL(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimit | _: LocalRelation | _: OneRowRelation => true
+    case other if other.children.nonEmpty => other.children.forall(boundedL)
+    case _ => false
+  }
+
+  private case class Built(name: String, physical: SparkPlan, logical: LogicalPlan)
+
+  // Build every plan once on an AQE-off clone session (shared context);
+  // the invariant tests below share the result.
+  private lazy val plans: Seq[Built] = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(s2, sf)
+      val b = Built(name, df.queryExecution.executedPlan, df.queryExecution.optimizedPlan)
+      s2.catalog.clearCache() // builders may persist() internally
+      b
+    }
+  }
+
+  private def offenders(pred: Built => Boolean, allow: Set[String]): Seq[String] =
+    plans.filter(pred).map(_.name).filterNot(allow)
+
+  test("no unbounded-build BroadcastNestedLoopJoin outside the baseline allowlist") {
+    val bad = offenders(
+      _.physical.collectWithSubqueries {
+        case j: BroadcastNestedLoopJoinExec
+            if !boundedP(if (j.buildSide == BuildRight) j.right else j.left) => j
+      }.nonEmpty,
+      AllowBnlj ++ AllowDomainBoundedBuild)
+    assert(bad.isEmpty, s"undocumented BroadcastNestedLoopJoin in: ${bad.mkString(", ")}")
+  }
+
+  test("no unbounded CartesianProduct outside the baseline allowlist") {
+    val bad = offenders(
+      _.physical.collectWithSubqueries {
+        case j: CartesianProductExec if !boundedP(j.left) && !boundedP(j.right) => j
+      }.nonEmpty,
+      AllowCartesian)
+    assert(bad.isEmpty, s"undocumented CartesianProduct in: ${bad.mkString(", ")}")
+  }
+
+  test("no global-window over unbounded input outside the bounded-domain allowlist") {
+    val bad = offenders(
+      _.logical.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedL(w.child) => w
+      }.nonEmpty,
+      AllowGlobalWindow)
+    assert(bad.isEmpty, s"undocumented global Window in: ${bad.mkString(", ")}")
+  }
+
+  test("allowlists contain no stale names (every entry still a live query)") {
+    val live = SparkEntry.queries.keySet
+    val stale = (AllowBnlj ++ AllowDomainBoundedBuild ++ AllowCartesian ++
+      AllowGlobalWindow) -- live
+    assert(stale.isEmpty, s"allowlisted but not registered: ${stale.mkString(", ")}")
+  }
+
+  test("q274 (the scale-bounded hybrid twin) is clean under ALL invariants") {
+    val b = plans.find(_.name == "q274_hybrid_ivf_lsh").get
+    assert(b.physical.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, "q274 must not contain any nested-loop/cartesian join at all")
+    assert(b.logical.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.isEmpty, "q274 must not contain any global window")
+  }
+}
