@@ -188,9 +188,13 @@ object CorpusOps {
     * removals when cells are fine enough, which is the evidence the
     * cluster-then-prune recipe is robust to the choice of quantizer.
     *
-    * Rows-only by design (like q67): k-means centroids are float means,
-    * so cell boundaries — and therefore per-cell counts — are not
-    * bit-reproducible in DuckDB SQL.
+    * FULLY hash-checked since round 8 (formerly rows-only): training with
+    * `roundCentroids = true` pins every Lloyd mean to 6 dp on both
+    * engines (the q148/q67 discipline), so cell boundaries, within-cell
+    * pair cosines, removal sets — and the agreement stats against the
+    * fixed-centroid q115 run — are bit-identical to the oracle's
+    * k-parametric unrolled-CTE replay (k is data-dependent, so the oracle
+    * derives it with the same ceil/clamp arithmetic).
     *
     * Scale: the only driver-side values are N (one count, sizes k) and
     * the k×dim model inside the fit (the q67 discipline); everything else
@@ -202,8 +206,8 @@ object CorpusOps {
     val k = math.max(4, math.min(64,
       math.ceil(vecs.count() / SemDedupCellSize.toDouble).toInt))
     val (model, _) = graft.ml.KMeansIvf.fit(
-      vecs, "vid", "ve", k = k, iters = 3, trackInertia = false)
-    val trained = model.select(col("cluster").as("centroid_id"), col("cent"))
+      vecs, "vid", "ve", k = k, iters = 3, trackInertia = false, roundCentroids = true)
+    val trained = model.select(col("cluster").cast("long").as("centroid_id"), col("cent"))
     val (audit, removedT) = semDedupPrune(trained, vecs)
     val fixedCents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
@@ -215,6 +219,83 @@ object CorpusOps {
       .join(tSet.join(fSet, "vid").agg(count(lit(1)).as("n_overlap")), lit(true))
     audit.join(broadcast(overlap), lit(true))
       .orderBy(col("centroid_id"))
+  }
+
+  /** q147 oracle: the k-parametric unrolled Lloyd trainer (k derived with
+    * the same ceil/clamp arithmetic as [[q147SemanticDedupTrained]],
+    * seeds = first k vectors, 3 iterations of argmin-assign +
+    * 6-dp-rounded per-dim means, empty cells keep their centroid), then
+    * the cosine re-assignment + within-cell prune replayed serially for
+    * BOTH quantizers and the removal-set agreement attached. */
+  val q147Sql: String = {
+    def dist(cAlias: String) =
+      s"list_reduce(list_transform(range(1, 65), j -> " +
+        s"(tv.ve[j] - $cAlias.cent[j]) * (tv.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
+    val iters = (1 to 3).map { i =>
+      s"""td$i AS (SELECT tv.vid, c.cluster, ${dist("c")} AS dist_sq
+         |  FROM tv CROSS JOIN tc${i - 1} c),
+         |ta$i AS (SELECT vid, cluster FROM (
+         |    SELECT vid, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_sq, cluster) AS rn
+         |    FROM td$i) WHERE rn = 1),
+         |tm$i AS (SELECT a.cluster, dm.dim, ROUND(AVG(tv.ve[dm.dim]), 6) AS m
+         |  FROM ta$i a JOIN tv USING (vid) CROSS JOIN tdims dm
+         |  GROUP BY a.cluster, dm.dim),
+         |tc$i AS (SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+         |  FROM tc${i - 1} p LEFT JOIN (
+         |    SELECT cluster, array_agg(m ORDER BY dim) AS cent
+         |    FROM tm$i GROUP BY cluster) n ON n.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tv AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE vec_id >= 16),
+       |kk AS (SELECT GREATEST(4, LEAST(64,
+       |    CAST(CEIL(COUNT(*) / $SemDedupCellSize.0) AS BIGINT))) AS k FROM tv),
+       |tdims AS (SELECT unnest(range(1, 65)) AS dim),
+       |tc0 AS (SELECT rn - 1 AS cluster, ve AS cent FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vid) AS rn, ve FROM tv)
+       |  WHERE rn <= (SELECT k FROM kk)),
+       |$iters,
+       |asg AS (
+       |  SELECT tv.vid, c.cluster AS centroid_id, tv.ve,
+       |    ROW_NUMBER() OVER (PARTITION BY tv.vid
+       |      ORDER BY ${cosineSql("tv.ve", "c.cent")} DESC, c.cluster) AS rnk
+       |  FROM tv CROSS JOIN tc3 c),
+       |a AS (SELECT centroid_id, vid, ve FROM asg WHERE rnk = 1),
+       |p AS (SELECT x.centroid_id, x.vid AS a_vid, y.vid AS b_vid,
+       |    ${cosineSql("x.ve", "y.ve")} AS cos
+       |  FROM a x JOIN a y ON x.centroid_id = y.centroid_id AND x.vid < y.vid),
+       |rem AS (SELECT DISTINCT centroid_id, b_vid AS vid FROM p WHERE cos >= $SemDedupTau),
+       |base AS (
+       |  SELECT a.centroid_id, COUNT(*) AS n_members,
+       |    CAST(SUM(CASE WHEN rem.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |  FROM a LEFT JOIN rem ON rem.centroid_id = a.centroid_id AND rem.vid = a.vid
+       |  GROUP BY a.centroid_id),
+       |mx AS (SELECT centroid_id, MAX(cos) AS mc FROM p GROUP BY 1),
+       |fcents AS (SELECT vec_id AS centroid_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM embeddings WHERE vec_id < 16),
+       |fasg AS (
+       |  SELECT tv.vid, c.centroid_id, tv.ve,
+       |    ROW_NUMBER() OVER (PARTITION BY tv.vid
+       |      ORDER BY ${cosineSql("tv.ve", "c.cent")} DESC, c.centroid_id) AS rnk
+       |  FROM tv CROSS JOIN fcents c),
+       |fa AS (SELECT centroid_id, vid, ve FROM fasg WHERE rnk = 1),
+       |fp AS (SELECT x.centroid_id, x.vid AS a_vid, y.vid AS b_vid,
+       |    ${cosineSql("x.ve", "y.ve")} AS cos
+       |  FROM fa x JOIN fa y ON x.centroid_id = y.centroid_id AND x.vid < y.vid),
+       |frem AS (SELECT DISTINCT centroid_id, b_vid AS vid FROM fp WHERE cos >= $SemDedupTau),
+       |tstat AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_removed_trained FROM rem),
+       |fstat AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_removed_fixed FROM frem),
+       |ostat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM
+       |  (SELECT DISTINCT vid FROM rem) r JOIN (SELECT DISTINCT vid FROM frem) f USING (vid))
+       |SELECT CAST(base.centroid_id AS BIGINT) AS centroid_id, base.n_members,
+       |       base.n_removed, base.n_members - base.n_removed AS n_kept,
+       |       ROUND(COALESCE(mx.mc, -1.0), 6) AS max_cos,
+       |       tstat.n_removed_trained, fstat.n_removed_fixed, ostat.n_overlap
+       |FROM base LEFT JOIN mx USING (centroid_id)
+       |  CROSS JOIN tstat CROSS JOIN fstat CROSS JOIN ostat
+       |ORDER BY centroid_id""".stripMargin
   }
 
   val q115Sql: String =
@@ -672,5 +753,6 @@ object CorpusOps {
     "q114_paragraph_dedup" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,
     "q116_doc_chunk" -> q116Sql,
-    "q118_length_batching" -> q118Sql)
+    "q118_length_batching" -> q118Sql,
+    "q147_semantic_dedup_trained" -> q147Sql)
 }

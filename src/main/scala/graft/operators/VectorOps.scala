@@ -153,12 +153,19 @@ object VectorOps {
   /** q67 — end-to-end IVF search with a TRAINED coarse quantizer
     * (KMeansIvf, k=8, 3 iters): queries probe their top-2 cells only and
     * recall@5 is measured against the brute-force ground truth (q38).
-    * Training means (parallel double sums) aren't oracle-portable, so
-    * this is a rows-only check; the recall column is the self-audit. */
+    *
+    * FULLY hash-checked since round 8 (formerly rows-only): training with
+    * `roundCentroids = true` pins every Lloyd mean to 6 dp on both
+    * engines (the q148 discipline), which makes the model — and therefore
+    * the probed cells, the in-cell cosine ranking, AND the recall
+    * integers — bit-identical to the oracle's unrolled-CTE replay. The
+    * recall surfaces as exact integer micro-units (n_hits × 200000),
+    * never a float division. */
   def q67IvfSearch(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     val e = Tables.embeddings(s, d)
-    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3, trackInertia = false)
+    val (cents, _) = KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3,
+      trackInertia = false, roundCentroids = true)
     val centsB = cents.persist()
     val assigned = KMeansIvf.assign(e, centsB, "vec_id", "embedding")
       .select(col("vec_id").as("cid"), col("cluster"))
@@ -189,9 +196,53 @@ object VectorOps {
     ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_returned"))
       .join(hits, Seq("qid"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("recall_at_5", round(col("n_hits") / lit(5.0), 2))
-      .select(col("qid"), col("n_hits"), col("n_returned"), col("recall_at_5"))
+      // exact integers only: recall@5 as micro-units (n_hits/5 × 1e6)
+      .withColumn("recall_micro", col("n_hits") * lit(200000L))
+      .select(col("qid"), col("n_hits"), col("n_returned"), col("recall_micro"))
       .orderBy(col("qid"))
+  }
+
+  /** q67 oracle: the shared trained-model CTEs (6-dp-rounded Lloyd),
+    * probe → in-cell cosine top-5 → recall vs the q38 brute-force truth,
+    * all replayed serially. */
+  lazy val q67Sql: String = { // lazy: trainedModelCtes is declared below
+    val distQ =
+      "list_reduce(list_transform(range(1, 65), j -> " +
+        "(q.qe[j] - c.cent[j]) * (q.qe[j] - c.cent[j])), (a, b) -> a + b)"
+    s"""WITH $trainedModelCtes,
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < 8),
+       |pd AS (SELECT q.qid, c.cluster, $distQ AS dsq FROM q CROSS JOIN c3 c),
+       |probes AS (SELECT qid, cluster FROM (
+       |    SELECT qid, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dsq, cluster) AS rn
+       |    FROM pd) WHERE rn <= 2),
+       |corpus AS (
+       |  SELECT a.vec_id AS cid, a.cluster, e.embedding AS ce
+       |  FROM a4 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |qe AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 8),
+       |ivf AS (
+       |  SELECT p.qid, corpus.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosineSql("qe.qemb", "corpus.ce")} DESC, corpus.cid) AS rnk
+       |  FROM probes p JOIN corpus USING (cluster) JOIN qe ON qe.qid = p.qid
+       |  WHERE corpus.cid <> p.qid),
+       |ivf_top AS (SELECT qid, cid FROM ivf WHERE rnk <= 5),
+       |brute AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rnk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+       |brute_top AS (SELECT qid, cid FROM brute WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT i.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ivf_top i JOIN brute_top b ON i.qid = b.qid AND i.cid = b.cid
+       |  GROUP BY i.qid),
+       |ret AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_returned
+       |        FROM ivf_top GROUP BY qid)
+       |SELECT ret.qid, COALESCE(hits.n_hits, 0) AS n_hits, ret.n_returned,
+       |       COALESCE(hits.n_hits, 0) * 200000 AS recall_micro
+       |FROM ret LEFT JOIN hits USING (qid)
+       |ORDER BY ret.qid""".stripMargin
   }
 
   /** q148 — the deterministic half of q67, split out so the oracle can
@@ -349,5 +400,6 @@ object VectorOps {
     "q39_knn_ivf" -> q39Sql,
     "q148_ivf_assign" -> q148Sql,
     "q215_label_prop" -> q215Sql,
+    "q67_ivf_search_trained" -> q67Sql,
     "q91_knn_native_expr" -> q38Sql)
 }

@@ -425,6 +425,88 @@ object EventStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Attribution look-back window (30 minutes, micros) — matches the
+    * batch q216 position-based attribution. */
+  val AttribWindowUs: Long = 30L * 60 * 1000000
+
+  final case class TouchBuf(touch_id: Long, tt: Long, touch_type: String)
+  final case class CreditOut(user_id: Long, conv_id: Long, touch_id: Long,
+      touch_type: String, w: Double)
+
+  /** The STREAMING twin of q216 (position-based multi-touch attribution):
+    * a per-user `StatefulProcessor` buffering recent touches in a typed
+    * `ListState`, emitting U-shaped credits (1.0 / 0.5+0.5 / 0.4,0.2…,0.4)
+    * the moment a purchase arrives — the online form of the batch
+    * conversion-window join.
+    *
+    * Semantics match the batch operator exactly on in-order streams:
+    * rows are processed in (event-time, touches-before-purchases,
+    * event_id) order within each micro-batch, a purchase credits every
+    * buffered touch with `ct − 30min ≤ tt ≤ ct` ranked by (tt, touch_id),
+    * and state carries touches across micro-batches. The buffer is
+    * GC'd by event-time watermark (tt < wm − 30min can never be credited
+    * again: any future purchase has ct ≥ wm), so per-user state is
+    * bounded by the touch rate × window, not the stream length — with
+    * RocksDB state, the 100 TB shape. Touches arriving later than the
+    * watermark allowance are dropped by the engine like any late data
+    * (append-mode contract); the parity spec drives time-ordered batches
+    * where the agreement with q216 is exact row-for-row. */
+  class AttributionProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, CreditOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var touches: ListState[TouchBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touches = getHandle.getListState[TouchBuf]("touches",
+        org.apache.spark.sql.Encoders.product[TouchBuf], TTLConfig.NONE)
+
+    private def us(e: Event): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[CreditOut] = {
+      // touches sort before purchases at equal event time: the batch
+      // window predicate is tt <= ct, inclusive of ties
+      val sorted = rows.toSeq
+        .sortBy(e => (us(e), e.event_type == "purchase", e.event_id))
+      var buf = touches.get().toVector
+      val out = scala.collection.mutable.ListBuffer.empty[CreditOut]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase") {
+          val ct = us(e)
+          val inWin = buf.filter(t => t.tt <= ct && ct - t.tt <= AttribWindowUs)
+            .sortBy(t => (t.tt, t.touch_id))
+          val k = inWin.size
+          inWin.zipWithIndex.foreach { case (t, i) =>
+            val rn = i + 1
+            val w =
+              if (k == 1) 1.0
+              else if (k == 2) 0.5
+              else if (rn == 1 || rn == k) 0.4
+              else 0.2 / (k - 2).toDouble
+            out += CreditOut(key, e.event_id, t.touch_id, t.touch_type, w)
+          }
+        } else buf :+= TouchBuf(e.event_id, us(e), e.event_type)
+      }
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000
+      val kept = if (wmUs > 0) buf.filter(_.tt >= wmUs - AttribWindowUs) else buf
+      touches.clear()
+      if (kept.nonEmpty) touches.put(kept.toArray)
+      out.iterator
+    }
+  }
+
+  /** Position-based attribution through transformWithState; requires a
+    * watermark on `ts` upstream (set here) and the RocksDB provider. */
+  def attributionStream(events: Dataset[Event]): Dataset[CreditOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessorV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * that failure loud. */
 class HarnessSpec extends AnyFunSuite {
 
-  private val RowsOnly = Set("q67_ivf_search_trained", "q90_minhash_fast",
-    "q92_sketches", "q93_sample", "q147_semantic_dedup_trained")
+  // Empty since round 8: the five formerly rows-only queries were
+  // tightened into hash-checked claims (q67/q147 via the 6-dp-rounded
+  // portable Lloyd model, q90/q92/q93 via exact columns + envelope
+  // booleans the oracle asserts TRUE).
+  private val RowsOnly = Set.empty[String]
 
   test("every query key is well-formed and its qNN prefix is unique") {
     val keys = SparkEntry.queries.keys.toSeq
@@ -31,6 +34,28 @@ class HarnessSpec extends AnyFunSuite {
   private val SingleRow = Set("q96_tpch_q6", "q97_tpch_q14", "q105_tpch_q17",
     "q106_tpch_q19", "q122_funnel", "q141_curation_funnel", "q164_funnel_latency",
     "q251_hll_merge", "q256_auc_exact", "q258_capture_recapture", "q262_bloom_fpr")
+
+  test("README and SURVEY coverage counts match the registered surface") {
+    def counts(path: String, re: scala.util.matching.Regex): (Int, Int) = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val m = re.findFirstMatchIn(text)
+        .getOrElse(fail(s"$path lost its coverage-count line"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val (rOracles, rQueries) =
+      counts("README.md", """\((\d+) oracles, (\d+) queries""".r)
+    val (sQueries, sOracles) =
+      counts("SURVEY.md", """Current surface: (\d+) queries, (\d+) oracles""".r)
+    assert(rQueries == SparkEntry.queries.size,
+      s"README says $rQueries queries, registry has ${SparkEntry.queries.size}")
+    assert(rOracles == SparkEntry.oracleSql.size,
+      s"README says $rOracles oracles, registry has ${SparkEntry.oracleSql.size}")
+    assert(sQueries == SparkEntry.queries.size,
+      s"SURVEY says $sQueries queries, registry has ${SparkEntry.queries.size}")
+    assert(sOracles == SparkEntry.oracleSql.size,
+      s"SURVEY says $sOracles oracles, registry has ${SparkEntry.oracleSql.size}")
+  }
 
   test("every oracle is non-empty SQL ordered by something (or single-row)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>

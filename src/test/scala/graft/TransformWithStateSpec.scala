@@ -111,4 +111,53 @@ class TransformWithStateSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("attributionStream: v2 ListState attribution matches batch q216 on the fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // drive the REAL events fixture in two time-ordered micro-batches so
+    // touch buffers must survive (and be watermark-GC'd) across batches
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = ev.agg(expr("timestampadd(SECOND, 1, min(ts) + (max(ts) - min(ts)) / 2)"))
+      .head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("events_tws_attr")
+    ev.filter(col("ts") <= lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    ev.filter(col("ts") > lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(Seq(EventStream.Event(0, new java.sql.Timestamp(0), 0, "", 0.0)).toDS().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.resolve("*").toString)
+        .as[EventStream.Event]
+      val q = EventStream.runToMemory(
+        EventStream.attributionStream(stream).toDF(), "tws_attr")
+      try {
+        val got = spark.table("tws_attr")
+          .groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(col("conv_id")).as("n_conversions"),
+            operators.Det.dsum(col("w")).as("credit"))
+          .orderBy(col("touch_type"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val want = operators.Behavior.q216MultitouchAttribution(spark, sf)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        assert(got.nonEmpty, "attribution stream produced no credits on the fixture")
+        assert(got.sameElements(want),
+          s"streaming attribution != batch q216:\n got ${got.toSeq}\nwant ${want.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -35,7 +35,9 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q254_quantile_norm","q256_auc_exact","q257_sprt",
   "q258_capture_recapture","q261_chain_merge","q263_ndcg",
   "q265_value_curve","q266_oof_encode","q268_skip_stats",
-  "q270_anisotropy","q272_survival_km")
+  "q270_anisotropy","q272_survival_km",
+  "q67_ivf_search_trained","q147_semantic_dedup_trained",
+  "q274_hybrid_ivf_lsh")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
