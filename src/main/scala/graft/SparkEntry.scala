@@ -62,7 +62,8 @@ object SparkEntry {
       operators.SkipOps.queries ++
       operators.EmbedQa.queries ++
       operators.SurvivalOps.queries ++
-      operators.GiniOps.queries
+      operators.GiniOps.queries ++
+      operators.Round8Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -114,5 +115,6 @@ object SparkEntry {
       operators.SkipOps.oracles ++
       operators.EmbedQa.oracles ++
       operators.SurvivalOps.oracles ++
-      operators.GiniOps.oracles
+      operators.GiniOps.oracles ++
+      operators.Round8Ops.oracles
 }

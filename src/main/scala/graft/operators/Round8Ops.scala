@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 widening: LSH-based cross-corpus decontamination, incremental
+  * IVF index maintenance, and the feature-hashing trick — three more
+  * training-data-pipeline primitives, each DuckDB-replayed exactly.
+  */
+object Round8Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Benchmark-set modulus for q275 (deliberately different from q86's
+    * %29 so the two decontamination ops cover different splits). */
+  val LshBenchMod = 31
+  /** Exact-Jaccard verification threshold for q275 (q35's near-dup bar). */
+  val LshDecontamTau = 0.5
+
+  /** q275 — LSH-based cross-corpus decontamination: flag TRAINING
+    * documents that are NEAR-duplicates of a held-out benchmark set.
+    *
+    * q86 catches verbatim overlap (8-gram matches); this is its fuzzy
+    * complement — the paraphrased/lightly-edited leak that exact n-grams
+    * miss. Same machinery as q35 (df-capped 3-gram shingles → 8 MinHash
+    * sigs → 4 bands) but the band-bucket join is ASYMMETRIC: only
+    * train×bench collisions are generated (never train×train — the
+    * candidate count is |bench-bucket| × |train-bucket| per bucket, and
+    * the benchmark side is a fixed, small corpus in production), then
+    * exact Jaccard ≥ [[LshDecontamTau]] verifies. Anchored on the bench
+    * set so clean benchmarks report 0 rather than vanishing.
+    *
+    * The oracle replays the identical integer LSH pipeline, so candidate
+    * sets match exactly — no recall slack is claimed. */
+  def q275LshDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh0 = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"),
+        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
+    val shingles = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sigAggs = (0 until 8).map(i =>
+      min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+    val docsSig = shingles.groupBy(col("doc_id"))
+      .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
+      .persist()
+    val bands = docsSig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
+          col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+    val benchBands = bands.filter(col("doc_id") % LshBenchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("bk").as("qbk"))
+    val cand = bands.filter(col("doc_id") % LshBenchMod =!= 0)
+      .join(benchBands, col("bk") === col("qbk"))
+      .select(col("bench_id"), col("doc_id").as("train_id"))
+      .distinct()
+    val verified = cand
+      .join(docsSig.select(col("doc_id").as("train_id"), col("sh_set").as("sa")), "train_id")
+      .join(docsSig.select(col("doc_id").as("bench_id"), col("sh_set").as("sb")), "bench_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("den", size(col("sa")).cast("long") + size(col("sb")) - col("inter"))
+      .withColumn("jac_micro",
+        when(col("den") === 0, lit(0L)).otherwise(
+          floor(col("inter").cast("double") / col("den").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .filter(col("jac_micro") >= (LshDecontamTau * 1000000).toLong)
+    val perBench = verified.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_flagged"), max(col("jac_micro")).as("max_jac_micro"))
+    Tables.documents(s, d).filter(col("doc_id") % LshBenchMod === 0)
+      .select(col("doc_id").as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("max_jac_micro"), lit(0L)).as("max_jac_micro"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy(col("bench_id"))
+  }
+
+  val q275Sql: String = {
+    val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0
+       |           FROM documents),
+       |e0 AS (SELECT doc_id, unnest(sh0) AS sh FROM t),
+       |dfreq AS (SELECT sh, COUNT(*) AS df FROM e0 GROUP BY 1),
+       |f AS (SELECT doc_id, list(sh) AS sh FROM e0 JOIN dfreq USING (sh)
+       |      WHERE df <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, sh, $sigs FROM f),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,
+       |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
+       |  FROM sigs, UNNEST(range(0, 4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT qb.doc_id AS bench_id, tb.doc_id AS train_id
+       |  FROM bands qb JOIN bands tb
+       |    ON qb.band = tb.band AND qb.v0 = tb.v0 AND qb.v1 = tb.v1
+       |  WHERE qb.doc_id % $LshBenchMod = 0 AND tb.doc_id % $LshBenchMod <> 0),
+       |ver AS (
+       |  SELECT bench_id, train_id,
+       |    CASE WHEN len(fa.sh) + len(fb.sh)
+       |              - len(list_filter(fa.sh, x -> list_contains(fb.sh, x))) = 0
+       |         THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR(
+       |           CAST(len(list_filter(fa.sh, x -> list_contains(fb.sh, x))) AS DOUBLE)
+       |           / CAST(len(fa.sh) + len(fb.sh)
+       |               - len(list_filter(fa.sh, x -> list_contains(fb.sh, x))) AS DOUBLE)
+       |           * 1000000.0 + 0.5) AS BIGINT) END AS jac_micro
+       |  FROM cand
+       |  JOIN f fa ON fa.doc_id = train_id
+       |  JOIN f fb ON fb.doc_id = bench_id),
+       |flagged AS (SELECT * FROM ver WHERE jac_micro >= ${(LshDecontamTau * 1000000).toLong}),
+       |pb AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+       |              MAX(jac_micro) AS max_jac_micro
+       |       FROM flagged GROUP BY bench_id)
+       |SELECT d.doc_id AS bench_id,
+       |       COALESCE(pb.n_flagged, 0) AS n_flagged,
+       |       COALESCE(pb.max_jac_micro, 0) AS max_jac_micro,
+       |       CASE WHEN COALESCE(pb.n_flagged, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+       |FROM documents d LEFT JOIN pb ON pb.bench_id = d.doc_id
+       |WHERE d.doc_id % $LshBenchMod = 0
+       |ORDER BY bench_id""".stripMargin
+  }
+
+  /** Delta modulus for q276: vectors with vec_id % 7 == 0 arrive AFTER
+    * the index was built. */
+  val IvfDeltaMod = 7
+
+  /** q276 — incremental IVF index maintenance: the index (q148's trained
+    * coarse quantizer) was built on the STATE vectors only; a DELTA batch
+    * arrives and is assigned to the EXISTING cells without retraining —
+    * exactly how a production ANN index absorbs appends (retraining is a
+    * scheduled rebuild, not a per-batch cost). The graded output is the
+    * maintained per-cell occupancy plus the distribution-drift signal
+    * that tells the pipeline when a rebuild IS due: per cell, the state
+    * share vs the delta share (micro-units) and their absolute gap — a
+    * delta distributed like the state stays near 0 everywhere; a shifted
+    * corpus concentrates mass in few cells.
+    *
+    * Maintenance work is one assignment pass over the delta (broadcast
+    * k-row model, no shuffle) + a k-row merge — never a retrain, never a
+    * scan of the state. The 6-dp-rounded model keeps the whole thing
+    * hash-checked (the q148/q67/q147 discipline). */
+  def q276IvfMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeansIvf
+    val e = Tables.embeddings(s, d)
+    val state = e.filter(pmod(col("vec_id"), lit(IvfDeltaMod)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(IvfDeltaMod)) === 0)
+    val (cents, _) = KMeansIvf.fit(state, "vec_id", "embedding", k = 8, iters = 3,
+      trackInertia = false, roundCentroids = true)
+    val nState = KMeansIvf.assign(state, cents, "vec_id", "embedding")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_state"))
+    val nDelta = KMeansIvf.assign(delta, cents, "vec_id", "embedding")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_delta"))
+    // anchor on the model's k cells: an empty cell must report zeros
+    val share = (n: org.apache.spark.sql.Column, tot: org.apache.spark.sql.Column) =>
+      floor(n.cast("double") / tot.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    cents.select(col("cluster"))
+      .join(nState, Seq("cluster"), "left")
+      .join(nDelta, Seq("cluster"), "left")
+      .withColumn("n_state", coalesce(col("n_state"), lit(0L)))
+      .withColumn("n_delta", coalesce(col("n_delta"), lit(0L)))
+      .crossJoin(broadcast(
+        state.agg(count(lit(1)).as("ts")).join(delta.agg(count(lit(1)).as("td")), lit(true))))
+      .withColumn("share_state_micro", share(col("n_state"), col("ts")))
+      .withColumn("share_delta_micro", share(col("n_delta"), col("td")))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_state"), col("n_delta"),
+        (col("n_state") + col("n_delta")).as("n_total"),
+        col("share_state_micro"), col("share_delta_micro"),
+        abs(col("share_state_micro") - col("share_delta_micro")).as("drift_micro"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q276 oracle: unrolled Lloyd on the state vectors (fixed k=8), both
+    * assignments replayed, shares from exact integer counts. */
+  val q276Sql: String = {
+    def dist(cAlias: String) =
+      s"list_reduce(list_transform(range(1, 65), j -> " +
+        s"(sv.ve[j] - $cAlias.cent[j]) * (sv.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
+    def distD(cAlias: String) =
+      s"list_reduce(list_transform(range(1, 65), j -> " +
+        s"(dv.ve[j] - $cAlias.cent[j]) * (dv.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
+    val iters = (1 to 3).map { i =>
+      s"""sd$i AS (SELECT sv.vid, c.cluster, ${dist("c")} AS dist_sq
+         |  FROM sv CROSS JOIN sc${i - 1} c),
+         |sa$i AS (SELECT vid, cluster FROM (
+         |    SELECT vid, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_sq, cluster) AS rn
+         |    FROM sd$i) WHERE rn = 1),
+         |sm$i AS (SELECT a.cluster, dm.dim, ROUND(AVG(sv.ve[dm.dim]), 6) AS m
+         |  FROM sa$i a JOIN sv USING (vid) CROSS JOIN sdims dm
+         |  GROUP BY a.cluster, dm.dim),
+         |sc$i AS (SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+         |  FROM sc${i - 1} p LEFT JOIN (
+         |    SELECT cluster, array_agg(m ORDER BY dim) AS cent
+         |    FROM sm$i GROUP BY cluster) n ON n.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sv AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE ((vec_id % $IvfDeltaMod) + $IvfDeltaMod) % $IvfDeltaMod <> 0),
+       |dv AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE ((vec_id % $IvfDeltaMod) + $IvfDeltaMod) % $IvfDeltaMod = 0),
+       |sdims AS (SELECT unnest(range(1, 65)) AS dim),
+       |sc0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cluster, ve AS cent
+       |  FROM (SELECT vid, ve FROM sv ORDER BY vid LIMIT 8)),
+       |$iters,
+       |fs AS (SELECT sv.vid, c.cluster, ${dist("c")} AS dist_sq FROM sv CROSS JOIN sc3 c),
+       |asn_s AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_state FROM (
+       |    SELECT vid, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_sq, cluster) AS rn
+       |    FROM fs) WHERE rn = 1 GROUP BY cluster),
+       |fd AS (SELECT dv.vid, c.cluster, ${distD("c")} AS dist_sq FROM dv CROSS JOIN sc3 c),
+       |asn_d AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_delta FROM (
+       |    SELECT vid, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_sq, cluster) AS rn
+       |    FROM fd) WHERE rn = 1 GROUP BY cluster),
+       |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sv) AS ts,
+       |               (SELECT CAST(COUNT(*) AS BIGINT) FROM dv) AS td),
+       |cells AS (SELECT cluster FROM sc3)
+       |SELECT CAST(cells.cluster AS BIGINT) AS cluster,
+       |       COALESCE(asn_s.n_state, 0) AS n_state,
+       |       COALESCE(asn_d.n_delta, 0) AS n_delta,
+       |       COALESCE(asn_s.n_state, 0) + COALESCE(asn_d.n_delta, 0) AS n_total,
+       |       CAST(FLOOR(CAST(COALESCE(asn_s.n_state, 0) AS DOUBLE) / CAST(tot.ts AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS share_state_micro,
+       |       CAST(FLOOR(CAST(COALESCE(asn_d.n_delta, 0) AS DOUBLE) / CAST(tot.td AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS share_delta_micro,
+       |       ABS(CAST(FLOOR(CAST(COALESCE(asn_s.n_state, 0) AS DOUBLE) / CAST(tot.ts AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT)
+       |           - CAST(FLOOR(CAST(COALESCE(asn_d.n_delta, 0) AS DOUBLE) / CAST(tot.td AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT)) AS drift_micro
+       |FROM cells LEFT JOIN asn_s USING (cluster) LEFT JOIN asn_d USING (cluster)
+       |  CROSS JOIN tot
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** Feature-hash bin count for q277 (2^6 — small enough that collisions
+    * actually occur in the fixture, exercising the signed cancellation). */
+  val FeatureBins = 64
+
+  /** q277 — the feature-hashing trick (Weinberger et al.): every token
+    * maps to one of [[FeatureBins]] feature indices by hash, with a
+    * ±1 sign from a second hash bit so collisions cancel in expectation
+    * — the fixed-width, vocabulary-free featurizer (Vowpal Wabbit /
+    * sklearn HashingVectorizer) that needs no dictionary shuffle and no
+    * vocab broadcast at any corpus size.
+    *
+    * Per document: nnz (occupied bins), L1 and squared-L2 norms of the
+    * signed-count vector, and the collision count (distinct tokens minus
+    * distinct bins touched — the information actually lost to hashing).
+    * ALL columns are exact integers: signed counts are integer sums, so
+    * there is no float anywhere. One explode + one (doc, bin) aggregate
+    * + one per-doc rollup; the dict-encode join keeps the interpreted
+    * polynomial hash at once-per-DISTINCT-token (the q35/q86 discipline).
+    */
+  def q277FeatureHash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dict = tok.select(col("tok")).distinct()
+      .withColumn("h", polyHash(col("tok")))
+      .select(col("tok"), col("h"),
+        pmod(col("h"), lit(FeatureBins)).as("bin"),
+        // h is in [0, P) so integer div/mod need no sign handling
+        (pmod(expr(s"h div $FeatureBins"), lit(2)) * 2 - 1).as("sign"))
+    val hashed = tok.join(broadcast(dict), "tok").persist()
+    val perBin = hashed
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(sum(col("sign")).as("v"))
+    // distinct HASHES, not distinct strings: the oracle can only see the
+    // portable hash, and a (vanishingly unlikely) polyHash collision must
+    // count identically on both engines
+    val perDocTok = hashed
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_distinct_tok"),
+        countDistinct(col("bin")).as("n_bins_touched"))
+    perBin.groupBy(col("doc_id"))
+      .agg(count(when(col("v") =!= 0, lit(1))).as("nnz"),
+        sum(abs(col("v"))).as("l1"),
+        sum(col("v") * col("v")).as("l2sq"))
+      .join(perDocTok, "doc_id")
+      .select(col("doc_id"), col("nnz"), col("l1"), col("l2sq"),
+        col("n_distinct_tok"),
+        (col("n_distinct_tok") - col("n_bins_touched")).as("n_collisions"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q277Sql: String = {
+    val th = tokenHashesSql(tokensSql("text"))
+    s"""WITH t AS (SELECT doc_id, unnest($th) AS h FROM documents),
+       |m AS (SELECT doc_id, ((h % $FeatureBins) + $FeatureBins) % $FeatureBins AS bin,
+       |             ((((h // $FeatureBins) % 2) + 2) % 2) * 2 - 1 AS sign
+       |      FROM t),
+       |pb AS (SELECT doc_id, bin, CAST(SUM(sign) AS BIGINT) AS v
+       |       FROM m GROUP BY doc_id, bin),
+       |pd AS (SELECT doc_id,
+       |         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_tok,
+       |         CAST(COUNT(DISTINCT ((h % $FeatureBins) + $FeatureBins) % $FeatureBins)
+       |           AS BIGINT) AS n_bins_touched
+       |       FROM t GROUP BY doc_id)
+       |SELECT pb.doc_id,
+       |       CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+       |       CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+       |       CAST(SUM(v * v) AS BIGINT) AS l2sq,
+       |       ANY_VALUE(pd.n_distinct_tok) AS n_distinct_tok,
+       |       ANY_VALUE(pd.n_distinct_tok) - ANY_VALUE(pd.n_bins_touched) AS n_collisions
+       |FROM pb JOIN pd ON pd.doc_id = pb.doc_id
+       |GROUP BY pb.doc_id
+       |ORDER BY pb.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q275_lsh_decontaminate" -> q275LshDecontaminate _,
+    "q276_ivf_maintain" -> q276IvfMaintain _,
+    "q277_feature_hash" -> q277FeatureHash _)
+
+  val oracles: Map[String, String] = Map(
+    "q275_lsh_decontaminate" -> q275Sql,
+    "q276_ivf_maintain" -> q276Sql,
+    "q277_feature_hash" -> q277Sql)
+}

@@ -241,18 +241,34 @@ object ScaleOps {
     * if a sketch ever drifts outside its bound, the hash check fails.
     * (The raw estimates themselves are engine-specific and cannot be
     * hash-compared — that is exactly what the envelope booleans encode.) */
-  def q92Sketches(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  def q92Sketches(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice")).persist()
+    // The sketch pass and each exact pass run as SEPARATE single-pass
+    // aggregates joined on the 3-row flag table: two countDistincts in
+    // one agg would Expand every input row ×3 and drag the two
+    // value-buffering percentile aggregates through the multiplied
+    // stream (measured 75 s at sf0.1; split form ~2 s). The exact
+    // distincts use the two-level groupBy form — partial-aggregable,
+    // the 100 TB shape for exact distinct counting.
+    val sketch = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), HllRsdTight).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("pq"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        expr(s"percentile(l_extendedprice, array(${0.5 - PctRankEps}, 0.5, ${0.5 + PctRankEps}," +
-          s" ${0.95 - PctRankEps}, 0.95, ${0.95 + PctRankEps}," +
-          s" ${0.99 - PctRankEps}, 0.99, ${0.99 + PctRankEps}))").as("ex"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("pq"))
+    val exactOrders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+    val exactParts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val exactPct = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${0.5 - PctRankEps}, 0.5, ${0.5 + PctRankEps}," +
+        s" ${0.95 - PctRankEps}, 0.95, ${0.95 + PctRankEps}," +
+        s" ${0.99 - PctRankEps}, 0.99, ${0.99 + PctRankEps}))").as("ex"))
+    sketch
+      .join(exactOrders, "l_returnflag")
+      .join(exactParts, "l_returnflag")
+      .join(exactPct, "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         round(element_at(col("ex"), 2), 6).as("price_p50"),
         round(element_at(col("ex"), 5), 6).as("price_p95"),
@@ -268,6 +284,7 @@ object ScaleOps {
         (element_at(col("pq"), 3) >= element_at(col("ex"), 7) &&
           element_at(col("pq"), 3) <= element_at(col("ex"), 9)).as("p99_in_eps"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q92 oracle: the exact columns recomputed, the envelope booleans
     * asserted TRUE (DuckDB's quantile_cont matches Spark's `percentile`

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Round8Ops
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-8 widening batch (q275–q277). */
+class Round8OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q275: anchored on the benchmark set, flags are consistent") {
+    val df = Round8Ops.q275LshDecontaminate(spark, sf)
+    val nBench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Round8Ops.LshBenchMod === 0).count()
+    assert(df.count() == nBench, "one row per benchmark doc, flagged or not")
+    val bad = df.filter(
+      (col("contaminated") === 1 && (col("n_flagged") === 0 ||
+        col("max_jac_micro") < (Round8Ops.LshDecontamTau * 1000000).toLong)) ||
+      (col("contaminated") === 0 && (col("n_flagged") > 0 || col("max_jac_micro") > 0)))
+    assert(bad.count() == 0, "contaminated flag must agree with counts and max jaccard")
+    spark.catalog.clearCache()
+  }
+
+  test("q276: maintained occupancy conserves both populations; shares sum to ~1") {
+    val df = Round8Ops.q276IvfMaintain(spark, sf).persist()
+    val e = Tables.embeddings(spark, sf)
+    val nState = e.filter(pmod(col("vec_id"), lit(Round8Ops.IvfDeltaMod)) =!= 0).count()
+    val nDelta = e.filter(pmod(col("vec_id"), lit(Round8Ops.IvfDeltaMod)) === 0).count()
+    val agg = df.agg(sum("n_state"), sum("n_delta"),
+      sum("share_state_micro"), sum("share_delta_micro")).head()
+    assert(agg.getLong(0) == nState, "every state vector lands in exactly one cell")
+    assert(agg.getLong(1) == nDelta, "every delta vector lands in exactly one cell")
+    // per-cell floor() loses < 1 micro-unit per cell (k = 8 cells)
+    assert(math.abs(agg.getLong(2) - 1000000L) <= 8, s"state shares sum ${agg.getLong(2)}")
+    assert(math.abs(agg.getLong(3) - 1000000L) <= 8, s"delta shares sum ${agg.getLong(3)}")
+    val badDrift = df.filter(
+      col("drift_micro") =!= abs(col("share_state_micro") - col("share_delta_micro")))
+    assert(badDrift.count() == 0)
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q277: hashed-feature norms obey the signed-count arithmetic") {
+    val df = Round8Ops.q277FeatureHash(spark, sf).persist()
+    assert(df.count() > 0)
+    val bad = df.filter(
+      col("nnz") > Round8Ops.FeatureBins || col("l1") < col("nnz") ||
+        col("l2sq") < col("l1") || col("n_collisions") < 0)
+    assert(bad.count() == 0,
+      "nnz <= bins, l1 >= nnz, l2sq >= l1 (integer v: v*v >= |v|), collisions >= 0")
+    // parity conservation: each in-bin cancellation removes a ± pair, so
+    // l1 and the doc's token count have equal parity
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.Portable.tokens(col("text"))).as("n_tok"))
+    val badParity = df.join(toks, "doc_id")
+      .filter(pmod(col("l1"), lit(2)) =!= pmod(col("n_tok"), lit(2)))
+    assert(badParity.count() == 0, "sum|v| must have the parity of the token count")
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+}
