@@ -319,13 +319,198 @@ object Round8Ops {
        |ORDER BY pb.doc_id""".stripMargin
   }
 
+  /** Per-stratum sample size and mixing constant for q278. */
+  val ReservoirK = 20
+  val ReservoirMix = 2654435761L
+
+  /** q278 — deterministic stratified "reservoir": exactly
+    * [[ReservoirK]] docs per source, selected by ranking a
+    * Knuth-multiplicative hash of the doc id — the content-stable
+    * replacement for reservoir sampling whose selection is identical on
+    * any engine, any partitioning, any run (true reservoir sampling is
+    * traversal-order dependent, which is exactly what a reproducible
+    * training pipeline cannot have; the q79/q219/q236 argument applied
+    * to fixed-size-per-stratum selection).
+    *
+    * One scan → per-source rank window (partitions are the |sources|
+    * domain, each internally unbounded but the rank is top-k — at scale
+    * the same selection runs as a per-source `smallest_k` bounded
+    * aggregate, q181's pattern, if even the per-partition sort is
+    * unwanted). Population size rides along so the sample is
+    * self-describing. */
+  def q278StratifiedReservoir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        pmod(col("doc_id") * ReservoirMix, lit(P)).as("rk"))
+    val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ReservoirK)
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("n_total"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val q278Sql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |         ((doc_id * $ReservoirMix % $P) + $P) % $P AS rk
+       |  FROM documents),
+       |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+       |      FROM documents GROUP BY source),
+       |ranked AS (
+       |  SELECT source, doc_id, rk,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rnk
+       |  FROM r)
+       |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_total
+       |FROM ranked JOIN t USING (source)
+       |WHERE rnk <= $ReservoirK
+       |ORDER BY source, rnk""".stripMargin
+
+  /** Fold count and naive-assignment modulus for q279. */
+  val GroupFolds = 5
+
+  /** q279 — GROUP-aware k-fold assignment (GroupKFold): every
+    * exact-duplicate group (same md5(text)) lands entirely in ONE fold,
+    * because the fold is a hash of the GROUP key, not the row key —
+    * the split discipline that stops duplicated documents from leaking
+    * between train and validation (q178 proved the property for a
+    * 2-way split; this is the k-fold CV form).
+    *
+    * The graded output is the per-fold audit (docs, groups, largest
+    * group) plus the counterfactual that justifies the op: how many
+    * multi-doc groups WOULD straddle folds under naive per-row
+    * assignment (doc_id % k) — a real, data-dependent leak count, 0
+    * only if the corpus had no duplicates. Group-fold straddling is 0
+    * by construction (fold is a function of the group), and the oracle
+    * re-derives both numbers exactly. */
+  def q279GroupFolds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("grp"))
+      .withColumn("fold", pmod(polyHash(col("grp")) * lit(FoldMixQ279), lit(P)) % GroupFolds)
+      .withColumn("naive_fold", pmod(col("doc_id"), lit(GroupFolds)))
+      .persist()
+    val perFold = docs.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+    val biggest = docs.groupBy(col("fold"), col("grp")).agg(count(lit(1)).as("gs"))
+      .groupBy(col("fold")).agg(max(col("gs")).as("max_group"))
+    val multi = docs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("naive_fold")).as("nf"))
+      .filter(col("n") >= 2)
+    val global = multi.agg(
+      count(lit(1)).as("n_groups_multi"),
+      sum((col("nf") > 1).cast("long")).as("n_straddling_naive"))
+    perFold.join(biggest, "fold")
+      .crossJoin(broadcast(global))
+      .select(col("fold"), col("n_docs"), col("n_groups"), col("max_group"),
+        coalesce(col("n_groups_multi"), lit(0L)).as("n_groups_multi"),
+        coalesce(col("n_straddling_naive"), lit(0L)).as("n_straddling_naive"))
+      .orderBy(col("fold"))
+  }
+
+  /** Knuth mix for the q279 group-fold hash (distinct from q236's so the
+    * two fold families decorrelate). */
+  val FoldMixQ279 = 2246822519L
+
+  val q279Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, md5(text) AS grp,
+       |         ((${polyHashSql("md5(text)")} * $FoldMixQ279 % $P) + $P) % $P
+       |           % $GroupFolds AS fold,
+       |         doc_id % $GroupFolds AS naive_fold
+       |  FROM documents),
+       |pf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |              CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+       |       FROM g GROUP BY fold),
+       |gs AS (SELECT fold, grp, COUNT(*) AS gs FROM g GROUP BY fold, grp),
+       |bg AS (SELECT fold, CAST(MAX(gs) AS BIGINT) AS max_group FROM gs GROUP BY fold),
+       |multi AS (
+       |  SELECT grp, COUNT(*) AS n, COUNT(DISTINCT naive_fold) AS nf
+       |  FROM g GROUP BY grp HAVING COUNT(*) >= 2),
+       |glb AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups_multi,
+       |         CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_straddling_naive
+       |  FROM multi)
+       |SELECT fold, n_docs, n_groups, max_group,
+       |       COALESCE(glb.n_groups_multi, 0) AS n_groups_multi,
+       |       COALESCE(glb.n_straddling_naive, 0) AS n_straddling_naive
+       |FROM pf JOIN bg USING (fold) CROSS JOIN glb
+       |ORDER BY fold""".stripMargin
+
+  /** q280 — normalized-fingerprint duplicate audit: fingerprint every
+    * document by the md5 of its NORMALIZED text (lower-cased, every
+    * non-[a-z0-9] character removed), so duplicates that differ only in
+    * casing, punctuation, or whitespace — the near-misses exact dedup
+    * (q34) cannot see and MinHash (q35) only catches probabilistically —
+    * collapse EXACTLY. The graded output is the per-source audit
+    * (anchored on the |sources| domain so a clean corpus still reports):
+    * exact-distinct vs normalized-distinct text counts (their gap is
+    * precisely the case/punct-dup mass), docs sitting in multi-doc
+    * normalized groups, and groups spanning >1 language — the
+    * machine-translation/transliteration contamination flag. One
+    * projection + two aggregates; the character-class regex has
+    * identical semantics in java.util.regex and RE2 (q54 discipline). */
+  def q280NormalizedDups(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+      .persist()
+    val groups = f.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("nl"))
+    val perSource = groups.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_norm"),
+        sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as("n_dup_docs"),
+        sum((col("nl") > 1).cast("long")).as("n_cross_lang_groups"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_exact"))
+      .join(perSource, "source")
+      .select(col("source"), col("n_docs"), col("n_distinct_exact"),
+        col("n_distinct_norm"),
+        (col("n_distinct_exact") - col("n_distinct_norm")).as("n_case_punct_dups"),
+        col("n_dup_docs"), col("n_cross_lang_groups"))
+      .orderBy(col("source"))
+  }
+
+  val q280Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, source, text,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, fp, COUNT(*) AS n, COUNT(DISTINCT lang) AS nl
+      |  FROM f GROUP BY source, fp),
+      |ps AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_norm,
+      |         CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |         CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_cross_lang_groups
+      |  FROM g GROUP BY source),
+      |pe AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_exact
+      |  FROM f GROUP BY source)
+      |SELECT pe.source, n_docs, n_distinct_exact, n_distinct_norm,
+      |       n_distinct_exact - n_distinct_norm AS n_case_punct_dups,
+      |       n_dup_docs, n_cross_lang_groups
+      |FROM pe JOIN ps ON ps.source = pe.source
+      |ORDER BY pe.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q275_lsh_decontaminate" -> q275LshDecontaminate _,
     "q276_ivf_maintain" -> q276IvfMaintain _,
-    "q277_feature_hash" -> q277FeatureHash _)
+    "q277_feature_hash" -> q277FeatureHash _,
+    "q278_stratified_reservoir" -> q278StratifiedReservoir _,
+    "q279_group_folds" -> q279GroupFolds _,
+    "q280_normalized_dups" -> q280NormalizedDups _)
 
   val oracles: Map[String, String] = Map(
     "q275_lsh_decontaminate" -> q275Sql,
     "q276_ivf_maintain" -> q276Sql,
-    "q277_feature_hash" -> q277Sql)
+    "q277_feature_hash" -> q277Sql,
+    "q278_stratified_reservoir" -> q278Sql,
+    "q279_group_folds" -> q279Sql,
+    "q280_normalized_dups" -> q280Sql)
 }

@@ -58,4 +58,51 @@ class Round8OpsSpec extends AnyFunSuite {
     df.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("q278: exactly k per stratum (or the whole stratum), deterministic across runs") {
+    val df = Round8Ops.q278StratifiedReservoir(spark, sf).persist()
+    val perSrc = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), max(col("n_total")).as("n_total"))
+    val bad = perSrc.filter(
+      col("k") =!= least(lit(Round8Ops.ReservoirK.toLong), col("n_total")))
+    assert(bad.count() == 0, "each stratum yields min(k, population) rows")
+    val again = Round8Ops.q278StratifiedReservoir(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0,
+      "selection must be a pure function of the data")
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q279: group folds conserve docs; group assignment cannot straddle") {
+    val df = Round8Ops.q279GroupFolds(spark, sf).persist()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    // the defining property: fold is a function of the group key, so no
+    // md5 group may appear under two folds
+    val straddle = Tables.documents(spark, sf)
+      .select(md5(col("text")).as("grp"),
+        pmod(graft.functions.Portable.polyHash(md5(col("text"))) *
+          lit(Round8Ops.FoldMixQ279), lit(graft.functions.Portable.P))
+          .mod(Round8Ops.GroupFolds).as("fold"))
+      .groupBy(col("grp")).agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1)
+    assert(straddle.count() == 0)
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q280: per-source audit is anchored and internally consistent") {
+    val df = Round8Ops.q280NormalizedDups(spark, sf).persist()
+    val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(df.count() == nSources, "one audit row per source, dups or not")
+    val bad = df.filter(
+      col("n_distinct_norm") > col("n_distinct_exact") ||
+        col("n_distinct_exact") > col("n_docs") ||
+        col("n_case_punct_dups") < 0 ||
+        (col("n_dup_docs") === 0 && col("n_docs") =!= col("n_distinct_norm")))
+    assert(bad.count() == 0,
+      "norm-distinct <= exact-distinct <= docs; zero dup docs implies all distinct")
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
 }
