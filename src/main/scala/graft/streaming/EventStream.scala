@@ -425,6 +425,35 @@ object EventStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The STREAMING twin of q193 (trailing-7-day distinct active users):
+    * the batch identity — presence dedup → constant ≤7-window fan-out →
+    * (user, window) dedup → count — maps 1:1 onto built-in streaming
+    * operators, which is exactly why q193 avoids a windowed COUNT
+    * DISTINCT: distinct state can't partial-aggregate, but this shape is
+    * two `dropDuplicatesWithinWatermark`s (state bounded by keys within
+    * the 7-day watermark horizon, evicted as the watermark advances)
+    * and one Update-mode count. Each window-end's count converges to the
+    * batch answer as its contributing days drain — the continuously-
+    * updating trailing-WAU dashboard. Unlike the batch report, window
+    * ends are not restricted to observed days (a stream can't semi-join
+    * "days that will have events"); consumers filter, as the parity
+    * spec does. */
+  def trailingDistinctStream(events: DataFrame): DataFrame = {
+    // one upstream watermark sized to the WINDOW (7 days): a (user, wday)
+    // pair can recur from presences up to 6 days apart, and the second
+    // dedup only guarantees exactness within the watermark delay
+    val ud = events
+      .withWatermark("ts", "7 days")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+    ud
+      .withColumn("wday",
+        explode(expr(s"sequence(day, date_add(day, ${graft.operators.MaintOps.WindowDays - 1}))")))
+      .dropDuplicatesWithinWatermark("user_id", "wday")
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Attribution look-back window (30 minutes, micros) — matches the
     * batch q216 position-based attribution. */
   val AttribWindowUs: Long = 30L * 60 * 1000000

@@ -398,4 +398,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sess_start.toString.startsWith("2024-01-01 10:00:00"))
     assert(s.sess_end.toString.startsWith("2024-01-01 10:10:00"))
   }
+
+  test("trailingDistinctStream: update-mode counts converge to batch q193") {
+    import org.apache.spark.sql.functions._
+    // two time-ordered micro-batches of the REAL fixture: presence and
+    // (user, window) dedup state must carry across the batch boundary
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = ev.agg(expr("timestampadd(SECOND, 1, min(ts) + (max(ts) - min(ts)) / 2)"))
+      .head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("events_trailing")
+    ev.filter(col("ts") <= lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    ev.filter(col("ts") > lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      EventStream.trailingDistinctStream(stream), "trailing_distinct",
+      OutputMode.Update())
+    try {
+      // last update per window-end is the converged count
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wday")).orderBy(col("upd").desc)
+      val got = spark.table("trailing_distinct")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("wday"), col("n_users"))
+      val want = graft.operators.MaintOps.q193SlidingDistinct(spark, sf)
+      // streaming emits every window-end; the batch report keeps observed
+      // days only — compare on the batch's day list
+      val joined = want.join(got, Seq("wday"), "left")
+        .select(col("wday"), want("n_users").as("b"), got("n_users").as("s"))
+        .collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(!r.isNullAt(2) && r.getLong(1) == r.getLong(2),
+          s"window ${r.getDate(0)}: batch ${r.getLong(1)} != stream ${r.get(2)}")
+      }
+    } finally q.stop()
+  }
 }
