@@ -538,7 +538,10 @@ object RankOps {
     * serially, so candidate sets — and therefore ranks and fused scores —
     * hash-match exactly; no recall slack is claimed.
     */
-  def q274HybridIvfLsh(s: SparkSession, d: String): DataFrame = {
+  /** The shared scale-bounded candidate core of q274 (and q282's
+    * hard-negative miner): per (query, candidate) from the IVF + LSH
+    * generators, cosine, Jaccard micro, and the two in-pool ranks. */
+  private[operators] def hybridScored(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     graft.functions.VectorExpressions.register(s)
     graft.functions.VectorExpressions.registerAny(s)
@@ -620,7 +623,11 @@ object RankOps {
       Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid")))
     val r2 = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("cid")))
-    val fused = scored.withColumn("r1", r1).withColumn("r2", r2)
+    scored.withColumn("r1", r1).withColumn("r2", r2)
+  }
+
+  def q274HybridIvfLsh(s: SparkSession, d: String): DataFrame = {
+    val fused = hybridScored(s, d)
       .withColumn("rrf_micro",
         floor((lit(1.0) / (lit(RrfK) + col("r1")).cast("double") +
           lit(1.0) / (lit(RrfK) + col("r2")).cast("double")) * lit(1000000.0) + lit(0.5))
@@ -633,15 +640,16 @@ object RankOps {
       .orderBy(col("qid"), col("rank_fused"))
   }
 
-  /** q274 oracle: the unrolled Lloyd model (shared with q148), both
-    * candidate generators replayed serially, then q235's scoring/fusion
-    * over the candidate pool. */
-  val q274Sql: String = {
+  /** The q274/q282-shared oracle CTE chain: the unrolled Lloyd model
+    * (shared with q148), both candidate generators replayed serially,
+    * scoring + in-pool ranks — ends at `ranked`
+    * (qid, cid, jac_micro, r1, r2). lazy: references VectorOps. */
+  private[operators] lazy val hybridScoredCtes: String = {
     val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
     val distQ =
       "list_reduce(list_transform(range(1, 65), j -> " +
         "(qv.qe[j] - c.cent[j]) * (qv.qe[j] - c.cent[j])), (a, b) -> a + b)"
-    s"""WITH ${VectorOps.trainedModelCtes},
+    s"""${VectorOps.trainedModelCtes},
        |qv AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < $HybridQueryCap),
        |pd AS (SELECT qv.qid, c.cluster, $distQ AS dsq FROM qv CROSS JOIN c3 c),
        |probes AS (SELECT qid, cluster FROM (
@@ -691,7 +699,11 @@ object RankOps {
        |  SELECT qid, cid, jac_micro,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid) AS r2
-       |  FROM jp),
+       |  FROM jp)""".stripMargin
+  }
+
+  val q274Sql: String =
+    s"""WITH $hybridScoredCtes,
        |fused AS (
        |  SELECT qid, cid, r1, r2,
        |         CAST(FLOOR((1.0 / CAST($RrfK + r1 AS DOUBLE)
@@ -707,7 +719,6 @@ object RankOps {
        |       rrf_micro
        |FROM topn WHERE rank_fused <= $RrfTopN
        |ORDER BY qid, rank_fused""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "q233_ppl_buckets" -> q233PerplexityBuckets _,

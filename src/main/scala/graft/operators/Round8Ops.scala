@@ -498,7 +498,163 @@ object Round8Ops {
       |FROM pe JOIN ps ON ps.source = pe.source
       |ORDER BY pe.source""".stripMargin
 
+  /** q281 — temperature-weighted mixture sampling (the multilingual
+    * upsampling rule from mBERT/XLM-R): source weights ∝ n^α with
+    * α = 3/4, which damps head sources and upsamples the tail. α is
+    * deliberately 3/4 — not the paper's 0.7 — because x^0.75 =
+    * sqrt(sqrt(x³)) uses only integer powers and sqrt, and sqrt is
+    * IEEE correctly-rounded (engine-portable) where pow/exp/ln are not:
+    * the whole schedule hash-checks with zero float slack. Each
+    * weight is micro-quantized BEFORE the sum (exact BIGINT total), and
+    * the sampling share and upsample factor take one shared-order
+    * double division each. One |sources|-row aggregate. */
+  def q281TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // cube in DOUBLE: IEEE multiply rounds identically on both engines,
+    // and unlike a BIGINT cube it cannot overflow at petabyte-scale n
+    val nd = col("n_docs").cast("double")
+    val w = sqrt(sqrt(nd * nd * nd))
+    val weighted = n.withColumn("w_micro", floor(w * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = weighted.agg(sum(col("w_micro")).as("tw"), sum(col("n_docs")).as("tn"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        floor(col("w_micro").cast("double") / col("tw").cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long").as("share_micro"),
+        // upsample factor = sampled share / natural share
+        floor(col("w_micro").cast("double") * col("tn").cast("double") /
+          (col("tw").cast("double") * col("n_docs").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("upsample_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q281Sql: String =
+    """WITH n AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs,
+      |         CAST(FLOOR(sqrt(sqrt(
+      |                  CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+      |                  * CAST(n_docs AS DOUBLE)))
+      |                * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      |  FROM n),
+      |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw,
+      |             CAST(SUM(n_docs) AS BIGINT) AS tn FROM w)
+      |SELECT source, n_docs, w_micro,
+      |       CAST(FLOOR(CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)
+      |              * 1000000.0 + 0.5) AS BIGINT) AS share_micro,
+      |       CAST(FLOOR(CAST(w_micro AS DOUBLE) * CAST(tn AS DOUBLE)
+      |              / (CAST(tw AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS upsample_micro
+      |FROM w CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
+  /** Dense-rank cutoff and kept negatives per query for q282. */
+  val NegDenseK = 5
+  val NegTopK = 3
+
+  /** q282 — hard-negative mining for contrastive retrieval training,
+    * over q274's SCALE-BOUNDED candidate pool: a hard negative is a
+    * candidate that is lexically similar to the query (nonzero shingle
+    * Jaccard) but NOT semantically close (outside the dense cosine
+    * top-[[NegDenseK]]) — the "looks right, means wrong" examples that
+    * teach an embedding model more than random negatives (the standard
+    * ANCE/DPR mining step, here with deterministic generators instead
+    * of a warm model). Top-[[NegTopK]] per query by Jaccard. q234 mines
+    * batch-hard triplets from label structure; this mines from the
+    * retrieval index itself. Cost: a filter + one in-pool rank over
+    * q274's bounded candidates — nothing corpus-proportional. */
+  def q282HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val negs = RankOps.hybridScored(s, d)
+      .filter(col("r1") > NegDenseK && col("jac_micro") > 0)
+    negs.withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("cid"))))
+      .filter(col("neg_rank") <= NegTopK)
+      .select(col("qid"), col("neg_rank").cast("long").as("neg_rank"), col("cid"),
+        col("jac_micro"), col("r1").cast("long").as("dense_rank"))
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
+  lazy val q282Sql: String = // lazy: RankOps.hybridScoredCtes
+    s"""WITH ${RankOps.hybridScoredCtes},
+       |negs AS (
+       |  SELECT qid, cid, jac_micro, r1,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid)
+       |           AS neg_rank
+       |  FROM ranked WHERE r1 > $NegDenseK AND jac_micro > 0)
+       |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, cid, jac_micro,
+       |       CAST(r1 AS BIGINT) AS dense_rank
+       |FROM negs WHERE neg_rank <= $NegTopK
+       |ORDER BY qid, neg_rank""".stripMargin
+
+  /** Mask modulus for q283 (1-in-7 positions ≈ the 15% T5 corruption
+    * rate) and the position-mixing constant. */
+  val MaskMod = 7
+  val MaskMix = 1000003L
+
+  /** q283 — span-corruption masking plan (the T5/UL2 pretraining
+    * objective's data prep): every token position decides masked/kept by
+    * a pure integer hash of (doc, position) — reproducible by any party
+    * with the ids, the q239-dropout argument applied to the objective
+    * itself — and consecutive masked positions merge into SPANS (what
+    * the objective replaces with single sentinels). Per doc: token
+    * count, masked count, span count (mask-starts via lag), mean span
+    * length in micro-units from the two exact integers. One projection +
+    * one per-doc window + one aggregate. */
+  def q283SpanMaskPlan(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("masked",
+        (pmod(col("doc_id") * MaskMix + col("pos"), lit(MaskMod)) === 0).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = tok
+      .withColumn("prev", lag(col("masked"), 1, 0L).over(w))
+      .withColumn("span_start",
+        (col("masked") === 1L && col("prev") === 0L).cast("long"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("masked")).as("n_masked"),
+        sum(col("span_start")).as("n_spans"))
+      .withColumn("mask_ratio_micro",
+        floor(col("n_masked").cast("double") / col("n_tok").cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("mean_span_micro",
+        when(col("n_spans") === 0, lit(0L)).otherwise(
+          floor(col("n_masked").cast("double") / col("n_spans").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q283Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         CASE WHEN ((doc_id * $MaskMix + i - 1) % $MaskMod + $MaskMod) % $MaskMod = 0
+       |              THEN 1 ELSE 0 END AS masked
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |       UNNEST(range(1, len(tk) + 1)) AS u(i)),
+       |sp AS (
+       |  SELECT doc_id, masked,
+       |         CASE WHEN masked = 1 AND
+       |              COALESCE(LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |              THEN 1 ELSE 0 END AS span_start
+       |  FROM t),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |         CAST(SUM(masked) AS BIGINT) AS n_masked,
+       |         CAST(SUM(span_start) AS BIGINT) AS n_spans
+       |  FROM sp GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_masked, n_spans,
+       |       CAST(FLOOR(CAST(n_masked AS DOUBLE) / CAST(n_tok AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS mask_ratio_micro,
+       |       CASE WHEN n_spans = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(FLOOR(CAST(n_masked AS DOUBLE) / CAST(n_spans AS DOUBLE)
+       |                   * 1000000.0 + 0.5) AS BIGINT) END AS mean_span_micro
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q281_temperature_mix" -> q281TemperatureMix _,
+    "q282_hard_negatives" -> q282HardNegatives _,
+    "q283_span_mask_plan" -> q283SpanMaskPlan _,
     "q275_lsh_decontaminate" -> q275LshDecontaminate _,
     "q276_ivf_maintain" -> q276IvfMaintain _,
     "q277_feature_hash" -> q277FeatureHash _,
@@ -507,6 +663,9 @@ object Round8Ops {
     "q280_normalized_dups" -> q280NormalizedDups _)
 
   val oracles: Map[String, String] = Map(
+    "q281_temperature_mix" -> q281Sql,
+    "q282_hard_negatives" -> q282Sql,
+    "q283_span_mask_plan" -> q283Sql,
     "q275_lsh_decontaminate" -> q275Sql,
     "q276_ivf_maintain" -> q276Sql,
     "q277_feature_hash" -> q277Sql,

@@ -91,6 +91,45 @@ class Round8OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q281: temperature weights damp heads, upsample tails, shares sum to ~1") {
+    val df = Round8Ops.q281TemperatureMix(spark, sf).persist()
+    val shareSum = df.agg(sum("share_micro")).head().getLong(0)
+    assert(math.abs(shareSum - 1000000L) <= df.count(), s"shares sum $shareSum")
+    // α < 1 monotonicity: a strictly smaller source gets a strictly
+    // larger upsample factor
+    val rows = df.select(col("n_docs"), col("upsample_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array((n1, u1), (n2, u2)) =>
+      if (n1 < n2) assert(u1 >= u2, s"n=$n1 up=$u1 vs n=$n2 up=$u2")
+    case _ => ()
+    }
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q282: every mined negative is lexically similar but dense-far") {
+    val df = Round8Ops.q282HardNegatives(spark, sf).persist()
+    assert(df.count() > 0, "fixture must yield hard negatives")
+    val bad = df.filter(col("jac_micro") <= 0 ||
+      col("dense_rank") <= Round8Ops.NegDenseK ||
+      col("neg_rank") > Round8Ops.NegTopK)
+    assert(bad.count() == 0)
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q283: span accounting is internally consistent") {
+    val df = Round8Ops.q283SpanMaskPlan(spark, sf).persist()
+    assert(df.count() > 0)
+    val bad = df.filter(
+      col("n_masked") > col("n_tok") || col("n_spans") > col("n_masked") ||
+        (col("n_masked") > 0 && col("n_spans") === 0))
+    assert(bad.count() == 0,
+      "spans <= masked <= tokens; masked tokens imply at least one span")
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("q280: per-source audit is anchored and internally consistent") {
     val df = Round8Ops.q280NormalizedDups(spark, sf).persist()
     val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
