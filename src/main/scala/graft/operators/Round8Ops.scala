@@ -264,8 +264,13 @@ object Round8Ops {
     * + one per-doc rollup; the dict-encode join keeps the interpreted
     * polynomial hash at once-per-DISTINCT-token (the q35/q86 discipline).
     */
-  def q277FeatureHash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  def q277FeatureHash(s: SparkSession, d: String): DataFrame =
+    featureHashCore(Tables.documents(s, d))
+
+  /** q277's core over any (doc_id, text) frame — split out so the
+    * property spec can drive it with generated corpora. */
+  private[graft] def featureHashCore(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dict = tok.select(col("tok")).distinct()
       .withColumn("h", polyHash(col("tok")))
@@ -601,8 +606,13 @@ object Round8Ops {
     * count, masked count, span count (mask-starts via lag), mean span
     * length in micro-units from the two exact integers. One projection +
     * one per-doc window + one aggregate. */
-  def q283SpanMaskPlan(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  def q283SpanMaskPlan(s: SparkSession, d: String): DataFrame =
+    spanMaskCore(Tables.documents(s, d))
+
+  /** q283's core over any (doc_id, text) frame — split out for the
+    * property spec. */
+  private[graft] def spanMaskCore(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("masked",
         (pmod(col("doc_id") * MaskMix + col("pos"), lit(MaskMod)) === 0).cast("long"))

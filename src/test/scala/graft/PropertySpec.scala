@@ -196,6 +196,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val P = graft.functions.Portable.P
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(25, for {
+      id <- Gen.choose(0L, 5000L)
+      nTok <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(nTok, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    } yield id -> toks.mkString(" ")).map(_.distinctBy(_._1))
+
+  private def polyModel(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+
+  test("q277 featureHashCore: equals the signed-count reference model on random corpora") {
+    import graft.operators.Round8Ops
+    samples(docGen, 4).filter(_.nonEmpty).foreach { docs =>
+      val got = Round8Ops.featureHashCore(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toList
+        if (toks.isEmpty) assert(!got.contains(id))
+        else {
+          val hs = toks.map(polyModel)
+          val signed = hs.groupBy(_ % Round8Ops.FeatureBins).view
+            .mapValues(_.map(h => (h / Round8Ops.FeatureBins % 2) * 2 - 1).sum).toMap
+          val nnz = signed.values.count(_ != 0).toLong
+          val l1 = signed.values.map(math.abs(_)).sum
+          val l2sq = signed.values.map(v => v * v).sum
+          val nDist = hs.distinct.size.toLong
+          val nColl = nDist - hs.map(_ % Round8Ops.FeatureBins).distinct.size
+          assert(got(id) == ((nnz, l1, l2sq, nDist, nColl)),
+            s"doc $id: ${got(id)} != ${(nnz, l1, l2sq, nDist, nColl)}")
+        }
+      }
+    }
+  }
+
+  test("q283 spanMaskCore: span/mask counts equal the maximal-run reference model") {
+    import graft.operators.Round8Ops
+    samples(docGen, 4).filter(_.nonEmpty).foreach { docs =>
+      val got = Round8Ops.spanMaskCore(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      docs.foreach { case (id, text) =>
+        val n = text.split(" ").count(_.nonEmpty)
+        if (n == 0) assert(!got.contains(id))
+        else {
+          val mask = (0 until n)
+            .map(p => (id * Round8Ops.MaskMix + p) % Round8Ops.MaskMod == 0)
+          val nMasked = mask.count(identity).toLong
+          val nSpans = mask.zipWithIndex
+            .count { case (m, i) => m && (i == 0 || !mask(i - 1)) }.toLong
+          assert(got(id) == ((n.toLong, nMasked, nSpans)),
+            s"doc $id: ${got(id)} != ${(n, nMasked, nSpans)}")
+        }
+      }
+    }
+  }
+
+  test("q281 temperature weights: micro model exact, upsample anti-monotone in n") {
+    val nGen = Gen.listOfN(8, Gen.choose(1L, 2000000L)).map(_.distinct)
+    samples(nGen, 5).filter(_.size >= 2).foreach { ns =>
+      def wMicro(n: Long): Long = {
+        val d = n.toDouble
+        math.floor(math.sqrt(math.sqrt(d * d * d)) * 1e6 + 0.5).toLong
+      }
+      val tw = ns.map(wMicro).sum.toDouble
+      val tn = ns.sum.toDouble
+      val ups = ns.map(n => n -> math.floor(
+        wMicro(n) * tn / (tw * n) * 1e6 + 0.5).toLong).sortBy(_._1)
+      // α = 3/4 < 1: strictly smaller sources never get a smaller factor
+      ups.sliding(2).foreach {
+        case Seq((n1, u1), (n2, u2)) => if (n1 < n2) assert(u1 >= u2)
+        case _ => ()
+      }
+      // and the model is exactly what the operator computes (checked on
+      // the graded fixture by Round8OpsSpec; here we pin the law itself)
+      assert(ups.forall(_._2 > 0))
+    }
+  }
+
   test("polyHash: stable, in [0, P), equals the reference fold for random ASCII strings") {
     val strGen = Gen.listOfN(20, Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString))
     samples(strGen, 4).filter(_.nonEmpty).foreach { strs =>
