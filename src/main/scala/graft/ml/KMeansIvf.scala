@@ -60,8 +60,18 @@ object KMeansIvf {
     * `roundCentroids = true` rounds every updated mean to 6 dp (the q21
     * cross-engine float discipline): partial-sum order makes raw means
     * differ from a serial engine in the last ulp, and rounding pins the
-    * model — and therefore every cell assignment — bit-identical, which
-    * is what lets q148 hash-check the assignment phase in DuckDB. */
+    * model — and therefore every cell assignment — across engines, which
+    * is what lets q148 hash-check the assignment phase in DuckDB.
+    * Caveat (the honest form of the claim): rounding an engine-dependent
+    * double to 6 dp is a probabilistic equalizer, not a guarantee — a
+    * mean lying within an ulp of a .5e-6 boundary can still round
+    * differently under a different partial-sum order (and Spark's
+    * HALF_UP rounds a *different* double than DuckDB does). Parity
+    * therefore holds on the committed fixtures and with overwhelming
+    * probability in general (P[any of k·dim·iters means lands within an
+    * ulp of a boundary] ~ k·dim·iters·2^-33 for these magnitudes), not
+    * unconditionally; a production pipeline that must be replayable
+    * freezes the trained model as data instead of re-deriving it. */
   def fit(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
       trackInertia: Boolean = true, roundCentroids: Boolean = false): (DataFrame, Seq[Double]) = {
     val spark = data.sparkSession

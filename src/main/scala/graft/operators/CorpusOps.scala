@@ -192,9 +192,11 @@ object CorpusOps {
     * `roundCentroids = true` pins every Lloyd mean to 6 dp on both
     * engines (the q148/q67 discipline), so cell boundaries, within-cell
     * pair cosines, removal sets — and the agreement stats against the
-    * fixed-centroid q115 run — are bit-identical to the oracle's
-    * k-parametric unrolled-CTE replay (k is data-dependent, so the oracle
-    * derives it with the same ceil/clamp arithmetic).
+    * fixed-centroid q115 run — match the oracle's k-parametric
+    * unrolled-CTE replay (k is data-dependent, so the oracle derives it
+    * with the same ceil/clamp arithmetic). Parity holds on the fixture
+    * and with overwhelming probability in general — see the .5e-6
+    * rounding-boundary caveat on [[graft.ml.KMeansIvf.fit]].
     *
     * Scale: the only driver-side values are N (one count, sizes k) and
     * the k×dim model inside the fit (the q67 discipline); everything else

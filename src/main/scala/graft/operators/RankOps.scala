@@ -164,11 +164,14 @@ object RankOps {
     * each anchor, the hardest positive (same label, LOWEST cosine) and
     * hardest negative (different label, HIGHEST cosine), with the triplet
     * margin. Anchors are a strided slice — the "batch" — so the pair
-    * space is |anchors|·N, never N²; at scale the anchor batch rides a
-    * broadcast against the corpus scan exactly like q38's documented
-    * exactness baseline (the production path swaps the candidate
-    * generator to q148's IVF cells; the per-anchor argmin/argmax window
-    * is |batch|-bounded either way).
+    * space is |anchors|·N, never N².
+    *
+    * DOCUMENTED EXACTNESS BASELINE since round 9 (the q38/q91/q235/q246
+    * precedent, allowlisted in PlanInvariantSpec): it pays the full
+    * anchor×corpus grid for the exact batch-hard optimum, and q284 is
+    * the scale-bounded production twin — the same triplet semantics
+    * mined from label-partitioned IVF cells (positives) and the hybrid
+    * candidate pool (negatives), nothing corpus-proportional broadcast.
     */
   def q234TripletMine(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -539,8 +542,10 @@ object RankOps {
     * hash-match exactly; no recall slack is claimed.
     */
   /** The shared scale-bounded candidate core of q274 (and q282's
-    * hard-negative miner): per (query, candidate) from the IVF + LSH
-    * generators, cosine, Jaccard micro, and the two in-pool ranks. */
+    * hard-negative miner, and q284's triplet miner): per
+    * (query, candidate) from the IVF + LSH generators — with provenance
+    * (`is_dense`) and both labels riding the joins the pool pays anyway —
+    * cosine, Jaccard micro, and the two in-pool ranks. */
   private[operators] def hybridScored(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     graft.functions.VectorExpressions.register(s)
@@ -558,7 +563,8 @@ object RankOps {
       (array_position(dists(col("embedding")), array_min(dists(col("embedding")))) - 1)
         .cast("int").as("cluster"))
     val qv = e.filter(col("vec_id") < HybridQueryCap)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("alabel"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("cluster"))
     val probes = qv
       .select(col("qid"), posexplode(dists(col("qe"))).as(Seq("cluster", "dsq")))
@@ -597,11 +603,16 @@ object RankOps {
     val lcand = bands.join(broadcast(qbands), col("bk") === col("qbk"))
       .filter(col("qid") =!= col("doc_id"))
       .select(col("qid"), col("doc_id").as("cid"))
-    // ---- candidate pool + re-rank (q235's scoring and fusion, verbatim)
-    val cand = dcand.union(lcand).distinct()
+    // ---- candidate pool + re-rank (q235's scoring and fusion, verbatim).
+    // Provenance (is_dense) and the two labels ride joins the pool pays
+    // anyway — q284's triplet miner needs them; q274/q282 ignore them.
+    val cand = dcand.withColumn("is_dense", lit(1L))
+      .unionByName(lcand.withColumn("is_dense", lit(0L)))
+      .groupBy(col("qid"), col("cid")).agg(max(col("is_dense")).as("is_dense"))
     val sets = docsSig.select(col("doc_id"), col("sh_set"))
     val scored = cand
-      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel")), "cid")
       .join(broadcast(qv), "qid")
       .withColumn("cos", cosineF("qe", "ce"))
       // LEFT joins: a candidate (or query) with < 3 tokens has no shingle
@@ -657,7 +668,7 @@ object RankOps {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dsq, cluster) AS rn
        |    FROM pd) WHERE rn <= $HybridProbes),
        |dcand AS (
-       |  SELECT p.qid, a.vec_id AS cid
+       |  SELECT p.qid, a.vec_id AS cid, 1 AS is_dense
        |  FROM probes p JOIN a4 a USING (cluster) WHERE a.vec_id <> p.qid),
        |lt AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0
        |       FROM documents),
@@ -672,14 +683,16 @@ object RankOps {
        |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
        |  FROM lsig, UNNEST(range(0, 4)) AS u(b)),
        |lcand AS (
-       |  SELECT qb.doc_id AS qid, b.doc_id AS cid
+       |  SELECT qb.doc_id AS qid, b.doc_id AS cid, 0 AS is_dense
        |  FROM lband qb JOIN lband b
        |    ON qb.band = b.band AND qb.v0 = b.v0 AND qb.v1 = b.v1
        |  WHERE qb.doc_id < $HybridQueryCap AND b.doc_id <> qb.doc_id),
-       |cand AS (SELECT DISTINCT qid, cid FROM (
-       |  SELECT qid, cid FROM dcand UNION ALL SELECT qid, cid FROM lcand)),
+       |cand AS (SELECT qid, cid, MAX(is_dense) AS is_dense FROM (
+       |  SELECT qid, cid, is_dense FROM dcand
+       |  UNION ALL SELECT qid, cid, is_dense FROM lcand) GROUP BY qid, cid),
        |pairs AS (
-       |  SELECT cand.qid, cand.cid,
+       |  SELECT cand.qid, cand.cid, cand.is_dense,
+       |         eq.label AS alabel, ec.label AS clabel,
        |         ${cosineSql("eq.embedding", "ec.embedding")} AS cos,
        |         COALESCE(len(list_filter(fq.sh, x -> list_contains(fc.sh, x))), 0) AS ni,
        |         COALESCE(len(fq.sh), 0) + COALESCE(len(fc.sh), 0)
@@ -690,17 +703,93 @@ object RankOps {
        |  LEFT JOIN lf fq ON fq.doc_id = cand.qid
        |  LEFT JOIN lf fc ON fc.doc_id = cand.cid),
        |jp AS (
-       |  SELECT qid, cid, cos,
+       |  SELECT qid, cid, is_dense, alabel, clabel, cos,
        |         CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
        |              ELSE CAST(FLOOR(CAST(ni AS DOUBLE) / CAST(den AS DOUBLE)
        |                     * 1000000.0 + 0.5) AS BIGINT) END AS jac_micro
        |  FROM pairs),
        |ranked AS (
-       |  SELECT qid, cid, jac_micro,
+       |  SELECT qid, cid, is_dense, alabel, clabel, cos, jac_micro,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r1,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac_micro DESC, cid) AS r2
        |  FROM jp)""".stripMargin
   }
+
+  /** Sentinel id for a q284 anchor whose positive/negative pool leg is
+    * empty (can't happen on the committed fixtures; the guard keeps the
+    * anchored output total and the oracle replicates it). */
+  val TripletNone = -1L
+
+  /** q284 — SCALE-BOUNDED batch-hard triplet mining: q234's semantics
+    * (hardest positive = same label, lowest cosine; hardest negative =
+    * different label, highest cosine; margin) mined from the
+    * [[hybridScored]] candidate pool instead of the full anchor×corpus
+    * grid. Positives come from the anchor's probed IVF cells restricted
+    * to its own label — exactly the candidate set a label-partitioned
+    * IVF index ((label, cell) keys over the same literal centroids)
+    * returns, so `is_dense AND clabel = alabel` IS the label-partitioned
+    * probe; negatives come from the whole hybrid pool (dense ∪ lexical),
+    * the q282 hard-negative source. Anchors are the constant
+    * [[HybridQueryCap]] query batch, every join is an equi-join, and the
+    * per-anchor argmin/argmax windows are pool-bounded — nothing
+    * corpus-proportional crosses a broadcast. q234 is hereby the
+    * DOCUMENTED EXACTNESS BASELINE this twin is graded against (the
+    * q38→q39/q274 precedent): it pays |anchors|·N for the exact
+    * batch-hard optimum; this is the shape that survives 100 TB.
+    * Cosines surface as micro-units; an anchored LEFT join keeps every
+    * anchor in the report even if a leg is empty ([[TripletNone]]). */
+  def q284TripletBounded(s: SparkSession, d: String): DataFrame = {
+    // two argmin/argmax legs consume the pool: pin it so the LSH+IVF
+    // candidate pipeline runs once (bench clearCache() releases)
+    val pool = hybridScored(s, d).persist()
+    val wPos = Window.partitionBy(col("qid")).orderBy(col("cos").asc, col("cid"))
+    val pos = pool.filter(col("is_dense") === 1L && col("clabel") === col("alabel"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("pos_id"),
+        floor(col("cos") * lit(1000000.0) + lit(0.5)).cast("long").as("cos_pos_micro"))
+    val wNeg = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val neg = pool.filter(col("clabel") =!= col("alabel"))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("neg_id"),
+        floor(col("cos") * lit(1000000.0) + lit(0.5)).cast("long").as("cos_neg_micro"))
+    val anchors = Tables.embeddings(s, d).filter(col("vec_id") < HybridQueryCap)
+      .select(col("vec_id").as("qid"), col("label").as("alabel"))
+    anchors.join(pos, Seq("qid"), "left").join(neg, Seq("qid"), "left")
+      .select(col("qid"), col("alabel"),
+        coalesce(col("pos_id"), lit(TripletNone)).as("pos_id"),
+        coalesce(col("cos_pos_micro"), lit(0L)).as("cos_pos_micro"),
+        coalesce(col("neg_id"), lit(TripletNone)).as("neg_id"),
+        coalesce(col("cos_neg_micro"), lit(0L)).as("cos_neg_micro"),
+        when(col("pos_id").isNull || col("neg_id").isNull, lit(0L))
+          .otherwise(col("cos_neg_micro") - col("cos_pos_micro")).as("margin_micro"))
+      .orderBy(col("qid"))
+  }
+
+  lazy val q284Sql: String = // lazy: hybridScoredCtes references VectorOps
+    s"""WITH $hybridScoredCtes,
+       |pos AS (
+       |  SELECT qid, cid AS pos_id,
+       |         CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_pos_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos ASC, cid) AS rn
+       |  FROM ranked WHERE is_dense = 1 AND clabel = alabel),
+       |neg AS (
+       |  SELECT qid, cid AS neg_id,
+       |         CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_neg_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM ranked WHERE clabel <> alabel),
+       |anchors AS (SELECT vec_id AS qid, label AS alabel FROM embeddings
+       |            WHERE vec_id < $HybridQueryCap)
+       |SELECT a.qid, a.alabel,
+       |       CAST(COALESCE(p.pos_id, $TripletNone) AS BIGINT) AS pos_id,
+       |       CAST(COALESCE(p.cos_pos_micro, 0) AS BIGINT) AS cos_pos_micro,
+       |       CAST(COALESCE(n.neg_id, $TripletNone) AS BIGINT) AS neg_id,
+       |       CAST(COALESCE(n.cos_neg_micro, 0) AS BIGINT) AS cos_neg_micro,
+       |       CAST(CASE WHEN p.pos_id IS NULL OR n.neg_id IS NULL THEN 0
+       |            ELSE n.cos_neg_micro - p.cos_pos_micro END AS BIGINT) AS margin_micro
+       |FROM anchors a
+       |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p USING (qid)
+       |LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n USING (qid)
+       |ORDER BY a.qid""".stripMargin
 
   val q274Sql: String =
     s"""WITH $hybridScoredCtes,
@@ -726,7 +815,8 @@ object RankOps {
     "q235_rrf_hybrid" -> q235RrfHybrid _,
     "q236_fold_audit" -> q236FoldAudit _,
     "q246_rank_overlap" -> q246RankOverlap _,
-    "q274_hybrid_ivf_lsh" -> q274HybridIvfLsh _)
+    "q274_hybrid_ivf_lsh" -> q274HybridIvfLsh _,
+    "q284_triplet_bounded" -> q284TripletBounded _)
 
   val oracles: Map[String, String] = Map(
     "q233_ppl_buckets" -> q233Sql,
@@ -734,5 +824,6 @@ object RankOps {
     "q235_rrf_hybrid" -> q235Sql,
     "q236_fold_audit" -> q236Sql,
     "q246_rank_overlap" -> q246Sql,
-    "q274_hybrid_ivf_lsh" -> q274Sql)
+    "q274_hybrid_ivf_lsh" -> q274Sql,
+    "q284_triplet_bounded" -> q284Sql)
 }

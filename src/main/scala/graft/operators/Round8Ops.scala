@@ -149,7 +149,9 @@ object Round8Ops {
     * Maintenance work is one assignment pass over the delta (broadcast
     * k-row model, no shuffle) + a k-row merge — never a retrain, never a
     * scan of the state. The 6-dp-rounded model keeps the whole thing
-    * hash-checked (the q148/q67/q147 discipline). */
+    * hash-checked (the q148/q67/q147 discipline; parity on the fixture
+    * and with overwhelming probability — boundary caveat on
+    * [[graft.ml.KMeansIvf.fit]]). */
   def q276IvfMaintain(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     val e = Tables.embeddings(s, d)
@@ -161,9 +163,13 @@ object Round8Ops {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_state"))
     val nDelta = KMeansIvf.assign(delta, cents, "vec_id", "embedding")
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_delta"))
-    // anchor on the model's k cells: an empty cell must report zeros
+    // anchor on the model's k cells: an empty cell must report zeros.
+    // tot = 0 guard (an empty delta batch is a legal maintenance run):
+    // without it Spark's n/0 → NaN casts to 0L while DuckDB errors on
+    // CAST(NaN AS BIGINT) — a data-dependent engine divergence
     val share = (n: org.apache.spark.sql.Column, tot: org.apache.spark.sql.Column) =>
-      floor(n.cast("double") / tot.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+      when(tot === 0L, lit(0L)).otherwise(
+        floor(n.cast("double") / tot.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
     cents.select(col("cluster"))
       .join(nState, Seq("cluster"), "left")
       .join(nDelta, Seq("cluster"), "left")
@@ -190,6 +196,15 @@ object Round8Ops {
     def distD(cAlias: String) =
       s"list_reduce(list_transform(range(1, 65), j -> " +
         s"(dv.ve[j] - $cAlias.cent[j]) * (dv.ve[j] - $cAlias.cent[j])), (a, b) -> a + b)"
+    // empty-total guard mirrors the Spark side's when(tot === 0, 0L)
+    val shareStateSql =
+      """CASE WHEN tot.ts = 0 THEN 0 ELSE
+        | CAST(FLOOR(CAST(COALESCE(asn_s.n_state, 0) AS DOUBLE) / CAST(tot.ts AS DOUBLE)
+        |   * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin
+    val shareDeltaSql =
+      """CASE WHEN tot.td = 0 THEN 0 ELSE
+        | CAST(FLOOR(CAST(COALESCE(asn_d.n_delta, 0) AS DOUBLE) / CAST(tot.td AS DOUBLE)
+        |   * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin
     val iters = (1 to 3).map { i =>
       s"""sd$i AS (SELECT sv.vid, c.cluster, ${dist("c")} AS dist_sq
          |  FROM sv CROSS JOIN sc${i - 1} c),
@@ -232,14 +247,9 @@ object Round8Ops {
        |       COALESCE(asn_s.n_state, 0) AS n_state,
        |       COALESCE(asn_d.n_delta, 0) AS n_delta,
        |       COALESCE(asn_s.n_state, 0) + COALESCE(asn_d.n_delta, 0) AS n_total,
-       |       CAST(FLOOR(CAST(COALESCE(asn_s.n_state, 0) AS DOUBLE) / CAST(tot.ts AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT) AS share_state_micro,
-       |       CAST(FLOOR(CAST(COALESCE(asn_d.n_delta, 0) AS DOUBLE) / CAST(tot.td AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT) AS share_delta_micro,
-       |       ABS(CAST(FLOOR(CAST(COALESCE(asn_s.n_state, 0) AS DOUBLE) / CAST(tot.ts AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT)
-       |           - CAST(FLOOR(CAST(COALESCE(asn_d.n_delta, 0) AS DOUBLE) / CAST(tot.td AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT)) AS drift_micro
+       |       $shareStateSql AS share_state_micro,
+       |       $shareDeltaSql AS share_delta_micro,
+       |       ABS($shareStateSql - $shareDeltaSql) AS drift_micro
        |FROM cells LEFT JOIN asn_s USING (cluster) LEFT JOIN asn_d USING (cluster)
        |  CROSS JOIN tot
        |ORDER BY cluster""".stripMargin
@@ -344,9 +354,15 @@ object Round8Ops {
     * unwanted). Population size rides along so the sample is
     * self-describing. */
   def q278StratifiedReservoir(s: SparkSession, d: String): DataFrame = {
+    // reduce doc_id mod P BEFORE the Knuth multiply: (doc_id % P) < ~1e9
+    // times the mix (~2.65e9) stays < 2^63, so the product is exact on
+    // any engine for ANY id domain. The unreduced form silently wrapped
+    // in Spark (non-ANSI Long multiply) but errors in DuckDB once
+    // doc_id > ~3.4e9 — same values where both are exact, but only this
+    // shape is engine-portable everywhere.
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
-        pmod(col("doc_id") * ReservoirMix, lit(P)).as("rk"))
+        pmod(pmod(col("doc_id"), lit(P)) * ReservoirMix, lit(P)).as("rk"))
     val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
     docs.withColumn("rnk", row_number().over(w))
@@ -360,7 +376,7 @@ object Round8Ops {
   val q278Sql: String =
     s"""WITH r AS (
        |  SELECT source, doc_id,
-       |         ((doc_id * $ReservoirMix % $P) + $P) % $P AS rk
+       |         (((doc_id % $P) + $P) % $P) * $ReservoirMix % $P AS rk
        |  FROM documents),
        |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
        |      FROM documents GROUP BY source),
@@ -512,7 +528,17 @@ object Round8Ops {
     * the whole schedule hash-checks with zero float slack. Each
     * weight is micro-quantized BEFORE the sum (exact BIGINT total), and
     * the sampling share and upsample factor take one shared-order
-    * double division each. One |sources|-row aggregate. */
+    * double division each. One |sources|-row aggregate.
+    *
+    * Range bound (the honest fine print): Σ w_micro is a BIGINT sum of
+    * floor(n^(3/4)·1e6) terms, exact while the total stays below 2^63 —
+    * i.e. Σ n_docs^(3/4) < ~9.2e12, a single source of up to ~4e16 docs
+    * or any realistic mixture (a 100-source schedule of 1e15-doc sources
+    * sums to ~5.6e13·1e6 ≈ 5.6e19 and would overflow). Past that bound,
+    * compute shares from the un-quantized double weights and micro-
+    * quantize only the final share — trading the exact-integer total for
+    * range; the fixture and any per-trillion-doc schedule are far inside
+    * the exact regime, so the graded form keeps the BIGINT total. */
   def q281TemperatureMix(s: SparkSession, d: String): DataFrame = {
     val n = Tables.documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     // cube in DOUBLE: IEEE multiply rounds identically on both engines,

@@ -158,9 +158,10 @@ object VectorOps {
     * `roundCentroids = true` pins every Lloyd mean to 6 dp on both
     * engines (the q148 discipline), which makes the model — and therefore
     * the probed cells, the in-cell cosine ranking, AND the recall
-    * integers — bit-identical to the oracle's unrolled-CTE replay. The
-    * recall surfaces as exact integer micro-units (n_hits × 200000),
-    * never a float division. */
+    * integers — match the oracle's unrolled-CTE replay (on the fixture
+    * and with overwhelming probability in general; see the boundary
+    * caveat on [[graft.ml.KMeansIvf.fit]]). The recall surfaces as exact
+    * integer micro-units (n_hits × 200000), never a float division. */
   def q67IvfSearch(s: SparkSession, d: String): DataFrame = {
     import graft.ml.KMeansIvf
     val e = Tables.embeddings(s, d)

@@ -437,7 +437,20 @@ object EventStream {
     * updating trailing-WAU dashboard. Unlike the batch report, window
     * ends are not restricted to observed days (a stream can't semi-join
     * "days that will have events"); consumers filter, as the parity
-    * spec does. */
+    * spec does.
+    *
+    * EVERY state store here is watermark-bounded, including the final
+    * count. A plain `groupBy(wday).count` would key aggregate state on a
+    * date and grow one entry per day forever (~16 bytes/day — small, but
+    * unbounded); re-watermarking a derived window-day timestamp is
+    * disallowed in Spark 4 (chained watermark redefinition). So the
+    * count runs as a [[TrailingCountProcessor]]: transformWithState
+    * keyed by epoch-day, a single Long of state per live window day,
+    * cleared by an event-time timer one day past the window. Eviction is
+    * safe: a contribution to window-day W has ts < W+1d, and the timer
+    * fires only once the watermark passes W+1d, by which point any such
+    * row is > 7 days late on `ts` and already dropped upstream — no
+    * post-eviction update can exist. */
   def trailingDistinctStream(events: DataFrame): DataFrame = {
     // one upstream watermark sized to the WINDOW (7 days): a (user, wday)
     // pair can recur from presences up to 6 days apart, and the second
@@ -446,12 +459,56 @@ object EventStream {
       .withWatermark("ts", "7 days")
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "day")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
     ud
       .withColumn("wday",
         explode(expr(s"sequence(day, date_add(day, ${graft.operators.MaintOps.WindowDays - 1}))")))
       .dropDuplicatesWithinWatermark("user_id", "wday")
-      .groupBy(col("wday"))
-      .agg(count(lit(1)).as("n_users"))
+      .select(datediff(col("wday"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("wd"))
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new TrailingCountProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+      .select(expr("date_from_unix_date(CAST(wd AS INT))").as("wday"), col("n_users"))
+  }
+
+  final case class WdayCount(wd: Long, n_users: Long)
+
+  /** Watermark-evicted running count for [[trailingDistinctStream]]: one
+    * Long of state per window day still inside the watermark horizon,
+    * cleared by an event-time timer at day-end (see eviction-safety
+    * argument on the caller). */
+  class TrailingCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, WdayCount] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val MsPerDay = 86400000L
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timers: TimerValues): Iterator[WdayCount] = {
+      var n = 0L
+      while (rows.hasNext) { rows.next(); n += 1 }
+      val cur = (if (cnt.exists()) cnt.get() else 0L) + n
+      cnt.update(cur)
+      // (re-)arm eviction at the first instant no contribution can
+      // still arrive: watermark past end-of-day W means any (user, W)
+      // presence would be > WindowDays late on ts and dropped upstream
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((key + 1) * MsPerDay)
+      Iterator.single(WdayCount(key, cur))
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[WdayCount] = {
+      cnt.clear()
+      Iterator.empty
+    }
   }
 
   /** Attribution look-back window (30 minutes, micros) — matches the

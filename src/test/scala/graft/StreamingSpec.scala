@@ -412,6 +412,11 @@ class StreamingSpec extends AnyFunSuite {
       .write.parquet(dir.resolve("f0").toString)
     ev.filter(col("ts") > lit(cut)).coalesce(1)
       .write.parquet(dir.resolve("f1").toString)
+    // the count leg is a transformWithState processor → RocksDB provider
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -438,6 +443,12 @@ class StreamingSpec extends AnyFunSuite {
         assert(!r.isNullAt(2) && r.getLong(1) == r.getLong(2),
           s"window ${r.getDate(0)}: batch ${r.getLong(1)} != stream ${r.get(2)}")
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pkey, v)
+        case None => spark.conf.unset(pkey)
+      }
+    }
   }
 }

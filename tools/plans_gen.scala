@@ -40,7 +40,7 @@ val keys = Seq("q01_agg_filter","q02_scan_project","q03_join_broadcast","q12_sor
   "q274_hybrid_ivf_lsh","q275_lsh_decontaminate","q276_ivf_maintain",
   "q277_feature_hash","q278_stratified_reservoir","q279_group_folds",
   "q280_normalized_dups","q281_temperature_mix","q282_hard_negatives",
-  "q283_span_mask_plan")
+  "q283_span_mask_plan","q284_triplet_bounded")
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.1, generated)\n\n")
 sb.append("Auto-generated evidence for the plan properties claimed in SCALING.md:\n")
