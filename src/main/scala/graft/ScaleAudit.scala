@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale audit: runs the most expensive NON-baseline queries at
+  * two scale factors (default sf0.01 vs sf0.1 — 10× the input) and
+  * records, per query, wall seconds and the task-metric totals that the
+  * static plan walk (PlanInvariantSpec) cannot see: shuffle bytes
+  * written and input bytes read. SCALING.md argues every non-baseline
+  * query is ~linear in its input; this measures it.
+  *
+  * Why bytes, not just wall time: at sf0.01 most queries are dominated
+  * by fixed job overhead (sub-second), so wall ratios under-read true
+  * growth; shuffle-write bytes are the data-proportional signal — a
+  * df-cap that stops binding, a window partition that grows
+  * quadratically, or a join that degenerates shows up as a bytes ratio
+  * well above the 10× input ratio long before it shows in local wall
+  * time.
+  *
+  * Output (arg 3, default `SCALEAUDIT.json`) is committed to the repo;
+  * `ScaleAuditSpec` replays its numbers as CI — per-query bytes ratio
+  * ≤ [[ScaleAudit.BytesRatioMax]], wall ratio ≤
+  * [[ScaleAudit.WallRatioMax]], and coverage: every top-expensive
+  * non-baseline query of the newest committed `BENCH_full_r*.json` must
+  * be in [[ScaleAudit.AuditSet]], so a new expensive query fails CI
+  * until it is audited here.
+  *
+  * Task-end events are posted to the listener bus asynchronously; after
+  * each action the totals are polled until stable (the public-API
+  * replacement for the private `listenerBus.waitUntilEmpty`).
+  */
+object ScaleAudit {
+  /** The graded exactness baselines — deliberately corpus-quadratic
+    * next to their scale-bounded twins (SCALING.md "documented
+    * baselines"). Excluded from the linearity audit BY NAME, and the
+    * single source of truth for PlanInvariantSpec's BNLJ allowlist. */
+  val ExactnessBaselines: Set[String] = Set(
+    "q38_knn_brute", "q91_knn_native_expr", "q115_semantic_dedup",
+    "q147_semantic_dedup_trained", "q153_tfidf_cosine", "q190_source_jaccard",
+    "q204_retrieval_eval", "q233_ppl_buckets", "q234_triplet_mine",
+    "q235_rrf_hybrid", "q246_rank_overlap", "q247_ivf_recall", "q263_ndcg")
+
+  /** Audited queries: the top non-baseline queries by sf0.1 bench cost
+    * (BENCH_full_r08 ordering) plus round-9 additions. ScaleAuditSpec
+    * fails if a newly expensive query is missing from this list. */
+  val AuditSet: Seq[String] = Seq(
+    "q261_chain_merge", "q258_capture_recapture", "q194_cc_two_phase",
+    "q176_recursive_bfs", "q238_assortativity", "q162_triangle_count",
+    "q274_hybrid_ivf_lsh", "q151_pagerank", "q178_leakage_safe_split",
+    "q282_hard_negatives", "q92_sketches", "q203_sssp_weighted",
+    "q55_dup_clusters", "q245_dedup_weights", "q184_keep_best",
+    "q149_ivfpq_search", "q251_hll_merge", "q152_item_similarity",
+    "q262_bloom_fpr", "q160_brand_lift", "q205_dependency_audit",
+    "q66_winnowing", "q75_medallion_e2e", "q229_bloom_prefilter",
+    "q284_triplet_bounded", "q285_dsir_weights")
+
+  /** Input grows 10×; bytes must not grow super-linearly. The slack over
+    * 10.0 absorbs fixed-size terms flipping (a broadcast that lands on
+    * the other side, parquet page rounding), not algorithmic growth —
+    * a quadratic leg at 10× input shows up as ~100×, far past this. */
+  val BytesRatioMax = 13.0
+  /** Wall ratios are noisy at local[32] with sub-second sf0.01 floors;
+    * still, ≤ 15× at 10× input rules out super-linear compute. */
+  val WallRatioMax = 15.0
+  /** For queries with a [[WorkModels]] entry, shuffle may grow up to
+    * this factor × the measured WORK ratio. The slack covers map-side
+    * combine whose effectiveness shrinks as distinct-keys × partitions
+    * approaches the row count (the small-SF baseline under-counts), not
+    * algorithmic growth. */
+  val WorkSlack = 2.5
+
+  /** True work drivers for queries whose cost is NOT proportional to
+    * input bytes: derived edge/pair sets whose growth between two SFs
+    * is super-10× because the small fixture SATURATES a key domain
+    * (q203: 100 suppliers ⇒ every one of C(100,2) = 4 950 pairs exists
+    * at sf0.01 vs 453 588 at sf0.1 — 92×) or sub-10× under a df-cap.
+    * The audit measures these alongside the bytes so the linearity
+    * judgment divides by the right denominator: each query is linear in
+    * ITS WORK SET, and the work set is linear in the corpus with
+    * domain-/cap-bounded constants (SCALING.md's actual claim). */
+  val WorkModels: Map[String, (SparkSession, String) => Long] = {
+    import org.apache.spark.sql.functions._
+    // customer–supplier bipartite edges (both directions), q151/q176
+    def csEdges(s: SparkSession, d: String): Long = {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct().count() * 2
+    }
+    // q203's honest cost formula: one edge BUILD over the raw co-order
+    // pair rows, then SsspRounds relaxations each linear in the DISTINCT
+    // (bidirectional) edge set. The two drivers scale differently —
+    // raw pairs ~10× but distinct pairs 92× between these SFs, because
+    // 100 suppliers saturate C(100,2) at sf0.01 — so the model sums them
+    def ssspWork(s: SparkSession, d: String): Long = {
+      val ls = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pairs = ls.as("x").join(ls.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+        .persist()
+      val raw = pairs.count()
+      val distinctE = pairs.distinct().count() * 2
+      pairs.unpersist()
+      raw + operators.GraphOps.SsspRounds * distinctE
+    }
+    // capped-basket co-occurrence pair rows, q152/q162/q238
+    def basketPairs(s: SparkSession, d: String): Long = {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+      e.groupBy(col("c")).agg(count(lit(1)).as("nb"))
+        .filter(col("nb") <= operators.Recsys.BasketCap)
+        .agg(sum(col("nb") * (col("nb") - 1))).head().getLong(0)
+    }
+    // per-order brand pair rows, q160
+    def brandPairs(s: SparkSession, d: String): Long = {
+      val pa = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      e.groupBy(col("o")).agg(count(lit(1)).as("nb"))
+        .agg(sum(col("nb") * (col("nb") - 1) / 2)).head().getDouble(0).toLong
+    }
+    // df-capped winnowing fingerprint pair rows, q66
+    def winnowPairs(s: SparkSession, d: String): Long = {
+      graft.functions.TextExpressions.register(s)
+      val fps0 = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("winnow_fp(lower(text))")).as("wmin"))
+      fps0.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= operators.ScaleOps.ShingleDfCap)
+        .agg(sum(col("df") * (col("df") - 1) / 2)).head().getDouble(0).toLong
+    }
+    Map(
+      "q151_pagerank" -> csEdges, "q176_recursive_bfs" -> csEdges,
+      "q203_sssp_weighted" -> ssspWork,
+      "q152_item_similarity" -> basketPairs, "q162_triangle_count" -> basketPairs,
+      "q238_assortativity" -> basketPairs,
+      "q160_brand_lift" -> brandPairs,
+      "q66_winnowing" -> winnowPairs)
+  }
+
+  final class MetricsListener extends SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    /** Poll until the async bus has drained (totals stable ~250 ms). */
+    def settled(): (Long, Long) = {
+      var last = (shuffleWrite.get, input.get)
+      var stableMs = 0
+      val t0 = System.nanoTime()
+      while (stableMs < 250 && (System.nanoTime() - t0) < 5e9) {
+        Thread.sleep(50)
+        val now = (shuffleWrite.get, input.get)
+        if (now == last) stableMs += 50 else { stableMs = 0; last = now }
+      }
+      last
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfA = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val sfB = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outFile = args.lift(2).getOrElse("SCALEAUDIT.json")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_AUDIT_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // warm-up absorbs JVM/codegen/first-footer costs (Bench's hygiene)
+    try SparkEntry.queries(AuditSet.head)(spark, sfA)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    finally spark.catalog.clearCache()
+
+    // per (query, sf): bytes from run 1, wall = min over `runs` runs;
+    // clearCache between runs so persist() fragments never carry over
+    def measure(name: String, sfDir: String): (Double, Long, Long) = {
+      val fn = SparkEntry.queries(name)
+      var wall = Double.MaxValue
+      var sw = 0L
+      var in = 0L
+      (1 to runs).foreach { r =>
+        listener.settled()
+        val sw0 = listener.shuffleWrite.get
+        val in0 = listener.input.get
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        finally spark.catalog.clearCache()
+        val t = (System.nanoTime() - t0) / 1e9
+        wall = math.min(wall, t)
+        if (r == 1) {
+          val (sw1, in1) = listener.settled()
+          sw = sw1 - sw0
+          in = in1 - in0
+        }
+      }
+      (wall, sw, in)
+    }
+
+    val rows = AuditSet.map { name =>
+      val (wa, swa, ina) = measure(name, sfA)
+      val (wb, swb, inb) = measure(name, sfB)
+      val (ka, kb) = WorkModels.get(name) match {
+        case Some(f) => (f(spark, sfA), f(spark, sfB))
+        case None => (0L, 0L)
+      }
+      spark.catalog.clearCache()
+      def ratio(a: Double, b: Double): Double = if (a > 0) b / a else -1.0
+      val workNote = if (ka > 0) f"  work ${ka}%10d -> ${kb}%10d (${ratio(ka.toDouble, kb.toDouble)}%5.1f x)" else ""
+      System.err.println(f"[audit] $name%-28s wall $wa%7.3f -> $wb%7.3f (${ratio(wa, wb)}%5.1f x)  " +
+        f"shuffle ${swa}%12d -> ${swb}%12d (${ratio(swa.toDouble, swb.toDouble)}%5.1f x)$workNote")
+      s"""    "$name": {"wall_a": ${f"$wa%.3f"}, "wall_b": ${f"$wb%.3f"}, """ +
+        s""""shuffle_a": $swa, "shuffle_b": $swb, "input_a": $ina, "input_b": $inb, """ +
+        s""""work_a": $ka, "work_b": $kb}"""
+    }
+    val json =
+      s"""{
+         |  "sf_a": "$sfA",
+         |  "sf_b": "$sfB",
+         |  "runs": $runs,
+         |  "queries": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[audit] wrote $outFile")
+    spark.stop()
+  }
+}

@@ -63,7 +63,8 @@ object SparkEntry {
       operators.EmbedQa.queries ++
       operators.SurvivalOps.queries ++
       operators.GiniOps.queries ++
-      operators.Round8Ops.queries
+      operators.Round8Ops.queries ++
+      operators.Round9Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -116,5 +117,6 @@ object SparkEntry {
       operators.EmbedQa.oracles ++
       operators.SurvivalOps.oracles ++
       operators.GiniOps.oracles ++
-      operators.Round8Ops.oracles
+      operators.Round8Ops.oracles ++
+      operators.Round9Ops.oracles
 }

@@ -239,7 +239,16 @@ object GraphOps {
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
+    // Pre-shuffle the edge table on the join key ONCE (q151's edgesW
+    // discipline): the cached partitioning satisfies every level's join
+    // requirement, so each BFS level shuffles only the |V|-bounded
+    // frontier — never the edges. Without this, the per-level join flips
+    // from broadcast to sort-merge once the edge table outgrows the
+    // broadcast threshold and re-shuffles all of E per level (measured
+    // by the round-9 scale audit: 68× shuffle growth at 10× input,
+    // back to ~edge-linear with the repartition).
     e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .persist().createOrReplaceTempView("edges_bfs")
     s.sql(
       """WITH RECURSIVE reach(node, depth) AS (
@@ -361,8 +370,12 @@ object GraphOps {
       .agg(count(lit(1)).as("cnt"))
     val weighted = pairs.withColumn("w",
       greatest(lit(1L), expr("1000000 div cnt"))).select("u", "v", "w")
+    // pre-shuffled on the relaxation key (q151/q176 discipline): every
+    // round's frontier⋈edges reuses this cached partitioning and
+    // shuffles only the frontier, not E
     val edges = weighted
       .unionAll(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("u"))
       .persist()
     var dist = Tables.supplier(s, d)
       .agg(min(col("s_suppkey")).as("node"))

@@ -57,4 +57,35 @@ object CorpusStream {
       .select(col("da"), col("db"), col("jac"))
       .dropDuplicates("da", "db") // multi-band collisions emit once
   }
+
+  /** Streaming twin of the q276 maintenance leg
+    * ([[graft.operators.Round8Ops.q276IvfMaintain]]): embedding APPENDS
+    * arrive as a stream and are absorbed into the standing IVF index
+    * without retraining — assignment against the frozen model, merged
+    * per-cell occupancy as the running output.
+    *
+    * The trained model (k rows, 6-dp-rounded Lloyd means) is embedded as
+    * LITERAL centroid arrays (q274's query-side discipline), so the cell
+    * assignment is a STATELESS codegen projection — argmin over k
+    * `dist_sq_a` folds, no join, no broadcast, nothing per-batch but the
+    * batch itself. The only state is the update-mode per-cell count:
+    * k rows, ever. Tie-break matches the batch assign exactly:
+    * `array_position` returns the FIRST index attaining the min, i.e.
+    * the lowest cluster id, the batch row_number-(dist_sq, cluster)
+    * order; distances come from the same `dist_sq_a` expression, so the
+    * float values are identical. The parity spec drives the real delta
+    * partition through micro-batches and asserts the converged counts
+    * equal q276's `n_delta` column.
+    */
+  def ivfMaintainStream(vecs: DataFrame, model: Seq[Seq[Double]]): DataFrame = {
+    graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
+    def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array(model.map(c =>
+        call_function("dist_sq_a", vec, array(c.map(lit): _*))): _*)
+    vecs
+      .select((array_position(dists(col("embedding")),
+        array_min(dists(col("embedding")))) - 1).cast("long").as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_delta"))
+  }
 }

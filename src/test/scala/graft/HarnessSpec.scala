@@ -57,6 +57,22 @@ class HarnessSpec extends AnyFunSuite {
       s"SURVEY says $sOracles oracles, registry has ${SparkEntry.oracleSql.size}")
   }
 
+  test("PLANS.md covers the whole registry (plan evidence cannot lag)") {
+    // PLANS.md is generated registry-driven (tools/plans_gen.scala walks
+    // SparkEntry.queries), so a missing section means the evidence was
+    // not regenerated after a query landed — rerun tools/gen_plans.sh
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val sections = "(?m)^## (\\S+)$".r.findAllMatchIn(text).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- sections
+    assert(missing.isEmpty,
+      s"queries with no PLANS.md section (rerun tools/gen_plans.sh): " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    val stale = sections.filter(_.startsWith("q")) -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"PLANS.md sections for unregistered queries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every oracle is non-empty SQL ordered by something (or single-row)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty)

@@ -314,6 +314,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivfMaintainStream: streamed delta occupancy converges to batch q276 n_delta") {
+    import graft.operators.Round8Ops
+    // the REAL q276 split: state trains the model, delta streams in
+    val e = Tables.embeddings(spark, sf)
+    val state = e.filter(pmod(col("vec_id"), lit(Round8Ops.IvfDeltaMod)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(Round8Ops.IvfDeltaMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val (centsDf, _) = graft.ml.KMeansIvf.fit(state, "vec_id", "embedding",
+      k = 8, iters = 3, trackInertia = false, roundCentroids = true)
+    val model: Seq[Seq[Double]] = centsDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2).toIndexedSeq
+    // two micro-batches: counts must accumulate across the boundary
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delta")
+    delta.filter(pmod(col("vec_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    delta.filter(pmod(col("vec_id"), lit(2)) =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.ivfMaintainStream(stream, model), "ivf_maintain",
+      OutputMode.Update())
+    try {
+      // last update per cluster is the converged occupancy
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("upd").desc)
+      val got = spark.table("ivf_maintain")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // batch truth: q276's n_delta column (cells the delta touched)
+      val want = Round8Ops.q276IvfMaintain(spark, sf)
+        .filter(col("n_delta") > 0)
+        .select(col("cluster"), col("n_delta"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(want.nonEmpty && got.sameElements(want),
+        s"stream ${got.toSeq} != batch ${want.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks on watermark eviction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_outer")
