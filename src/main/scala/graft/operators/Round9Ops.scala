@@ -199,11 +199,190 @@ object Round9Ops {
        |WHERE rnk <= $GumbelK
        |ORDER BY source, rnk""".stripMargin
 
+  /** Data-loader shards and shuffled epochs for q287. */
+  val OrderShards = 8
+  val OrderEpochs = 3
+  /** Per-epoch permutation mixes: distinct odd Knuth constants so the
+    * three epoch orders decorrelate (graded by the head-overlap stat). */
+  val EpochMixes: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L)
+  /** Reported head positions per (epoch, shard). */
+  val OrderHeadK = 3
+
+  /** q287 — reproducible epoch data-order plan (the Pythia/OLMo
+    * training-reproducibility contract: anyone with the corpus and the
+    * seed can name the exact document at any global step of any epoch):
+    * every document is sharded by a doc-id hash and, PER EPOCH, ordered
+    * inside its shard by an epoch-seeded Knuth hash — three independent
+    * permutations from one scan (epoch explode), no RNG state anywhere,
+    * so the order is identical on any engine, partitioning, or restart.
+    *
+    * Graded output per (epoch, shard): the shard population, the first
+    * [[OrderHeadK]] documents of the epoch's order (the rows a resumed
+    * job at step 0 must read), and the cross-epoch head-overlap count —
+    * how many of THIS epoch's head-[[GumbelK]] docs are also in epoch
+    * 0's head — an actual decorrelation measurement (≈ hypergeometric
+    * noise when the mixes are independent, |head| when a mix is
+    * duplicated; epoch 0 reports its own overlap, = GumbelK, as the
+    * built-in sanity anchor).
+    *
+    * One scan → explode(epochs) → per-(epoch, shard) rank windows
+    * (partitions are the epoch×shard grid; the q278 `smallest_k` swap
+    * applies at scale). All integer. */
+  def q287EpochOrder(s: SparkSession, d: String): DataFrame = {
+    val mixes = map(EpochMixes.zipWithIndex.flatMap {
+      case (m, i) => Seq(lit(i), lit(m))
+    }: _*)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), pmod(pmod(col("doc_id"), lit(P)) * EpochMixes.head, lit(P))
+        .as("shard_h"))
+      .withColumn("shard", pmod(col("shard_h"), lit(OrderShards)))
+      .withColumn("epoch", explode(array((0 until OrderEpochs).map(lit): _*)))
+      .withColumn("ok", pmod(pmod(col("doc_id"), lit(P)) * element_at(mixes, col("epoch")),
+        lit(P)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ok"), col("doc_id"))
+    val pos = docs.withColumn("pos", row_number().over(w)).persist()
+    val heads = pos.filter(col("pos") <= GumbelK)
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+    val base = heads.filter(col("epoch") === 0)
+      .select(col("shard").as("bshard"), col("doc_id").as("bdoc"))
+    val overlap = heads.join(broadcast(base),
+        col("shard") === col("bshard") && col("doc_id") === col("bdoc"), "left_semi")
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_head_overlap_e0"))
+    val counts = pos.filter(col("epoch") === 0)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_in_shard"))
+    heads.filter(col("pos") <= OrderHeadK)
+      .join(broadcast(counts), "shard")
+      .join(broadcast(overlap), Seq("epoch", "shard"), "left")
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("pos").cast("long").as("pos"), col("doc_id"), col("n_in_shard"),
+        coalesce(col("n_head_overlap_e0"), lit(0L)).as("n_head_overlap_e0"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val q287Sql: String = {
+    val mixCase = EpochMixes.zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN $m" }.mkString(" ")
+    s"""WITH sharded AS (
+       |  SELECT doc_id,
+       |         ((((doc_id % $P) + $P) % $P) * ${EpochMixes.head} % $P) % $OrderShards
+       |           AS shard
+       |  FROM documents),
+       |ordered AS (
+       |  SELECT doc_id, shard, e.epoch,
+       |         (((doc_id % $P) + $P) % $P)
+       |           * (CASE e.epoch $mixCase END) % $P AS ok
+       |  FROM sharded, (SELECT unnest(range(0, $OrderEpochs)) AS epoch) e),
+       |pos AS (
+       |  SELECT doc_id, shard, epoch,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY ok, doc_id) AS pos
+       |  FROM ordered),
+       |heads AS (SELECT epoch, shard, doc_id, pos FROM pos WHERE pos <= $GumbelK),
+       |ov AS (
+       |  SELECT h.epoch, h.shard, CAST(COUNT(*) AS BIGINT) AS n_head_overlap_e0
+       |  FROM heads h
+       |  WHERE EXISTS (SELECT 1 FROM heads b
+       |                WHERE b.epoch = 0 AND b.shard = h.shard AND b.doc_id = h.doc_id)
+       |  GROUP BY h.epoch, h.shard),
+       |cnt AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_in_shard
+       |        FROM pos WHERE epoch = 0 GROUP BY shard)
+       |SELECT CAST(h.epoch AS BIGINT) AS epoch, h.shard,
+       |       CAST(h.pos AS BIGINT) AS pos, h.doc_id, cnt.n_in_shard,
+       |       COALESCE(ov.n_head_overlap_e0, 0) AS n_head_overlap_e0
+       |FROM heads h JOIN cnt USING (shard)
+       |LEFT JOIN ov ON ov.epoch = h.epoch AND ov.shard = h.shard
+       |WHERE h.pos <= $OrderHeadK
+       |ORDER BY h.epoch, h.shard, h.pos""".stripMargin
+  }
+
+  /** Reported widest-margin pairs in q288. */
+  val PrefTopK = 10
+
+  /** q288 — implicit-feedback preference-pair mining (the BPR/DPO data
+    * prep: from each user's same-day activity, the highest-valued event
+    * is `chosen`, the lowest `rejected`, and the pair trains a pairwise
+    * ranker). Pairs exist only where a real preference does: days with
+    * ≥ 2 events and a strictly positive value margin. Values
+    * micro-quantize (the Det float discipline) so margins are exact
+    * BIGINTs.
+    *
+    * Graded output: the [[PrefTopK]] widest-margin pairs (global
+    * top-k — TakeOrderedAndProject-shaped, never a global window) with
+    * the per-day global pair/user accounting cross-joined from a 1-row
+    * aggregate. One scan → per-(user, day) min/max aggregate → top-k. */
+  def q288PreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v_micro"))
+    val pairs = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("v_micro"), (-col("event_id")).as("nid"))).as("hi"),
+        min(struct(col("v_micro"), col("event_id").as("nid"))).as("lo"))
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("day"), col("n_events"),
+        (-col("hi.nid")).as("chosen_id"), col("hi.v_micro").as("chosen_micro"),
+        col("lo.nid").as("rejected_id"), col("lo.v_micro").as("rejected_micro"))
+      .withColumn("margin_micro", col("chosen_micro") - col("rejected_micro"))
+      .filter(col("margin_micro") > 0)
+      .persist()
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+      countDistinct(col("user_id")).as("n_users"))
+    pairs.orderBy(col("margin_micro").desc, col("user_id"), col("day")).limit(PrefTopK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("margin_micro").desc, col("user_id"), col("day"))))
+      .select(col("rnk").cast("long").as("rnk"), col("user_id"), col("day"),
+        col("chosen_id"), col("rejected_id"), col("margin_micro"),
+        col("n_events"), col("n_pairs"), col("n_users"))
+      .orderBy(col("rnk"))
+  }
+
+  val q288Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+       |         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+       |  FROM events),
+       |hi AS (
+       |  SELECT user_id, day, event_id AS chosen_id, v_micro AS chosen_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |                       ORDER BY v_micro DESC, event_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY user_id, day) AS BIGINT) AS n_events
+       |  FROM ev),
+       |lo AS (
+       |  SELECT user_id, day, event_id AS rejected_id, v_micro AS rejected_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |                       ORDER BY v_micro ASC, event_id) AS rn
+       |  FROM ev),
+       |pairs AS (
+       |  SELECT h.user_id, h.day, h.n_events, h.chosen_id, h.chosen_micro,
+       |         l.rejected_id, l.rejected_micro,
+       |         h.chosen_micro - l.rejected_micro AS margin_micro
+       |  FROM (SELECT * FROM hi WHERE rn = 1) h
+       |  JOIN (SELECT * FROM lo WHERE rn = 1) l
+       |    ON h.user_id = l.user_id AND h.day = l.day
+       |  WHERE h.n_events >= 2 AND h.chosen_micro - l.rejected_micro > 0),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM pairs),
+       |ranked AS (
+       |  SELECT user_id, day, n_events, chosen_id, rejected_id, margin_micro,
+       |    ROW_NUMBER() OVER (ORDER BY margin_micro DESC, user_id, day) AS rnk
+       |  FROM pairs)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, user_id, day, chosen_id, rejected_id,
+       |       margin_micro, n_events, n_pairs, n_users
+       |FROM ranked CROSS JOIN tot
+       |WHERE rnk <= $PrefTopK
+       |ORDER BY rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q285_dsir_weights" -> q285DsirWeights _,
-    "q286_gumbel_topk" -> q286GumbelTopK _)
+    "q286_gumbel_topk" -> q286GumbelTopK _,
+    "q287_epoch_order" -> q287EpochOrder _,
+    "q288_preference_pairs" -> q288PreferencePairs _)
 
   val oracles: Map[String, String] = Map(
     "q285_dsir_weights" -> q285Sql,
-    "q286_gumbel_topk" -> q286Sql)
+    "q286_gumbel_topk" -> q286Sql,
+    "q287_epoch_order" -> q287Sql,
+    "q288_preference_pairs" -> q288Sql)
 }

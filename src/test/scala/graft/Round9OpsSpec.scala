@@ -60,6 +60,44 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q287: epoch permutations decorrelate; epoch 0 overlaps itself fully") {
+    val rows = Round9Ops.q287EpochOrder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // epoch 0's head trivially overlaps itself: the built-in anchor
+    rows.filter(_.getAs[Long]("epoch") == 0L).foreach { r =>
+      val expect = math.min(Round9Ops.GumbelK.toLong, r.getAs[Long]("n_in_shard"))
+      assert(r.getAs[Long]("n_head_overlap_e0") == expect)
+    }
+    // later epochs: an independent permutation of an n-doc shard shares
+    // ~K*K/n head docs with epoch 0 — with n >> K the overlap must stay
+    // far below a full-head match (a duplicated mix would give exactly K)
+    rows.filter(_.getAs[Long]("epoch") > 0L).foreach { r =>
+      assert(r.getAs[Long]("n_head_overlap_e0") < Round9Ops.GumbelK,
+        s"epoch ${r.getAs[Long]("epoch")} shard ${r.getAs[Long]("shard")} " +
+          "head identical to epoch 0 — permutation mixes not independent")
+    }
+    // the order is a permutation: per (epoch, shard) the head positions
+    // are 1..OrderHeadK exactly once
+    rows.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq ==
+          (1L to math.min(Round9Ops.OrderHeadK, rs.length).toLong))
+      }
+  }
+
+  test("q288: every pair is a genuine preference from one user-day") {
+    val rows = Round9Ops.q288PreferencePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_micro") > 0)
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+      assert(r.getAs[Long]("n_events") >= 2)
+    }
+    // margins are non-increasing in rank
+    val margins = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("margin_micro"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q286: longer docs are over-represented vs uniform (the weighting works)") {
     // mean token count of the selected sample must exceed the corpus
     // mean: inclusion ∝ length, so this holds by construction unless the
