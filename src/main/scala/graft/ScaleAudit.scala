@@ -53,7 +53,9 @@ object ScaleAudit {
     "q149_ivfpq_search", "q251_hll_merge", "q152_item_similarity",
     "q262_bloom_fpr", "q160_brand_lift", "q205_dependency_audit",
     "q66_winnowing", "q75_medallion_e2e", "q229_bloom_prefilter",
-    "q284_triplet_bounded", "q285_dsir_weights")
+    "q284_triplet_bounded", "q285_dsir_weights", "q188_resample_interp",
+    "q290_dup_spans", "q291_coverage_sample", "q292_filter_attrition",
+    "q293_embed_outliers")
 
   /** Input grows 10×; bytes must not grow super-linearly. The slack over
     * 10.0 absorbs fixed-size terms flipping (a broadcast that lands on

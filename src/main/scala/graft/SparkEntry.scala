@@ -64,7 +64,8 @@ object SparkEntry {
       operators.SurvivalOps.queries ++
       operators.GiniOps.queries ++
       operators.Round8Ops.queries ++
-      operators.Round9Ops.queries
+      operators.Round9Ops.queries ++
+      operators.GovernanceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -118,5 +119,6 @@ object SparkEntry {
       operators.SurvivalOps.oracles ++
       operators.GiniOps.oracles ++
       operators.Round8Ops.oracles ++
-      operators.Round9Ops.oracles
+      operators.Round9Ops.oracles ++
+      operators.GovernanceOps.oracles
 }

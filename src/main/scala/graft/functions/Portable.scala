@@ -143,4 +143,18 @@ object Portable {
     * block, while keeping candidate generation an equi-join. */
   def probeBuckets(bucket: Column, bits: Int): Column =
     array(bucket +: (0 until bits).map(b => bucket.bitwiseXOR(lit(1L << b))): _*)
+
+  /** Sign-bit packing of dimensions [off+1, off+bits] (1-based) into a
+    * BIGINT word, LSB = dimension off+1 — the binary-quantization
+    * signature used by q289's Hamming scan. Offset variant of
+    * [[signBucket]]: a 64-dim vector packs into TWO 32-bit words rather
+    * than one 64-bit word, because bit 63 of a single word would be the
+    * BIGINT sign bit (and DuckDB's `<<` on it overflows). Pure integer
+    * output ⇒ engine-exact. */
+  def packSign(aCol: String, off: Int, bits: Int): Column = expr(
+    s"aggregate(sequence(${off + 1}, ${off + bits}), 0L, (acc, i) -> acc + " +
+      s"IF(element_at($aCol, i) >= CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i-${off + 1}), CAST(0 AS BIGINT)))")
+  def packSignSql(aE: String, off: Int, bits: Int): String =
+    s"CAST(list_sum(list_transform(range(${off + 1}, ${off + bits + 1}), i -> " +
+      s"CASE WHEN ($aE)[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-${off + 1})) ELSE 0 END)) AS BIGINT)"
 }

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance audits: the reports a data-curation team publishes
+  * about a release — cross-source duplication overlap (which sources
+  * copy from each other), filter-version agreement (is the new quality
+  * filter measuring the same thing as the old one), and k-anonymity of
+  * quasi-identifier groups (can a document be singled out by its
+  * visible attributes). All-integer accounting throughout; every micro
+  * share is one integer DIV or one exactly-reproducible double division
+  * of two exact int64 sums (the q295 discipline).
+  */
+object GovernanceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q296 — cross-source duplication matrix (the dedup-policy input:
+    * before deduplicating a multi-source corpus you need to know WHICH
+    * source pairs share content — dropping CommonCrawl∩Wikipedia dups
+    * from the wrong side silently deletes the curated copy): every
+    * document's content fingerprint (q33's polynomial hash of the
+    * lowercased text) is reduced to the DISTINCT (source, fp) set, and
+    * every UNORDERED source pair is graded with its shared-fingerprint
+    * count, per-side distinct totals, Jaccard overlap, and directional
+    * containments — including zero rows for non-overlapping pairs, so
+    * the matrix is complete (the pair domain is anchored by a
+    * sources×sources cross of the per-source aggregate, the q285
+    * domain-anchor discipline).
+    *
+    * Scale shape: the fingerprint pass is one projection; the distinct
+    * (source, fp) set is one partial-aggregable shuffle; the pair join
+    * keys on fp where each side holds AT MOST |sources| rows per
+    * fingerprint (distinct-by-construction), so the join output is
+    * ≤ |sources|²/2 rows per shared fingerprint — never a dup-group
+    * blowup; and the pair domain is |sources|² (single digits), a
+    * broadcast. At 100 TB the fingerprints come from the dedup tier's
+    * existing q33 pass — this audit rides it for one extra shuffle. */
+  def q296SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("source"), polyHash(lower(col("text"))).as("fp"))
+      .distinct().persist()
+    val per = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val dom = per.select(col("source").as("src_a"), col("n_fp").as("n_fp_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n_fp").as("n_fp_b"))),
+        col("src_a") < col("src_b"))
+    val shared = fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    dom.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard_micro",
+        expr("n_shared * 1000000 DIV (n_fp_a + n_fp_b - n_shared)"))
+      .withColumn("contain_a_micro", expr("n_shared * 1000000 DIV n_fp_a"))
+      .withColumn("contain_b_micro", expr("n_shared * 1000000 DIV n_fp_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q296Sql: String =
+    s"""WITH fp AS (
+       |  SELECT DISTINCT source, ${polyHashSql("lower(text)")} AS fp
+       |  FROM documents),
+       |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp
+       |        FROM fp GROUP BY source),
+       |dom AS (
+       |  SELECT a.source AS src_a, a.n_fp AS n_fp_a,
+       |         b.source AS src_b, b.n_fp AS n_fp_b
+       |  FROM per a JOIN per b ON a.source < b.source),
+       |sh AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM fp x JOIN fp y ON x.fp = y.fp AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT d.src_a, d.src_b, d.n_fp_a, d.n_fp_b,
+       |       COALESCE(sh.n_shared, 0) AS n_shared,
+       |       (COALESCE(sh.n_shared, 0) * 1000000)
+       |         // (d.n_fp_a + d.n_fp_b - COALESCE(sh.n_shared, 0)) AS jaccard_micro,
+       |       (COALESCE(sh.n_shared, 0) * 1000000) // d.n_fp_a AS contain_a_micro,
+       |       (COALESCE(sh.n_shared, 0) * 1000000) // d.n_fp_b AS contain_b_micro
+       |FROM dom d LEFT JOIN sh ON sh.src_a = d.src_a AND sh.src_b = d.src_b
+       |ORDER BY d.src_a, d.src_b""".stripMargin
+
+  /** q298 — filter-version agreement (Cohen's κ between two quality
+    * filters — the eval a team runs before swapping filter v1 for v2:
+    * raw agreement is inflated by marginal prevalence, κ corrects for
+    * chance agreement, and a high-accuracy/low-κ pair means the new
+    * filter is mostly reading the class skew, not the quality signal):
+    * filter A is q292's token-count band, filter B its repetition
+    * test, applied INDEPENDENTLY (not cascaded) to every document.
+    * Per source: the 2×2 confusion counts, observed agreement
+    * p_o, chance agreement p_e from the marginals, and
+    * κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Exactness: n11/n10/n01/n00 are exact int64; p_o is one integer
+    * DIV; p_e and κ divide exact int64 products once, in double, then
+    * micro-round (two exact int64 operands ⇒ the IEEE quotient is
+    * identical on any engine — the q295 slope discipline). The int64
+    * products bound the audit at n ≤ 3·10⁹ docs per source (n² <
+    * 2⁶³); beyond that the audit runs per shard and κ is recomputed
+    * from the summed confusion counts — which this query's output
+    * already carries, so the scale path is a re-aggregation of THIS
+    * report, not a different operator. */
+  def q298FilterKappa(s: SparkSession, d: String): DataFrame = {
+    import Round9Ops.{AttrMinTok, AttrMaxTok, AttrRepMult}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val mode = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mode_c"))
+    val flags = docs.join(mode, Seq("doc_id"), "left")
+      .withColumn("mode_c", coalesce(col("mode_c"), lit(0L)))
+      .withColumn("fa", (col("n_tok") >= AttrMinTok && col("n_tok") <= AttrMaxTok)
+        .cast("long"))
+      .withColumn("fb", (col("mode_c") * AttrRepMult <= col("n_tok")).cast("long"))
+    val conf = flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("fa") * col("fb")).as("n11"),
+      sum(col("fa") * (lit(1L) - col("fb"))).as("n10"),
+      sum((lit(1L) - col("fa")) * col("fb")).as("n01"),
+      sum((lit(1L) - col("fa")) * (lit(1L) - col("fb"))).as("n00"))
+    def microDiv(num: Column, den: Column): Column =
+      when(den === 0, lit(0L)).otherwise(
+        floor(num.cast("double") / den.cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    conf
+      .withColumn("pe_num",
+        (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n00") + col("n10")) * (col("n00") + col("n01")))
+      .withColumn("po_micro", expr("(n11 + n00) * 1000000 DIV n"))
+      .withColumn("pe_micro", microDiv(col("pe_num"), col("n") * col("n")))
+      .withColumn("kappa_micro",
+        microDiv(col("n") * (col("n11") + col("n00")) - col("pe_num"),
+          col("n") * col("n") - col("pe_num")))
+      .select(col("source"), col("n"), col("n11"), col("n10"), col("n01"),
+        col("n00"), col("po_micro"), col("pe_micro"), col("kappa_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q298Sql: String = {
+    import Round9Ops.{AttrMinTok, AttrMaxTok, AttrRepMult}
+    def microDiv(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        s"CAST(FLOOR(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END"
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |md AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mode_c
+       |  FROM (SELECT doc_id, tok, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok
+       |              FROM documents) GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |fl AS (
+       |  SELECT d.source,
+       |    CASE WHEN d.n_tok >= $AttrMinTok AND d.n_tok <= $AttrMaxTok
+       |         THEN 1 ELSE 0 END AS fa,
+       |    CASE WHEN COALESCE(md.mode_c, 0) * $AttrRepMult <= d.n_tok
+       |         THEN 1 ELSE 0 END AS fb
+       |  FROM docs d LEFT JOIN md USING (doc_id)),
+       |conf AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(fa * fb) AS BIGINT) AS n11,
+       |    CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - fa) * fb) AS BIGINT) AS n01,
+       |    CAST(SUM((1 - fa) * (1 - fb)) AS BIGINT) AS n00
+       |  FROM fl GROUP BY source),
+       |pe AS (
+       |  SELECT *, (n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01) AS pe_num
+       |  FROM conf)
+       |SELECT source, n, n11, n10, n01, n00,
+       |       (n11 + n00) * 1000000 // n AS po_micro,
+       |       ${microDiv("pe_num", "n * n")} AS pe_micro,
+       |       ${microDiv("n * (n11 + n00) - pe_num", "n * n - pe_num")} AS kappa_micro
+       |FROM pe ORDER BY source""".stripMargin
+  }
+
+  /** q299's anonymity threshold (groups smaller than this are
+    * re-identification risks) and the token-count bucket width of the
+    * quasi-identifier. */
+  val KAnonK = 5L
+  val KAnonLenBucket = 10L
+
+  /** q299 — k-anonymity audit over quasi-identifiers (training-data
+    * governance: a document whose VISIBLE attributes — language,
+    * source, length bucket — put it in a group smaller than k can be
+    * singled out by them, the classic Sweeney re-identification
+    * surface; release reviews demand the count of such groups before
+    * metadata ships): documents group by the quasi-identifier tuple
+    * (lang, source, n_tok DIV [[KAnonLenBucket]]), and each
+    * (lang, source) panel is graded with its group count, sub-[[KAnonK]]
+    * group count, at-risk document count, min/max group sizes, and the
+    * integer-DIV at-risk share.
+    *
+    * Scale shape: two stacked partial-aggregable aggregates — (quasi
+    * tuple) then (lang, source) — nothing else; the report is
+    * |langs|·|sources| rows. The audit is one pass whatever the corpus
+    * size. */
+  def q299KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .select(col("lang"), col("source"), col("len_b"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("gsz"))
+    g.groupBy(col("lang"), col("source")).agg(
+        sum(col("gsz")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum((col("gsz") < KAnonK).cast("long")).as("n_small_groups"),
+        sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(lit(0L))).as("n_at_risk"),
+        min(col("gsz")).as("min_group"),
+        max(col("gsz")).as("max_group"))
+      .withColumn("risk_micro", expr("n_at_risk * 1000000 DIV n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q299Sql: String =
+    s"""WITH g AS (
+       |  SELECT lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS gsz
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, source,
+       |       CAST(SUM(gsz) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |       CAST(SUM(CASE WHEN gsz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_small_groups,
+       |       CAST(SUM(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT)
+       |         AS n_at_risk,
+       |       MIN(gsz) AS min_group, MAX(gsz) AS max_group,
+       |       (CAST(SUM(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT)
+       |         * 1000000) // CAST(SUM(gsz) AS BIGINT) AS risk_micro
+       |FROM g GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q296_source_overlap" -> q296SourceOverlap _,
+    "q298_filter_kappa" -> q298FilterKappa _,
+    "q299_kanonymity" -> q299KAnonymity _)
+
+  val oracles: Map[String, String] = Map(
+    "q296_source_overlap" -> q296Sql,
+    "q298_filter_kappa" -> q298Sql,
+    "q299_kanonymity" -> q299Sql)
+}

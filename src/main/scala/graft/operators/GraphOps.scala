@@ -421,16 +421,107 @@ object GraphOps {
        |SELECT node AS s_suppkey, dist FROM r$SsspRounds ORDER BY s_suppkey""".stripMargin
   }
 
+  /** q297's core threshold and fixed peel count. Both engines run
+    * EXACTLY [[KCorePeels]] peels (the q151 unrolled-iteration
+    * discipline), so results match even if the fixture needs fewer —
+    * and the `converged` column reports honestly whether the fixpoint
+    * was reached (min surviving degree ≥ k). */
+  val KCoreK = 3L
+  val KCorePeels = 4
+
+  /** q297 — k-core decomposition by iterative peeling (the standard
+    * degeneracy screen: the k-core is the maximal subgraph where every
+    * node keeps ≥ k neighbors after all lower-degree nodes are removed
+    * — community cores for graph analytics, dense-interaction cohorts
+    * for recommender/abuse pipelines): over the q151 co-purchase graph
+    * (customer↔supplier, prefixed ids, symmetrized, distinct), each
+    * peel computes degrees, keeps nodes with degree ≥ [[KCoreK]], and
+    * restricts the edge set to kept endpoints. Graded output: the
+    * top-20 surviving nodes by final degree with global accounting
+    * (initial nodes, core size, min surviving degree, convergence).
+    *
+    * Scale shape per peel (the q194 large-star/small-star argument):
+    * one partial-aggregable degree count + two shuffle semi-joins on
+    * the node key — and the edge set SHRINKS monotonically, so later
+    * peels cost less than earlier ones. Peel count is a constant;
+    * every iteration's edges are persisted to truncate the reuse
+    * (degree pass + two probes read the same set). Degrees are exact
+    * integers — nothing to round. */
+  def q297KCore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    var edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+    val n0 = edges.agg(countDistinct(col("a")).as("n_nodes0"))
+    for (_ <- 1 to KCorePeels) {
+      val keep = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "ka"), col("a") === col("ka"), "left_semi")
+        .join(keep.withColumnRenamed("node", "kb"), col("b") === col("kb"), "left_semi")
+        .persist()
+    }
+    val degF = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val glob = degF.agg(count(lit(1)).as("n_core"), min(col("deg")).as("min_deg"))
+      .withColumn("converged", col("min_deg") >= KCoreK)
+      .crossJoin(n0)
+    degF.orderBy(col("deg").desc, col("node")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("deg").desc, col("node"))))
+      .crossJoin(broadcast(glob))
+      .select(col("rnk").cast("long").as("rnk"), col("node"), col("deg"),
+        col("n_nodes0"), col("n_core"), col("min_deg"), col("converged"))
+      .orderBy(col("rnk"))
+  }
+
+  val q297Sql: String = {
+    val peels = (1 to KCorePeels).map { i =>
+      s"""k$i AS (SELECT a AS node FROM e${i - 1} GROUP BY a
+         |        HAVING COUNT(*) >= $KCoreK),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH lo AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT a, b FROM lo UNION ALL SELECT b AS a, a AS b FROM lo),
+       |$peels,
+       |degf AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |         FROM e$KCorePeels GROUP BY a),
+       |gl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_core, MIN(deg) AS min_deg,
+       |         MIN(deg) >= $KCoreK AS converged,
+       |         (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) FROM e0) AS n_nodes0
+       |  FROM degf),
+       |top AS (
+       |  SELECT node, deg,
+       |         ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rnk
+       |  FROM degf)
+       |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.node, t.deg,
+       |       g.n_nodes0, g.n_core, g.min_deg, g.converged
+       |FROM top t CROSS JOIN gl g
+       |WHERE t.rnk <= 20
+       |ORDER BY t.rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_pagerank" -> q151Pagerank _,
     "q162_triangle_count" -> q162TriangleCount _,
     "q176_recursive_bfs" -> q176RecursiveBfs _,
     "q194_cc_two_phase" -> q194CcTwoPhase _,
-    "q203_sssp_weighted" -> q203SsspWeighted _)
+    "q203_sssp_weighted" -> q203SsspWeighted _,
+    "q297_kcore" -> q297KCore _)
   val oracles: Map[String, String] = Map(
     "q151_pagerank" -> q151Sql,
     "q162_triangle_count" -> q162Sql,
     "q176_recursive_bfs" -> q176Sql,
     "q194_cc_two_phase" -> q194Sql,
-    "q203_sssp_weighted" -> q203Sql)
+    "q203_sssp_weighted" -> q203Sql,
+    "q297_kcore" -> q297Sql)
 }

@@ -593,6 +593,37 @@ object EventStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The STREAMING twin of q288 (BPR/DPO preference-pair mining): per
+    * (user, 1-day event-time window) the same partial-aggregable
+    * count / max-of-struct / min-of-struct the batch core runs
+    * ([[graft.operators.Round9Ops.prefPairsCore]]), in Update mode —
+    * each micro-batch refines the day's (chosen, rejected) pair and the
+    * last update per (user, day) converges to the batch answer as the
+    * day's events drain (the parity spec's assertion).
+    *
+    * State is one (count, hi-struct, lo-struct) triple per OPEN
+    * (user, day) window, evicted once the watermark passes the window
+    * end + delay — bounded by active users × ~2 days, never stream
+    * lifetime. Grouping is on the event-time `window`, not a derived
+    * date (a plain `to_date` group key would never evict — the
+    * trailing-distinct lesson applied by construction). The batch
+    * presentation filters (n_events ≥ 2, margin > 0, top-k) stay
+    * downstream of the stream: a dashboard wants the running pair even
+    * before a second event makes it a preference. */
+  def preferencePairStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v_micro"))
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("v_micro"), (-col("event_id")).as("nid"))).as("hi"),
+        min(struct(col("v_micro"), col("event_id").as("nid"))).as("lo"))
+      .select(col("user_id"), col("w.start").cast("date").as("day"),
+        col("n_events"),
+        (-col("hi.nid")).as("chosen_id"), col("hi.v_micro").as("chosen_micro"),
+        col("lo.nid").as("rejected_id"), col("lo.v_micro").as("rejected_micro"))
+
   /** Run a streaming query into an in-memory sink until the source drains —
     * the local-smoke harness (batch parquet drives the stream). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -64,16 +64,25 @@ class PlanInvariantSpec extends AnyFunSuite {
     *    itself, and production scales the stride (diagnostic query)
     *  - q264: the 16 literal-filtered seed centroids + a 1-row total
     *  - q39: the 16 seed centroids behind a literal filter (both SFs)
+    *  - q296: the sources×sources pair-domain anchor (20 rows per side
+    *    at BOTH SFs — |sources| domain; the overlap join itself is an
+    *    equi-join on fingerprint)
     */
   private val AllowDomainBoundedBuild: Set[String] = Set(
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
-    "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf")
+    "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
+    "q296_source_overlap")
 
   /** Recall-graded operators whose ONLY unbounded BNLJ is the q38-style
     * ground-truth grid they grade against (measured: build = the whole
     * embeddings corpus, 500 → 2000 rows) — the baseline-grid cost is the
-    * grading device, not the operator (same argument as q247). */
-  private val AllowRecallGrading: Set[String] = Set("q67_ivf_search_trained")
+    * grading device, not the operator (same argument as q247).
+    *  - q289: the operator legs are an 8-row constant query broadcast
+    *    (SF-invariant literal filter) + a linear Hamming scan; the one
+    *    corpus-sized build is the q38 truth grid its recall@5 grades
+    *    against. */
+  private val AllowRecallGrading: Set[String] = Set(
+    "q67_ivf_search_trained", "q289_hamming_rerank")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -205,7 +214,13 @@ class PlanInvariantSpec extends AnyFunSuite {
       // 16 seed centroids behind a literal filter — SF-invariant
       "q39_knn_ivf" -> ((a, b) =>
         if (a == Seq(16L) && b == Seq(16L)) None
-        else Some(s"expected [16] seed build, got $a vs $b")))
+        else Some(s"expected [16] seed build, got $a vs $b")),
+      // sources×sources pair-domain anchor: |sources| domain — SF-invariant
+      // (the fixture has 20 sources at every SF; equality across SFs is
+      // the bound that matters, the constant just names the domain size)
+      "q296_source_overlap" -> ((a, b) =>
+        if (a == b && (a ++ b).forall(_ <= 32)) None
+        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust

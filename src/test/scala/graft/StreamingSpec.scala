@@ -492,4 +492,45 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("preferencePairStream: last updates converge to the batch q288 pairs") {
+    // two time-ordered micro-batches: a user-day whose chosen/rejected
+    // events straddle the cut exercises cross-batch state refinement
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cut = ev.agg(expr("timestampadd(SECOND, 1, min(ts) + (max(ts) - min(ts)) / 2)"))
+      .head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("events_pref")
+    ev.filter(col("ts") <= lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    ev.filter(col("ts") > lit(cut)).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      EventStream.preferencePairStream(stream), "pref_pairs", OutputMode.Update())
+    try {
+      // last update per (user, day), then the batch presentation filters
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("day")).orderBy(col("upd").desc)
+      val got = spark.table("pref_pairs")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("n_events") >= 2 &&
+          col("chosen_micro") - col("rejected_micro") > 0)
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("chosen_id"), col("rejected_id"),
+          (col("chosen_micro") - col("rejected_micro")).as("margin_micro"))
+        .orderBy(col("user_id"), col("day")).collect()
+      val want = operators.Round9Ops.prefPairsCore(Tables.events(spark, sf))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("chosen_id"), col("rejected_id"), col("margin_micro"))
+        .orderBy(col("user_id"), col("day")).collect()
+      assert(want.nonEmpty && got.length == want.length,
+        s"stream pairs ${got.length} != batch pairs ${want.length}")
+      assert(got.map(_.toString).sameElements(want.map(_.toString)))
+    } finally q.stop()
+  }
 }
