@@ -65,7 +65,8 @@ object SparkEntry {
       operators.GiniOps.queries ++
       operators.Round8Ops.queries ++
       operators.Round9Ops.queries ++
-      operators.GovernanceOps.queries
+      operators.GovernanceOps.queries ++
+      operators.BudgetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -120,5 +121,6 @@ object SparkEntry {
       operators.GiniOps.oracles ++
       operators.Round8Ops.oracles ++
       operators.Round9Ops.oracles ++
-      operators.GovernanceOps.oracles
+      operators.GovernanceOps.oracles ++
+      operators.BudgetOps.oracles
 }

@@ -77,6 +77,41 @@ object CorpusStream {
     * partition through micro-batches and asserts the converged counts
     * equal q276's `n_delta` column.
     */
+  /** Streaming twin of q292's filter cascade, stages 1–3
+    * ([[graft.operators.Round9Ops.q292FilterAttrition]]): documents
+    * arrive as a stream and the per-source attrition counters update
+    * continuously — the live quality dashboard over an ingest feed.
+    *
+    * The batch op computes the per-doc mode token via a (doc, tok)
+    * groupBy (the partial-aggregable shape); grouping a stream by
+    * doc_id would grow state with the corpus, so the stream side
+    * computes the SAME mode row-locally (distinct tokens × count
+    * filter — bounded by document length, the deltaDedupStream
+    * argument: a genuinely different physical path whose value parity
+    * the twin test asserts). Every stage flag is then a stateless
+    * projection; the only state is the update-mode per-source counter
+    * row — |sources| rows, ever. Stage 4 (keep-first opening-gram
+    * dedup) is deliberately NOT twinned: keep-first across an
+    * unbounded stream is the standing-index dedup problem, which
+    * deltaDedupStream already owns. */
+  def attritionStream(docs: DataFrame): DataFrame = {
+    import graft.operators.Round9Ops.{AttrKeepLangs, AttrMaxTok, AttrMinTok, AttrRepMult}
+    docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("mode_c", coalesce(
+        array_max(transform(array_distinct(col("tk")),
+          t => size(filter(col("tk"), x => x === t)))).cast("long"), lit(0L)))
+      .withColumn("s1",
+        (col("n_tok") >= AttrMinTok && col("n_tok") <= AttrMaxTok).cast("long"))
+      .withColumn("s2",
+        col("s1") * (col("mode_c") * AttrRepMult <= col("n_tok")).cast("long"))
+      .withColumn("s3", col("s2") * col("lang").isin(AttrKeepLangs: _*).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n0"), sum(col("s1")).as("n_s1"),
+        sum(col("s2")).as("n_s2"), sum(col("s3")).as("n_s3"))
+  }
+
   def ivfMaintainStream(vecs: DataFrame, model: Seq[Seq[Double]]): DataFrame = {
     graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
     def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -314,6 +314,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attritionStream: per-source counters converge to batch q292 stages 1-3") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // two micro-batches: counters must accumulate across the boundary
+    val dir = java.nio.file.Files.createTempDirectory("attrition")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.attritionStream(stream), "attrition", OutputMode.Update())
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("upd").desc)
+      val got = spark.table("attrition")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("n0"), col("n_s1"), col("n_s2"), col("n_s3"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted
+      val want = graft.operators.Round9Ops.q292FilterAttrition(spark, sf)
+        .select(col("source"), col("n0"), col("n_s1"), col("n_s2"), col("n_s3"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted
+      assert(want.nonEmpty && got.sameElements(want),
+        s"stream ${got.toSeq} != batch ${want.toSeq}")
+    } finally q.stop()
+  }
+
   test("ivfMaintainStream: streamed delta occupancy converges to batch q276 n_delta") {
     import graft.operators.Round8Ops
     // the REAL q276 split: state trains the model, delta streams in
