@@ -47,9 +47,9 @@ class GovernanceOpsSpec extends AnyFunSuite {
       .select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
     val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     var edges = (e0 ++ e0.map(_.swap)).toSet
     for (_ <- 1 to GraphOps.KCorePeels) {
       val deg = edges.toSeq.groupBy(_._1).map { case (n, es) => n -> es.size }
@@ -60,7 +60,7 @@ class GovernanceOpsSpec extends AnyFunSuite {
     val rows = GraphOps.q297KCore(spark, sf).collect()
     assert(rows.nonEmpty == degF.nonEmpty)
     rows.foreach { r =>
-      val node = r.getAs[String]("node")
+      val node = r.getAs[Long]("node")
       assert(degF(node) == r.getAs[Long]("deg"), s"deg($node) drifted")
       assert(r.getAs[Long]("n_core") == degF.size.toLong)
       assert(r.getAs[Boolean]("converged") ==
@@ -68,7 +68,7 @@ class GovernanceOpsSpec extends AnyFunSuite {
     }
     // top-20 really is the head of (deg desc, node)
     val want = degF.toSeq.sortBy { case (n, dg) => (-dg, n) }.take(20)
-    assert(rows.map(r => (r.getAs[String]("node"), r.getAs[Long]("deg"))).toSeq
+    assert(rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"))).toSeq
       == want)
   }
   test("q298: confusion partitions n and kappa matches a Scala recompute") {
