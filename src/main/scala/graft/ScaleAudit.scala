@@ -55,7 +55,8 @@ object ScaleAudit {
     "q66_winnowing", "q75_medallion_e2e", "q229_bloom_prefilter",
     "q284_triplet_bounded", "q285_dsir_weights", "q188_resample_interp",
     "q290_dup_spans", "q291_coverage_sample", "q292_filter_attrition",
-    "q293_embed_outliers")
+    "q293_embed_outliers", "q297_kcore", "q302_hist_quantiles",
+    "q289_hamming_rerank")
 
   /** Input grows 10×; bytes must not grow super-linearly. The slack over
     * 10.0 absorbs fixed-size terms flipping (a broadcast that lands on
