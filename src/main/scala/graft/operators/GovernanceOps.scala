@@ -2,17 +2,16 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Portable._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-governance audits: the reports a data-curation team publishes
   * about a release — cross-source duplication overlap (which sources
-  * copy from each other), filter-version agreement (is the new quality
-  * filter measuring the same thing as the old one), and k-anonymity of
-  * quasi-identifier groups (can a document be singled out by its
-  * visible attributes). All-integer accounting throughout; every micro
-  * share is one integer DIV or one exactly-reproducible double division
-  * of two exact int64 sums (the q295 discipline).
+  * copy from each other), weak-supervision label aggregation (majority
+  * vote + per-labeler reliability when no gold labels exist), and
+  * k-anonymity of quasi-identifier groups (can a document be singled
+  * out by its visible attributes). All-integer accounting throughout;
+  * every micro share is one integer DIV (the q295 discipline).
   */
 object GovernanceOps {
   type Q = (SparkSession, String) => DataFrame
@@ -84,30 +83,28 @@ object GovernanceOps {
        |FROM dom d LEFT JOIN sh ON sh.src_a = d.src_a AND sh.src_b = d.src_b
        |ORDER BY d.src_a, d.src_b""".stripMargin
 
-  /** q298 — filter-version agreement (Cohen's κ between two quality
-    * filters — the eval a team runs before swapping filter v1 for v2:
-    * raw agreement is inflated by marginal prevalence, κ corrects for
-    * chance agreement, and a high-accuracy/low-κ pair means the new
-    * filter is mostly reading the class skew, not the quality signal):
-    * filter A is q292's token-count band, filter B its repetition
-    * test, applied INDEPENDENTLY (not cascaded) to every document.
-    * Per source: the 2×2 confusion counts, observed agreement
-    * p_o, chance agreement p_e from the marginals, and
-    * κ = (p_o − p_e)/(1 − p_e).
+  /** q298 — weak-supervision label aggregation: majority vote over
+    * three labeling functions with per-function reliability (the
+    * Snorkel/Dawid–Skene first step — when no gold labels exist, the
+    * majority label IS the working truth and each labeler's agreement
+    * with it is the reliability weight the next iteration would use;
+    * distinct from q228, which scores chance-corrected agreement
+    * BETWEEN two raters and never forms a label): the three labeling
+    * functions are q292's stage conditions applied INDEPENDENTLY
+    * (token-count band, mode-token repetition, language keep-set);
+    * each document's aggregated label is votes ≥ 2. Per source: the
+    * vote histogram (unanimous keep / 2-1 keep / 2-1 drop / unanimous
+    * drop — the 2-1 rows are exactly the review queue a labeling
+    * pipeline samples), plus each function's agreement count with the
+    * majority and its integer-DIV reliability share.
     *
-    * Exactness: n11/n10/n01/n00 are exact int64; p_o is one integer
-    * DIV; p_e and κ divide exact int64 products once, in double, then
-    * micro-round (two exact int64 operands ⇒ the IEEE quotient is
-    * identical on any engine — the q295 slope discipline). The int64
-    * products bound the audit at n ≤ 3·10⁹ docs per source (n² <
-    * 2⁶³); beyond that the audit runs per shard and κ is recomputed
-    * from the summed confusion counts — which this query's output
-    * already carries, so the scale path is a re-aggregation of THIS
-    * report, not a different operator. */
-  def q298FilterKappa(s: SparkSession, d: String): DataFrame = {
-    import Round9Ops.{AttrMinTok, AttrMaxTok, AttrRepMult}
+    * Scale shape: the repetition flag needs the q87-shaped
+    * partial-aggregable (doc, tok) mode aggregate; everything else is
+    * row-local flags + ONE per-source aggregate. All integer. */
+  def q298LabelMajority(s: SparkSession, d: String): DataFrame = {
+    import Round9Ops.{AttrKeepLangs, AttrMaxTok, AttrMinTok, AttrRepMult}
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("lang"), tokens(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
     val mode = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -117,37 +114,30 @@ object GovernanceOps {
       .withColumn("fa", (col("n_tok") >= AttrMinTok && col("n_tok") <= AttrMaxTok)
         .cast("long"))
       .withColumn("fb", (col("mode_c") * AttrRepMult <= col("n_tok")).cast("long"))
-    val conf = flags.groupBy(col("source")).agg(
-      count(lit(1)).as("n"),
-      sum(col("fa") * col("fb")).as("n11"),
-      sum(col("fa") * (lit(1L) - col("fb"))).as("n10"),
-      sum((lit(1L) - col("fa")) * col("fb")).as("n01"),
-      sum((lit(1L) - col("fa")) * (lit(1L) - col("fb"))).as("n00"))
-    def microDiv(num: Column, den: Column): Column =
-      when(den === 0, lit(0L)).otherwise(
-        floor(num.cast("double") / den.cast("double") * lit(1000000.0) + lit(0.5))
-          .cast("long"))
-    conf
-      .withColumn("pe_num",
-        (col("n11") + col("n10")) * (col("n11") + col("n01")) +
-          (col("n00") + col("n10")) * (col("n00") + col("n01")))
-      .withColumn("po_micro", expr("(n11 + n00) * 1000000 DIV n"))
-      .withColumn("pe_micro", microDiv(col("pe_num"), col("n") * col("n")))
-      .withColumn("kappa_micro",
-        microDiv(col("n") * (col("n11") + col("n00")) - col("pe_num"),
-          col("n") * col("n") - col("pe_num")))
-      .select(col("source"), col("n"), col("n11"), col("n10"), col("n01"),
-        col("n00"), col("po_micro"), col("pe_micro"), col("kappa_micro"))
+      .withColumn("fc", col("lang").isin(AttrKeepLangs: _*).cast("long"))
+      .withColumn("votes", col("fa") + col("fb") + col("fc"))
+      .withColumn("maj", (col("votes") >= 2).cast("long"))
+    flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum((col("votes") === 3).cast("long")).as("n_keep_3_0"),
+        sum((col("votes") === 2).cast("long")).as("n_keep_2_1"),
+        sum((col("votes") === 1).cast("long")).as("n_drop_2_1"),
+        sum((col("votes") === 0).cast("long")).as("n_drop_3_0"),
+        sum(col("maj")).as("n_majority_keep"),
+        sum((col("fa") === col("maj")).cast("long")).as("agree_a"),
+        sum((col("fb") === col("maj")).cast("long")).as("agree_b"),
+        sum((col("fc") === col("maj")).cast("long")).as("agree_c"))
+      .withColumn("rel_a_micro", expr("agree_a * 1000000 DIV n"))
+      .withColumn("rel_b_micro", expr("agree_b * 1000000 DIV n"))
+      .withColumn("rel_c_micro", expr("agree_c * 1000000 DIV n"))
       .orderBy(col("source"))
   }
 
   val q298Sql: String = {
     import Round9Ops.{AttrMinTok, AttrMaxTok, AttrRepMult}
-    def microDiv(num: String, den: String): String =
-      s"CASE WHEN $den = 0 THEN CAST(0 AS BIGINT) ELSE " +
-        s"CAST(FLOOR(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END"
+    val langList = Round9Ops.AttrKeepLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH docs AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, source, lang,
        |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
        |  FROM documents),
        |md AS (
@@ -161,23 +151,30 @@ object GovernanceOps {
        |    CASE WHEN d.n_tok >= $AttrMinTok AND d.n_tok <= $AttrMaxTok
        |         THEN 1 ELSE 0 END AS fa,
        |    CASE WHEN COALESCE(md.mode_c, 0) * $AttrRepMult <= d.n_tok
-       |         THEN 1 ELSE 0 END AS fb
+       |         THEN 1 ELSE 0 END AS fb,
+       |    CASE WHEN d.lang IN ($langList) THEN 1 ELSE 0 END AS fc
        |  FROM docs d LEFT JOIN md USING (doc_id)),
-       |conf AS (
+       |v AS (
+       |  SELECT source, fa, fb, fc, fa + fb + fc AS votes,
+       |    CASE WHEN fa + fb + fc >= 2 THEN 1 ELSE 0 END AS maj
+       |  FROM fl),
+       |a AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(fa * fb) AS BIGINT) AS n11,
-       |    CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n10,
-       |    CAST(SUM((1 - fa) * fb) AS BIGINT) AS n01,
-       |    CAST(SUM((1 - fa) * (1 - fb)) AS BIGINT) AS n00
-       |  FROM fl GROUP BY source),
-       |pe AS (
-       |  SELECT *, (n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01) AS pe_num
-       |  FROM conf)
-       |SELECT source, n, n11, n10, n01, n00,
-       |       (n11 + n00) * 1000000 // n AS po_micro,
-       |       ${microDiv("pe_num", "n * n")} AS pe_micro,
-       |       ${microDiv("n * (n11 + n00) - pe_num", "n * n - pe_num")} AS kappa_micro
-       |FROM pe ORDER BY source""".stripMargin
+       |    CAST(SUM(CASE WHEN votes = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_3_0,
+       |    CAST(SUM(CASE WHEN votes = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_2_1,
+       |    CAST(SUM(CASE WHEN votes = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_2_1,
+       |    CAST(SUM(CASE WHEN votes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_3_0,
+       |    CAST(SUM(maj) AS BIGINT) AS n_majority_keep,
+       |    CAST(SUM(CASE WHEN fa = maj THEN 1 ELSE 0 END) AS BIGINT) AS agree_a,
+       |    CAST(SUM(CASE WHEN fb = maj THEN 1 ELSE 0 END) AS BIGINT) AS agree_b,
+       |    CAST(SUM(CASE WHEN fc = maj THEN 1 ELSE 0 END) AS BIGINT) AS agree_c
+       |  FROM v GROUP BY source)
+       |SELECT source, n, n_keep_3_0, n_keep_2_1, n_drop_2_1, n_drop_3_0,
+       |       n_majority_keep, agree_a, agree_b, agree_c,
+       |       agree_a * 1000000 // n AS rel_a_micro,
+       |       agree_b * 1000000 // n AS rel_b_micro,
+       |       agree_c * 1000000 // n AS rel_c_micro
+       |FROM a ORDER BY source""".stripMargin
   }
 
   /** q299's anonymity threshold (groups smaller than this are
@@ -241,11 +238,11 @@ object GovernanceOps {
 
   val queries: Map[String, Q] = Map(
     "q296_source_overlap" -> q296SourceOverlap _,
-    "q298_filter_kappa" -> q298FilterKappa _,
+    "q298_label_majority" -> q298LabelMajority _,
     "q299_kanonymity" -> q299KAnonymity _)
 
   val oracles: Map[String, String] = Map(
     "q296_source_overlap" -> q296Sql,
-    "q298_filter_kappa" -> q298Sql,
+    "q298_label_majority" -> q298Sql,
     "q299_kanonymity" -> q299Sql)
 }

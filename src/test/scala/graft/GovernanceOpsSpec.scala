@@ -71,22 +71,28 @@ class GovernanceOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"))).toSeq
       == want)
   }
-  test("q298: confusion partitions n and kappa matches a Scala recompute") {
-    val rows = GovernanceOps.q298FilterKappa(spark, sf).collect()
+  test("q298: vote histogram partitions n, majority and reliabilities cohere") {
+    val rows = GovernanceOps.q298LabelMajority(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
-        r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
-      assert(n11 + n10 + n01 + n00 == n, "confusion cells must partition n")
-      assert(r.getAs[Long]("po_micro") == (n11 + n00) * 1000000L / n)
-      val peNum = (n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01)
-      val den = n * n - peNum
-      val wantKappa =
-        if (den == 0) 0L
-        else math.floor((n * (n11 + n00) - peNum).toDouble / den.toDouble
-          * 1e6 + 0.5).toLong
-      assert(r.getAs[Long]("kappa_micro") == wantKappa, s"kappa drifted for $r")
-      assert(math.abs(r.getAs[Long]("kappa_micro")) <= 1000000L)
+      val n = r.getAs[Long]("n")
+      val (k3, k2, d2, d3) = (r.getAs[Long]("n_keep_3_0"), r.getAs[Long]("n_keep_2_1"),
+        r.getAs[Long]("n_drop_2_1"), r.getAs[Long]("n_drop_3_0"))
+      assert(k3 + k2 + d2 + d3 == n, "vote histogram must partition n")
+      assert(r.getAs[Long]("n_majority_keep") == k3 + k2,
+        "majority keep = unanimous + 2-1 keeps")
+      // each labeler disagrees with the majority ONLY on 2-1 rows, so its
+      // agreement count is bounded below by the unanimous rows
+      Seq("agree_a", "agree_b", "agree_c").foreach { c =>
+        val ag = r.getAs[Long](c)
+        assert(ag >= k3 + d3 && ag <= n, s"$c out of bounds: $r")
+      }
+      // the three labelers' majority-disagreements total exactly the 2-1
+      // rows (each such row has exactly one dissenter)
+      val disagree = 3 * n - r.getAs[Long]("agree_a") -
+        r.getAs[Long]("agree_b") - r.getAs[Long]("agree_c")
+      assert(disagree == k2 + d2, s"dissent accounting drifted: $r")
+      assert(r.getAs[Long]("rel_a_micro") == r.getAs[Long]("agree_a") * 1000000L / n)
     }
   }
 
