@@ -140,7 +140,9 @@ object BudgetOps {
     * CMS / KMV / HLL / Bloom cover frequency and cardinality; quantiles
     * at scale come from mergeable O(bins) state — this is the
     * fixed-bin counterpart of a KLL/t-digest, chosen because its state
-    * merges by vector addition and its error bound is a theorem): per
+    * merges by vector addition and its error bound is a theorem; q134
+    * profiles a histogram as the REPORT — this op turns the histogram
+    * into quantile ESTIMATES with a provable bound): per
     * l_returnflag, a [[HistBins]]-bin histogram over
     * [min, max] of l_extendedprice estimates each p in [[HistPs]] by
     * in-bin linear interpolation at rank p·n. The graded `env_ok`

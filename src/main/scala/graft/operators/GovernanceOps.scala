@@ -27,7 +27,10 @@ object GovernanceOps {
     * containments — including zero rows for non-overlapping pairs, so
     * the matrix is complete (the pair domain is anchored by a
     * sources×sources cross of the per-source aggregate, the q285
-    * domain-anchor discipline).
+    * domain-anchor discipline). Distinct from q190, which estimates
+    * token-VOCABULARY Jaccard between sources (are they about the same
+    * things); this measures whole-DOCUMENT duplication (do they carry
+    * the same documents) — the overlap dedup acts on.
     *
     * Scale shape: the fingerprint pass is one projection; the distinct
     * (source, fp) set is one partial-aggregable shuffle; the pair join
