@@ -260,13 +260,90 @@ object BudgetOps {
        |FROM est e JOIN exact x ON x.flag = e.flag AND x.p_micro = e.p_micro
        |ORDER BY e.flag, e.p_micro""".stripMargin
 
+  /** q303's vocabulary cap: the sampling table covers the top-[[NegK]]
+    * tokens by frequency — a constant-size, broadcastable artifact
+    * whatever the corpus size (production uses the full capped vocab;
+    * the grade reads the head, where the smoothing bites hardest). */
+  val NegK = 50
+
+  /** q303 — negative-sampling distribution (word2vec/contrastive
+    * training's noise distribution: sampling negatives ∝ count^0.75
+    * instead of raw counts lifts rare words enough to be seen and
+    * damps stopwords enough not to dominate — the table every
+    * skip-gram / InfoNCE pipeline materializes before training): the
+    * top-[[NegK]] tokens by exact count, each with its smoothed weight
+    * count^(3/4) (computed as sqrt(sqrt(c³)) — q281's
+    * only-correctly-rounded-IEEE-ops trick, portable where pow/ln are
+    * not), its sampling share against the FULL smoothed vocabulary
+    * mass, its raw share, and the damping factor (smoothed/raw share —
+    * < 1 for heads, > 1 for tails by construction).
+    *
+    * Scale shape: one partial-aggregable token count, one 1-row total
+    * (over the whole vocab, not just the head), one
+    * TakeOrderedAndProject top-k. The table itself is k rows —
+    * broadcastable to every trainer shard. */
+  def q303NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val weighted = counts.withColumn("w_micro",
+      floor(sqrt(sqrt(cd * cd * cd)) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = weighted.agg(sum(col("w_micro")).as("tw"), sum(col("c")).as("tc"))
+    val top = weighted.orderBy(col("c").desc, col("tok")).limit(NegK)
+    top
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("c").desc, col("tok"))))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk").cast("long").as("rnk"), col("tok"), col("c"),
+        col("w_micro"), col("tw"), col("tc"),
+        floor(col("w_micro").cast("double") / col("tw").cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long").as("samp_share_micro"),
+        floor(col("c").cast("double") / col("tc").cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long").as("raw_share_micro"),
+        floor(col("w_micro").cast("double") * col("tc").cast("double") /
+          (col("tw").cast("double") * col("c").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("damp_micro"))
+      .orderBy(col("rnk"))
+  }
+
+  val q303Sql: String =
+    s"""WITH cnt AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+       |  GROUP BY tok),
+       |w AS (
+       |  SELECT tok, c,
+       |    CAST(FLOOR(sqrt(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+       |      * CAST(c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+       |  FROM cnt),
+       |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw,
+       |               CAST(SUM(c) AS BIGINT) AS tc FROM w),
+       |top AS (
+       |  SELECT tok, c, w_micro,
+       |    ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+       |  FROM w)
+       |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.tok, t.c, t.w_micro, x.tw, x.tc,
+       |  CAST(FLOOR(CAST(t.w_micro AS DOUBLE) / CAST(x.tw AS DOUBLE)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS samp_share_micro,
+       |  CAST(FLOOR(CAST(t.c AS DOUBLE) / CAST(x.tc AS DOUBLE)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS raw_share_micro,
+       |  CAST(FLOOR(CAST(t.w_micro AS DOUBLE) * CAST(x.tc AS DOUBLE)
+       |    / (CAST(x.tw AS DOUBLE) * CAST(t.c AS DOUBLE))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS damp_micro
+       |FROM top t CROSS JOIN tot x
+       |WHERE t.rnk <= $NegK
+       |ORDER BY t.rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q300_token_fertility" -> q300TokenFertility _,
     "q301_truncation_waste" -> q301TruncationWaste _,
-    "q302_hist_quantiles" -> q302HistQuantiles _)
+    "q302_hist_quantiles" -> q302HistQuantiles _,
+    "q303_negative_sampling" -> q303NegativeSampling _)
 
   val oracles: Map[String, String] = Map(
     "q300_token_fertility" -> q300Sql,
     "q301_truncation_waste" -> q301Sql,
-    "q302_hist_quantiles" -> q302Sql)
+    "q302_hist_quantiles" -> q302Sql,
+    "q303_negative_sampling" -> q303Sql)
 }

@@ -239,13 +239,115 @@ object GovernanceOps {
        |FROM g GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
 
+  /** q304 — duplicate-cluster size profile with a power-law tail fit
+    * (the dedup-ROI question: is duplication a few mega-clusters —
+    * boilerplate, killable by exact hashing — or a long tail of pairs
+    * that needs the full LSH machinery? The answer is the SLOPE of
+    * ln(#clusters) against ln(cluster size), read exactly like q295's
+    * Zipf slope): duplicate-OPENING clusters — documents sharing their
+    * first [[Round9Ops.SpanGram]] tokens, q292 stage-4's boilerplate
+    * key (chosen over whole-text md5 because opening-gram duplication
+    * exists at every fixture SF while full-text dups only appear at
+    * sf0.1 — and the opening key is what boilerplate dedup actually
+    * clusters on) — of size ≥ 2 histogram into (size, cluster-count)
+    * rows; each graded row carries the size, its cluster/document/
+    * removable-document counts, and the global OLS slope + totals
+    * (removable share in micros) attached from a 1-row aggregate.
+    *
+    * Scale shape: one md5 projection + two stacked partial-aggregable
+    * aggregates (text-hash, then size); the histogram is
+    * |distinct sizes| rows (tiny); the fit is a 1-row aggregate over
+    * it — no windows, no joins wider than the 1-row broadcast. The
+    * log micro-rounding is the q285/q295 discipline. */
+  def q304DupClusterProfile(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables.documents(s, d)
+      .select(polyHash(concat_ws(" ",
+        slice(tokens(col("text")), 1, Round9Ops.SpanGram))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("csize"))
+      .filter(col("csize") >= 2)
+    val hist = sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+    def lnMicro(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val fit = hist
+      .select(col("csize"), col("n_clusters"),
+        lnMicro(col("csize")).as("xm"), lnMicro(col("n_clusters")).as("ym"))
+      .agg(count(lit(1)).as("n_sizes"),
+        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm") * col("xm")).as("sxx"), sum(col("xm") * col("ym")).as("sxy"),
+        sum(col("csize") * col("n_clusters")).as("dup_docs"),
+        sum((col("csize") - 1) * col("n_clusters")).as("removable_docs"))
+      .withColumn("den", col("n_sizes") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_micro",
+        when(col("den") === 0, lit(0L)).otherwise(
+          floor((col("n_sizes") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")))
+    val totDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs_total"))
+    hist.crossJoin(broadcast(fit.select(col("n_sizes"), col("dup_docs"),
+        col("removable_docs"), col("slope_micro"))))
+      .crossJoin(broadcast(totDocs))
+      .withColumn("n_docs_at_size", col("csize") * col("n_clusters"))
+      .withColumn("removable_at_size", (col("csize") - 1) * col("n_clusters"))
+      .withColumn("removable_share_micro",
+        expr("removable_docs * 1000000 DIV n_docs_total"))
+      .select(col("csize"), col("n_clusters"), col("n_docs_at_size"),
+        col("removable_at_size"), col("n_sizes"), col("dup_docs"),
+        col("removable_docs"), col("n_docs_total"),
+        col("removable_share_micro"), col("slope_micro"))
+      .orderBy(col("csize"))
+  }
+
+  val q304Sql: String = {
+    def lnMicro(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH pre AS (
+       |  SELECT ${polyHashSql(
+            s"array_to_string((${tokensSql("text")})[1:${Round9Ops.SpanGram}], ' ')")} AS h
+       |  FROM documents),
+       |sizes AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM pre GROUP BY h HAVING COUNT(*) >= 2),
+       |hist AS (SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |         FROM sizes GROUP BY csize),
+       |terms AS (
+       |  SELECT csize, n_clusters,
+       |         ${lnMicro("csize")} AS xm, ${lnMicro("n_clusters")} AS ym
+       |  FROM hist),
+       |fit AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sizes,
+       |    CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+       |    CAST(SUM(xm * xm) AS BIGINT) AS sxx,
+       |    CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+       |    CAST(SUM(csize * n_clusters) AS BIGINT) AS dup_docs,
+       |    CAST(SUM((csize - 1) * n_clusters) AS BIGINT) AS removable_docs
+       |  FROM terms),
+       |f2 AS (
+       |  SELECT n_sizes, dup_docs, removable_docs,
+       |    CASE WHEN n_sizes * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR(CAST(n_sizes * sxy - sx * sy AS DOUBLE)
+       |                / CAST(n_sizes * sxx - sx * sx AS DOUBLE)
+       |                * 1000000.0 + 0.5) AS BIGINT) END AS slope_micro
+       |  FROM fit),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents)
+       |SELECT h.csize, h.n_clusters,
+       |       h.csize * h.n_clusters AS n_docs_at_size,
+       |       (h.csize - 1) * h.n_clusters AS removable_at_size,
+       |       f.n_sizes, f.dup_docs, f.removable_docs, t.n_docs_total,
+       |       (f.removable_docs * 1000000) // t.n_docs_total
+       |         AS removable_share_micro,
+       |       f.slope_micro
+       |FROM hist h CROSS JOIN f2 f CROSS JOIN tot t
+       |ORDER BY h.csize""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q296_source_overlap" -> q296SourceOverlap _,
     "q298_label_majority" -> q298LabelMajority _,
-    "q299_kanonymity" -> q299KAnonymity _)
+    "q299_kanonymity" -> q299KAnonymity _,
+    "q304_dup_cluster_profile" -> q304DupClusterProfile _)
 
   val oracles: Map[String, String] = Map(
     "q296_source_overlap" -> q296Sql,
     "q298_label_majority" -> q298Sql,
-    "q299_kanonymity" -> q299Sql)
+    "q299_kanonymity" -> q299Sql,
+    "q304_dup_cluster_profile" -> q304Sql)
 }

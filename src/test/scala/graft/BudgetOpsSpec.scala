@@ -57,6 +57,51 @@ class BudgetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q302: the bin-count state is mergeable by vector addition") {
+    // the 100 TB claim: shard histograms merge by addition — compute the
+    // (flag, bin) vectors over two disjoint halves and over the whole
+    // table with the SAME [min,max] frame; sums must be identical
+    import graft.operators.BudgetOps.HistBins
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        col("l_orderkey"))
+    val mm = li.groupBy(col("flag")).agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    def bins(df: org.apache.spark.sql.DataFrame) = df.join(broadcast(mm), "flag")
+      .withColumn("bin", least(floor((col("v") - col("vmin")) /
+        ((col("vmax") - col("vmin")) / lit(HistBins.toDouble))).cast("long"),
+        lit(HistBins - 1)))
+      .groupBy(col("flag"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = bins(li)
+    val h1 = bins(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+    val h2 = bins(li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "shard histograms must merge to the whole by addition")
+  }
+
+  test("q303: damping lifts tails and damps heads, shares cohere") {
+    val rows = BudgetOps.q303NegativeSampling(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c")
+      val wantW = math.floor(math.sqrt(math.sqrt(
+        c.toDouble * c.toDouble * c.toDouble)) * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("w_micro") == wantW, s"smoothed weight drifted: $r")
+    }
+    // counts are non-increasing down the rank; damping is non-decreasing
+    // (c^{3/4}/c = c^{-1/4} is monotone decreasing in c)
+    val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+    val cs = byRank.map(_.getAs[Long]("c"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val damp = byRank.map(_.getAs[Long]("damp_micro"))
+    assert(damp.zip(damp.tail).forall { case (a, b) => a <= b + 1 },
+      "damping factor must not decrease as counts fall")
+    // the raw head share exceeds its sampled share (heads are damped)
+    val head = byRank.head
+    assert(head.getAs[Long]("samp_share_micro") <= head.getAs[Long]("raw_share_micro"))
+  }
+
   test("q302: envelope holds for every (flag, p) and exact matches a Scala sort") {
     val rows = BudgetOps.q302HistQuantiles(spark, sf).collect()
     assert(rows.length == 3 * BudgetOps.HistPs.length)

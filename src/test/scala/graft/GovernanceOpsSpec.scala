@@ -96,6 +96,30 @@ class GovernanceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q304: histogram accounting coheres and matches a Scala recompute") {
+    import graft.functions.Portable
+    val rows = GovernanceOps.q304DupClusterProfile(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must contain duplicate-opening clusters")
+    // independent recompute of cluster sizes from raw prefixes
+    val pres = Tables.documents(spark, sf)
+      .select(concat_ws(" ",
+        slice(Portable.tokens(col("text")), 1, graft.operators.Round9Ops.SpanGram)))
+      .collect().map(_.getString(0))
+    val want = pres.groupBy(identity).map(_._2.length.toLong)
+      .filter(_ >= 2).groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(rows.map(r => r.getAs[Long]("csize") -> r.getAs[Long]("n_clusters")).toMap
+      == want, "size histogram drifted")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_at_size")
+        == r.getAs[Long]("csize") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("removable_at_size")
+        == (r.getAs[Long]("csize") - 1) * r.getAs[Long]("n_clusters"))
+    }
+    // the global totals really sum the per-size rows
+    val dup = rows.map(r => r.getAs[Long]("n_docs_at_size")).sum
+    assert(rows.head.getAs[Long]("dup_docs") == dup)
+  }
+
   test("q299: group accounting matches a Scala recompute per panel") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("source"),
