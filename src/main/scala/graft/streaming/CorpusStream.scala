@@ -112,6 +112,85 @@ object CorpusStream {
         sum(col("s2")).as("n_s2"), sum(col("s3")).as("n_s3"))
   }
 
+  final case class TokShard(shard: Long, tok: String)
+  final case class MgState(toks: Seq[String], cnts: Seq[Long], n: Long)
+  final case class MgOut(shard: Long, tok: String, est: Long, n_shard: Long)
+
+  /** Streaming twin of q179's Misra–Gries pass
+    * ([[graft.operators.ScaleOps2.q179HeavyHitters]]): heavy-hitter
+    * candidates over an unbounded token stream with O(k) state per
+    * shard — the frequent-items dashboard a 100 TB ingest runs, where
+    * exact per-token counts would grow state with the vocabulary.
+    *
+    * Tokens route to [[MgShards]] shards by the portable token hash, so
+    * every occurrence of a token lands on ONE shard and the shard's MG
+    * summary carries the token's FULL count (minus decrements). Each
+    * shard's state is one bounded (≤ k tokens, counts, n) triple in a
+    * `ValueState`; each micro-batch folds its tokens with the standard
+    * decrement-all step and emits the whole current summary (Update
+    * mode; `n_shard` is monotone, so the freshest summary per shard is
+    * the max-`n_shard` row set — how the parity spec reads it).
+    *
+    * The guarantees the spec asserts are the ORDER-INDEPENDENT ones
+    * (micro-batch routing does not fix intra-batch order): per shard
+    * ≤ k survivors; est ≤ true count; true − est ≤ n_shard/k; and
+    * COMPLETENESS — every token with global count > N/k survives,
+    * because its shard threshold n_shard/k is no larger. The exact
+    * second pass stays batch-side (q179): the stream emits candidates,
+    * the daily batch verifies them — the lambda shape. Like every
+    * transformWithState processor here, requires the RocksDB state
+    * store provider (the 100 TB shape anyway — state spills to local
+    * disk instead of executor heap). */
+  val MgShards = 8
+
+  class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TokShard, MgOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MgState]("mg",
+        org.apache.spark.sql.Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TokShard],
+        timers: TimerValues): Iterator[MgOut] = {
+      val prev = if (st.exists()) st.get() else MgState(Nil, Nil, 0L)
+      val m = scala.collection.mutable.LinkedHashMap.from(prev.toks.zip(prev.cnts))
+      var n = prev.n
+      rows.foreach { r =>
+        n += 1
+        if (m.contains(r.tok)) m(r.tok) += 1
+        else if (m.size < k) m(r.tok) = 1L
+        else {
+          // decrement-all: every counter drops by 1, zeros evict — the
+          // one step that bounds state at k whatever the vocabulary
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { t =>
+            val c = m(t) - 1
+            if (c == 0) dead += t else m(t) = c
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      st.update(MgState(m.keys.toSeq, m.values.toSeq, n))
+      m.iterator.map { case (t, c) => MgOut(key, t, c, n) }
+    }
+  }
+
+  /** @param docs streaming (doc_id, text); k counters per shard. */
+  def heavyHitterStream(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(pmod(polyHash(col("tok")), lit(MgShards.toLong)).as("shard"), col("tok"))
+      .as[TokShard]
+      .groupByKey(_.shard)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+  }
+
   def ivfMaintainStream(vecs: DataFrame, model: Seq[Seq[Double]]): DataFrame = {
     graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
     def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -314,6 +314,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def runHeavyHitters(k: Int): (Map[(Long, String), (Long, Long)], Map[String, Long]) = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory(s"mg_$k")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    // the MG summary is a transformWithState processor → RocksDB provider
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.heavyHitterStream(stream, k), s"mg_out_$k", OutputMode.Update())
+    val fin =
+      try {
+        // freshest summary per shard = rows carrying the shard's max n_shard
+        val t = spark.table(s"mg_out_$k")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+        t.withColumn("mx", max(col("n_shard")).over(w))
+          .filter(col("n_shard") === col("mx"))
+          // a token can be emitted twice with the same terminal n_shard if
+          // the final micro-batch routed no tokens to its shard; last wins
+          .groupBy(col("shard"), col("tok"))
+          .agg(max(col("est")).as("est"), max(col("n_shard")).as("n_shard"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set(pkey, v)
+          case None => spark.conf.unset(pkey)
+        }
+      }
+    val truth = docs
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (fin, truth)
+  }
+
+  private def shardOf(tok: String): Long = {
+    val P = graft.functions.Portable.P
+    val h = tok.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    ((h % CorpusStream.MgShards) + CorpusStream.MgShards) % CorpusStream.MgShards
+  }
+
+  test("heavyHitterStream: tight k exercises decrements, MG bounds hold") {
+    val k = 2
+    val (fin, truth) = runHeavyHitters(k)
+    val byShard = fin.groupBy(_._1._1)
+    byShard.foreach { case (_, m) => assert(m.size <= k, s"> $k survivors: $m") }
+    fin.foreach { case ((_, tok), (est, nShard)) =>
+      val tr = truth(tok)
+      assert(est <= tr, s"$tok overcounted: $est > $tr")
+      assert(tr - est <= nShard / k, s"$tok undercount beyond MG bound")
+    }
+    // completeness: every token with count > n_shard/k survives in its shard
+    val nShardOf = fin.map { case ((s2, _), (_, n)) => s2 -> n }
+    truth.foreach { case (tok, c) =>
+      val s2 = shardOf(tok)
+      nShardOf.get(s2).foreach { n =>
+        if (c > n / k)
+          assert(fin.contains((s2, tok)), s"heavy $tok (count $c > ${n / k}) evicted")
+      }
+    }
+  }
+
+  test("heavyHitterStream: ample k yields exact counts and covers batch q179") {
+    val k = 50
+    val (fin, truth) = runHeavyHitters(k)
+    // the fixture vocabulary per shard is far below k, so no decrement
+    // ever fires and the streamed estimates ARE the exact counts
+    val vocabPerShard = truth.keys.groupBy(shardOf).map(_._2.size).max
+    assert(vocabPerShard < k, "fixture drifted: exactness premise broken")
+    fin.foreach { case ((_, tok), (est, _)) =>
+      assert(est == truth(tok), s"$tok: streamed $est != exact ${truth(tok)}")
+    }
+    // every batch-q179 heavy hitter is among the streamed candidates
+    val heavies = graft.operators.ScaleOps2.q179HeavyHitters(spark, sf)
+      .collect().map(_.getString(0))
+    heavies.foreach { tok =>
+      assert(fin.contains((shardOf(tok), tok)), s"q179 heavy $tok missing")
+    }
+  }
+
   test("attritionStream: per-source counters converge to batch q292 stages 1-3") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
