@@ -143,6 +143,31 @@ object CorpusStream {
     * disk instead of executor heap). */
   val MgShards = 8
 
+  /** The pure MG fold the processor applies per micro-batch — factored
+    * out so PropertySpec can drive it on random streams and random
+    * split points (state carry-over must equal a single-shot fold, and
+    * the order-independent MG bounds must hold whatever the order). */
+  private[graft] def mgFold(prev: MgState, toks: IterableOnce[String], k: Int): MgState = {
+    val m = scala.collection.mutable.LinkedHashMap.from(prev.toks.zip(prev.cnts))
+    var n = prev.n
+    toks.iterator.foreach { tok =>
+      n += 1
+      if (m.contains(tok)) m(tok) += 1
+      else if (m.size < k) m(tok) = 1L
+      else {
+        // decrement-all: every counter drops by 1, zeros evict — the
+        // one step that bounds state at k whatever the vocabulary
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        m.keysIterator.foreach { t =>
+          val c = m(t) - 1
+          if (c == 0) dead += t else m(t) = c
+        }
+        dead.foreach(m.remove)
+      }
+    }
+    MgState(m.keys.toSeq, m.values.toSeq, n)
+  }
+
   class MisraGriesProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TokShard, MgOut] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -155,25 +180,10 @@ object CorpusStream {
     override def handleInputRows(key: Long, rows: Iterator[TokShard],
         timers: TimerValues): Iterator[MgOut] = {
       val prev = if (st.exists()) st.get() else MgState(Nil, Nil, 0L)
-      val m = scala.collection.mutable.LinkedHashMap.from(prev.toks.zip(prev.cnts))
-      var n = prev.n
-      rows.foreach { r =>
-        n += 1
-        if (m.contains(r.tok)) m(r.tok) += 1
-        else if (m.size < k) m(r.tok) = 1L
-        else {
-          // decrement-all: every counter drops by 1, zeros evict — the
-          // one step that bounds state at k whatever the vocabulary
-          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-          m.keysIterator.foreach { t =>
-            val c = m(t) - 1
-            if (c == 0) dead += t else m(t) = c
-          }
-          dead.foreach(m.remove)
-        }
-      }
-      st.update(MgState(m.keys.toSeq, m.values.toSeq, n))
-      m.iterator.map { case (t, c) => MgOut(key, t, c, n) }
+      val next = mgFold(prev, rows.map(_.tok), k)
+      st.update(next)
+      next.toks.iterator.zip(next.cnts.iterator)
+        .map { case (t, c) => MgOut(key, t, c, next.n) }
     }
   }
 

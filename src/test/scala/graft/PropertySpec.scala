@@ -288,4 +288,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val vecGen: Gen[List[(Long, List[Float])]] =
+    Gen.listOfN(12, for {
+      id <- Gen.choose(0L, 1000L)
+      v <- Gen.listOfN(64, Gen.choose(-4.0f, 4.0f))
+    } yield (id, v)).map(_.distinctBy(_._1))
+
+  test("q289 packSign: equals the bit-fold model; Hamming equals the sign-diff count") {
+    import graft.functions.Portable
+    samples(vecGen, 4).filter(_.size >= 2).foreach { vecs =>
+      val df = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val got = df.select(col("vec_id"),
+          Portable.packSign("embedding", 0, 32).as("w0"),
+          Portable.packSign("embedding", 32, 32).as("w1"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def model(v: List[Float], off: Int): Long =
+        (0 until 32).foldLeft(0L)((acc, i) =>
+          if (v(off + i) >= 0f) acc + (1L << i) else acc)
+      vecs.foreach { case (id, v) =>
+        assert(got(id) == ((model(v, 0), model(v, 32))), s"packSign drifted for $id")
+      }
+      // Hamming via the q289 expression = plain sign-disagreement count
+      val ham = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          (bit_count(Portable.packSign("a.embedding", 0, 32)
+              .bitwiseXOR(Portable.packSign("b.embedding", 0, 32))) +
+            bit_count(Portable.packSign("a.embedding", 32, 32)
+              .bitwiseXOR(Portable.packSign("b.embedding", 32, 32)))).cast("long").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byId = vecs.toMap
+      ham.foreach { case ((ia, ib), h) =>
+        val want = byId(ia).zip(byId(ib)).count { case (x, y) => (x >= 0f) != (y >= 0f) }
+        assert(h == want.toLong, s"hamming($ia,$ib)=$h != $want")
+      }
+    }
+  }
+
+  private val tokStreamGen: Gen[List[String]] =
+    Gen.listOfN(300, Gen.choose(0, 12).map(i => s"t$i"))
+
+  test("mgFold: split-invariant, bounded at k, MG error laws hold on random streams") {
+    import graft.streaming.CorpusStream
+    val streams = samples(tokStreamGen, 6)
+    for ((toks, seedI) <- streams.zipWithIndex.map { case (t, i) => (t, i + 1) };
+         k <- Seq(1, 2, 3, 5)) {
+      if (toks.nonEmpty) {
+        val whole = CorpusStream.mgFold(CorpusStream.MgState(Nil, Nil, 0L), toks, k)
+        // carrying state across arbitrary splits equals the one-shot fold
+        val cut = toks.length / (seedI + 1)
+        val split = CorpusStream.mgFold(
+          CorpusStream.mgFold(CorpusStream.MgState(Nil, Nil, 0L), toks.take(cut), k),
+          toks.drop(cut), k)
+        assert(split == whole, "state carry-over must equal the single-shot fold")
+        assert(whole.toks.size <= k && whole.n == toks.length)
+        val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+        val est = whole.toks.zip(whole.cnts).toMap
+        est.foreach { case (t, e) =>
+          assert(e <= truth(t), s"$t overcounted")
+          assert(truth(t) - e <= whole.n / k, s"$t undercount beyond n/k")
+        }
+        // completeness: count > n/k cannot be evicted
+        truth.foreach { case (t, c) =>
+          if (c > whole.n / k) assert(est.contains(t), s"heavy $t evicted (c=$c)")
+        }
+      }
+    }
+  }
 }
