@@ -326,6 +326,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q291 isqrt formula: exact against BigInt sqrt on adversarial boundaries") {
+    import graft.operators.Round9Ops.MaxIsqrt
+    // the exact expression q291 applies to cell counts, including the
+    // overflow guard on the (q0+1)^2 probe
+    def isqrtExpr(nCol: org.apache.spark.sql.Column) = {
+      val q0 = floor(sqrt(nCol.cast("double"))).cast("long")
+      q0 + when(q0 < MaxIsqrt && (q0 + 1) * (q0 + 1) <= nCol, lit(1L))
+          .otherwise(lit(0L)) -
+        when(q0 * q0 > nCol, lit(1L)).otherwise(lit(0L))
+    }
+    val squares = (1L to 40L) ++ Seq(1L << 26, 1L << 31, 3037000499L)
+    val boundary = squares.flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      .filter(_ >= 1)
+    val rand = samples(Gen.choose(1L, Long.MaxValue), 60)
+    val ns = (boundary ++ rand ++ Seq(1L, 2L, 3L, Long.MaxValue)).distinct
+    val got = ns.toDF("n").select(col("n"), isqrtExpr(col("n")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def isqrtRef(n: Long): Long = {
+      var x = math.sqrt(n.toDouble).toLong
+      while (BigInt(x) * x > n) x -= 1
+      while (BigInt(x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    ns.foreach { n =>
+      val want = isqrtRef(n)
+      assert(got(n) == want, s"isqrt($n): ${got(n)} != $want")
+    }
+  }
+
   private val tokStreamGen: Gen[List[String]] =
     Gen.listOfN(300, Gen.choose(0, 12).map(i => s"t$i"))
 
