@@ -404,6 +404,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitterStream: MG state survives kill-and-restart between batches") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("mg_restart_src")
+    val out = java.nio.file.Files.createTempDirectory("mg_restart_out")
+    val chk = java.nio.file.Files.createTempDirectory("mg_restart_chk")
+    val k = 50 // ample: per-shard vocabulary < k, so recovered counts are exact
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(src.resolve("f0").toString)
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def startQuery() = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.resolve("*").toString)
+      CorpusStream.heavyHitterStream(stream, k).writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out.toString)
+        }
+        .option("checkpointLocation", chk.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    try {
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop() // kill between batches
+      // the rest of the corpus lands while the query is down
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0).coalesce(1)
+        .write.parquet(src.resolve("f1").toString)
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+      // freshest summary per shard (max n_shard) must carry counts over
+      // the WHOLE corpus — only possible if run 1's state was recovered
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      val fin = spark.read.parquet(out.toString)
+        .withColumn("mx", max(col("n_shard")).over(w))
+        .filter(col("n_shard") === col("mx"))
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[String]("tok")) ->
+          (r.getAs[Long]("est"), r.getAs[Long]("n_shard"))).toMap
+      val truth = docs
+        .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fin.nonEmpty)
+      // every shard that emitted after the restart carries FULL counts
+      fin.foreach { case ((_, tok), (est, _)) =>
+        assert(est == truth(tok),
+          s"$tok: post-restart $est != full-corpus ${truth(tok)} — state lost")
+      }
+      // and each such shard's n equals its full token mass
+      val nByShard = fin.groupBy(_._1._1).view.mapValues(_.head._2._2)
+      val wantShardN = truth.toSeq.groupBy { case (t, _) => shardOf(t) }
+        .view.mapValues(_.map(_._2).sum)
+      nByShard.foreach { case (s2, n) =>
+        assert(n == wantShardN(s2), s"shard $s2: n $n != ${wantShardN(s2)}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(pkey, v)
+      case None => spark.conf.unset(pkey)
+    }
+  }
+
   test("attritionStream: per-source counters converge to batch q292 stages 1-3") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
