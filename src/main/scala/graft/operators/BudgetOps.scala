@@ -162,19 +162,31 @@ object BudgetOps {
     * identical inputs through identical IEEE expressions on both
     * engines (the q295 division discipline), micro-rounded once at the
     * output. */
-  def q302HistQuantiles(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-    val mm = li.groupBy(col("flag")).agg(
+  /** The frozen per-flag bin spec (min/max/population) — the calibration
+    * pass whose output the streaming twin treats as a static model, the
+    * ivfMaintainStream discipline applied to quantiles. */
+  private[graft] def flagBinSpec(li: DataFrame): DataFrame =
+    li.groupBy(col("flag")).agg(
       min(col("v")).as("vmin"), max(col("v")).as("vmax"),
       count(lit(1)).as("n"))
-    val width = (col("vmax") - col("vmin")) / lit(HistBins.toDouble)
-    val binned = li.join(broadcast(mm), "flag")
-      .withColumn("bin",
-        least(floor((col("v") - col("vmin")) / width).cast("long"),
-          lit(HistBins - 1)))
-    val hist = binned.groupBy(col("flag"), col("bin"))
-      .agg(count(lit(1)).as("cnt"))
+
+  /** Bin of `v` under a joined-in (vmin, vmax) spec. The vmax == vmin
+    * guard is the q294/q276 divergence-guard discipline (ADVICE r9):
+    * without it (v−vmin)/0.0 is NaN, which Spark's floor turns into
+    * null (least → 127) while DuckDB's CAST raises — a degenerate flag
+    * group collapses to bin 0 on BOTH engines instead. */
+  private[graft] def binUnderSpec: Column =
+    when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+      least(floor((col("v") - col("vmin")) /
+        ((col("vmax") - col("vmin")) / lit(HistBins.toDouble))).cast("long"),
+        lit(HistBins - 1)))
+
+  /** (spec, hist) → per-(flag, p) interpolated quantile estimates —
+    * the read-side projection over the O(bins) mergeable state, shared
+    * verbatim by the batch op and the streaming twin's parity spec
+    * ([[graft.streaming.CorpusStream.histQuantileStream]]). Carries the
+    * internal t/w/est columns the batch op's exact grading leg needs. */
+  private[graft] def quantileEstimates(mm: DataFrame, hist: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("flag")).orderBy(col("bin"))
     val cum = hist
       .withColumn("cume", sum(col("cnt")).over(
@@ -184,13 +196,23 @@ object BudgetOps {
       explode(array(HistPs.map(lit): _*)).as("p_micro"))
       .withColumn("t", col("p_micro").cast("double") / lit(1000000.0) *
         col("n").cast("double"))
-    val est = ps.join(cum, Seq("flag"))
+    ps.join(cum, Seq("flag"))
       .filter(col("cume").cast("double") >= col("t") &&
         col("cumb").cast("double") < col("t"))
       .withColumn("w", (col("vmax") - col("vmin")) / lit(HistBins.toDouble))
       .withColumn("est", col("vmin") + col("w") * col("bin").cast("double") +
         col("w") * (col("t") - col("cumb").cast("double")) /
           col("cnt").cast("double"))
+  }
+
+  def q302HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val mm = flagBinSpec(li)
+    val binned = li.join(broadcast(mm), "flag").withColumn("bin", binUnderSpec)
+    val hist = binned.groupBy(col("flag"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = quantileEstimates(mm, hist)
     // exact rank-ceil(t) order statistic: distinct-value cumulative
     // counts per flag (the grading device — see doc comment)
     val vc = li.groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
@@ -217,8 +239,10 @@ object BudgetOps {
        |       FROM li GROUP BY flag),
        |binned AS (
        |  SELECT li.flag,
-       |    LEAST(CAST(FLOOR((v - vmin) / ((vmax - vmin) / ${HistBins}.0)) AS BIGINT),
-       |          ${HistBins - 1}) AS bin
+       |    CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+       |         ELSE LEAST(CAST(FLOOR((v - vmin) / ((vmax - vmin) / ${HistBins}.0))
+       |                      AS BIGINT),
+       |                    ${HistBins - 1}) END AS bin
        |  FROM li JOIN mm ON li.flag = mm.flag),
        |hist AS (SELECT flag, bin, CAST(COUNT(*) AS BIGINT) AS cnt
        |         FROM binned GROUP BY flag, bin),

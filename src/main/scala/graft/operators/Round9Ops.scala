@@ -502,10 +502,16 @@ object Round9Ops {
     * [[SpanGram]]-gram rolling hash; hashes occurring ≥ [[SpanMinCount]]
     * times globally (across OR within documents — any repetition counts,
     * the ExactSubstr semantic) mark their positions duplicated, and per
-    * document consecutive duplicated positions merge (lag + running-sum
-    * break ids) into MAXIMAL spans — the deletable units. Graded output:
-    * the [[SpanTopK]] longest spans with per-source accounting (span
-    * count, affected docs, duplicated-token share).
+    * document duplicated positions whose gram EXTENTS overlap or touch
+    * (position gap < [[SpanGram]] — not just gap 1; ADVICE r9) merge
+    * (lag + running-sum break ids) into MAXIMAL spans — the deletable
+    * units. Because merged spans cover the contiguous token range
+    * [min pos, max pos + SpanGram − 1] and distinct spans sit ≥
+    * SpanGram apart, every duplicated token is counted exactly once:
+    * dup_tokens is a true token count and dup_share_micro ≤ 1e6 by
+    * construction. Graded output: the [[SpanTopK]] longest spans with
+    * per-source accounting (span count, affected docs,
+    * duplicated-token share).
     *
     * Scale shape: the positional-hash pass is one dict-encoded projection
     * + a [[SpanGram]]-lead window per doc (work ∝ corpus tokens, the q283
@@ -534,7 +540,7 @@ object Round9Ops {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = kg.join(dupH, "kh")
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wd) === 1, lit(0L)).otherwise(lit(1L)))
+        when(col("pos") - lag(col("pos"), 1).over(wd) < SpanGram, lit(0L)).otherwise(lit(1L)))
       .withColumn("span_id",
         sum(col("brk")).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("source"), col("span_id"))
@@ -580,7 +586,7 @@ object Round9Ops {
        |dp AS (SELECT doc_id, source, pos FROM kg JOIN dup USING (kh)),
        |sp AS (
        |  SELECT doc_id, source, pos,
-       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) < $SpanGram
        |         THEN 0 ELSE 1 END AS brk
        |  FROM dp),
        |sid AS (

@@ -133,7 +133,9 @@ class Round9OpsSpec extends AnyFunSuite {
     val rows = Round9Ops.q290DupSpans(spark, sf).collect()
     assert(rows.nonEmpty)
     // re-derive ground truth in plain Scala: positional k-gram strings,
-    // global count >= 2, merge consecutive duplicated positions
+    // global count >= 2, merge duplicated positions whose gram extents
+    // overlap or touch (gap < k — the ADVICE-r9 fix; gap-2..k-1 grams
+    // must fold into ONE span so covered tokens are counted once)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -146,11 +148,15 @@ class Round9OpsSpec extends AnyFunSuite {
     val spansByDoc = grams.filter(g => dupSet(g._3)).groupBy(_._1).map { case (id, gs) =>
       val ps = gs.map(_._2).sorted
       val spans = ps.foldLeft(List.empty[(Int, Int)]) {
-        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case ((s, e) :: rest, p) if p - e < k => (s, p) :: rest
         case (acc, p) => (p, p) :: acc
       }
       id -> spans.map { case (s, e) => (s, e - s + k) }.toSet
     }
+    // merged spans cover disjoint token ranges: the visible sources'
+    // dup_tokens are each bounded by the Scala model's global mass
+    val dupTokScala = spansByDoc.values.flatten.map(_._2.toLong).sum
+    rows.foreach(r => assert(r.getAs[Long]("dup_tokens") <= dupTokScala))
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val want = (r.getAs[Long]("start_pos").toInt, r.getAs[Long]("span_tokens").toInt)
