@@ -86,7 +86,12 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   /** Global (empty-partitionSpec) windows whose input IS bounded, but by
     * a grouping-key domain the static walk cannot see (grouped aggregates
-    * over closed domains), or kept as documented exact baselines:
+    * over closed domains), or kept as documented exact baselines.
+    * NOT name-trusted since round 10: the "global-window inputs are
+    * measured at runtime" test below executes every entry at sf0.01 AND
+    * sf0.1 and asserts the measured window-input row count against the
+    * domain bound claimed here (the AllowDomainBoundedBuild discipline
+    * applied to the second allowlist):
     *  - q145 exact global deciles — baseline beside q92/q127/q134
     *  - q180/q265 cumulative take over per-source / per-bucket aggregates
     *  - q187 skyline over the |brand|×|container| grid
@@ -254,6 +259,132 @@ class PlanInvariantSpec extends AnyFunSuite {
       check(measuredBuildRows(name, sfA), measuredBuildRows(name, sfB)).map(m => s"$name: $m")
     }
     assert(failures.isEmpty, s"build-bound violations:\n  ${failures.mkString("\n  ")}")
+  }
+
+  /** Execute a query fully (AQE off) and measure the INPUT row count of
+    * every global (empty-partitionSpec) window in its physical plan:
+    * walk from each WindowExec's child down the single-child chain to
+    * the first node exposing a row-count metric — a global window sits
+    * above its single-partition exchange (shuffleRecordsWritten), and
+    * filters/aggregates in between expose numOutputRows. The runtime
+    * ground truth behind AllowGlobalWindow, mirroring the BNLJ
+    * measurement above (round-9 advice item #2). */
+  private def measuredGlobalWindowRows(name: String, sfDir: String): Seq[Long] = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries(name)(s2, sfDir)
+    df.queryExecution.toRdd.count() // run THIS plan so its metrics populate
+    def inputRows(x: SparkPlan): Long = x match {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value)
+          .orElse(e.metrics.get("numOutputRows").map(_.value)).getOrElse(-1L)
+      case re: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        inputRows(re.child)
+      case other if other.metrics.contains("numOutputRows") =>
+        other.metrics("numOutputRows").value
+      case other if other.children.size == 1 => inputRows(other.children.head)
+      case _ => -1L
+    }
+    val rows = deepCollect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => inputRows(w.child)
+    }
+    s2.catalog.clearCache()
+    rows.sorted
+  }
+
+  test("global-window inputs are measured at runtime, not name-trusted") {
+    // each AllowGlobalWindow entry runs fully at sf0.01 AND sf0.1 and
+    // its measured global-window input row counts must satisfy the
+    // domain bound its allowlist comment claims — a window input that
+    // starts scaling with the corpus fails here even though the static
+    // walk can't see it (the BNLJ-measurement discipline, applied to
+    // the second allowlist)
+    val sfA = "/root/testdata/sf0.01"
+    val sfB = "/root/testdata/sf0.1"
+    def ordersN(dir: String): Long = Tables.orders(spark, dir).count()
+    def ppsBuckets(dir: String): Long = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.expr("doc_id div 256")).distinct().count()
+    def priceFloors(dir: String): Long = Tables.part(spark, dir)
+      .select(org.apache.spark.sql.functions.expr("floor(p_retailprice)"))
+      .distinct().count()
+    // the encoder's closed value space: distinct (n, Σy) per-category
+    // stat pairs bound the distinct smoothed scores from above
+    def encoderPairs(dir: String): Long = {
+      import org.apache.spark.sql.functions._
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("cat"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
+        .groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("ss"))
+        .select(col("n"), col("ss")).distinct().count()
+    }
+    val checks: Map[String, (Seq[Long], Seq[Long]) => Option[String]] = Map(
+      // exact global deciles: corpus-proportional BY DESIGN (documented
+      // exactness baseline beside q127/q134) — the formula IS the claim
+      "q145_deciles" -> ((a, b) =>
+        if (a == Seq(ordersN(sfA)) && b == Seq(ordersN(sfB))) None
+        else Some(s"expected [|orders|] baseline inputs, got $a vs $b")),
+      // two-phase prefix sum: the only ordered window runs over the
+      // BUCKET relation, |docs|/256 rows
+      "q180_pps_sample" -> ((a, b) =>
+        if (a == Seq(ppsBuckets(sfA)) && b == Seq(ppsBuckets(sfB))) None
+        else Some(s"expected [docs/256] bucket inputs " +
+          s"(${ppsBuckets(sfA)} / ${ppsBuckets(sfB)}), got $a vs $b")),
+      // skyline prefix-min over ⌊price⌋ buckets: the price-domain width
+      // (~900..2100) caps it whatever the corpus
+      "q187_skyline" -> ((a, b) =>
+        if (a == Seq(priceFloors(sfA)) && b == Seq(priceFloors(sfB)) &&
+          (a ++ b).forall(_ <= 1300)) None
+        else Some(s"expected [distinct ⌊price⌋] <= 1300, got $a vs $b")),
+      // water filling: both ordered windows run over the |sources| caps
+      // relation (and its unfunded subset)
+      "q212_water_filling" -> ((a, b) =>
+        if ((a ++ b).forall(_ <= 32) && a.size == b.size) None
+        else Some(s"expected source-domain inputs <= 32, got $a vs $b")),
+      // global CDF over the QnBins histogram grid
+      "q254_quantile_norm" -> ((a, b) =>
+        if ((a ++ b).forall(_ <= operators.MartOps.QnBins)) None
+        else Some(s"expected <= ${operators.MartOps.QnBins} bin inputs, got $a vs $b")),
+      // rank-sum / ROC / threshold sweeps: the cumulative windows run
+      // over DISTINCT encoder scores, bounded by the closed (n, Σy)
+      // value space — and far below the row count
+      "q256_auc_exact" -> ((a, b) =>
+        if (a.forall(_ <= encoderPairs(sfA)) && b.forall(_ <= encoderPairs(sfB)) &&
+          b.forall(_ <= ordersN(sfB) / 10)) None
+        else Some(s"expected score-domain inputs <= (n,Σy) pairs " +
+          s"(${encoderPairs(sfA)} / ${encoderPairs(sfB)}), got $a vs $b")),
+      "q259_roc" -> ((a, b) =>
+        if (a.forall(_ <= encoderPairs(sfA)) && b.forall(_ <= encoderPairs(sfB)) &&
+          b.forall(_ <= ordersN(sfB) / 10)) None
+        else Some(s"expected score-domain inputs, got $a vs $b")),
+      "q260_threshold" -> ((a, b) =>
+        if (a.forall(_ <= encoderPairs(sfA)) && b.forall(_ <= encoderPairs(sfB)) &&
+          b.forall(_ <= ordersN(sfB) / 10)) None
+        else Some(s"expected score-domain inputs, got $a vs $b")),
+      // cumulative take over the CurveBands band table
+      "q265_value_curve" -> ((a, b) =>
+        if ((a ++ b).forall(_ <= operators.CurveOps.CurveBands)) None
+        else Some(s"expected <= ${operators.CurveOps.CurveBands} band inputs, got $a vs $b")),
+      // Kaplan–Meier over distinct elapsed-day values: calendar-bounded
+      "q272_survival_km" -> ((a, b) =>
+        if ((a ++ b).forall(_ <= 120)) None
+        else Some(s"expected day-domain inputs <= 120, got $a vs $b")))
+    // the checked map and the allowlist must be the SAME set (the
+    // AllowDomainBoundedBuild discipline) — no silent name-trust
+    assert(checks.keySet == AllowGlobalWindow,
+      s"runtime checks out of sync with AllowGlobalWindow: " +
+        s"unchecked=${(AllowGlobalWindow -- checks.keySet).mkString(", ")} " +
+        s"stale=${(checks.keySet -- AllowGlobalWindow).mkString(", ")}")
+    val failures = checks.toSeq.sortBy(_._1).flatMap { case (name, check) =>
+      val (a, b) = (measuredGlobalWindowRows(name, sfA), measuredGlobalWindowRows(name, sfB))
+      // a -1 means the walk could not find a metric-bearing node — that
+      // is a measurement failure, never a pass
+      val resolved = if ((a ++ b).contains(-1L))
+        Some(s"unresolvable window-input metric: $a vs $b") else check(a, b)
+      resolved.map(m => s"$name: $m")
+    }
+    assert(failures.isEmpty, s"window-bound violations:\n  ${failures.mkString("\n  ")}")
   }
 
   test("no unbounded CartesianProduct outside the baseline allowlist") {
