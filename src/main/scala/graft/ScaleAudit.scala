@@ -62,20 +62,19 @@ object ScaleAudit {
     "q289_hamming_rerank", "q247_ivf_recall", "q305_hybrid_index",
     "q307_span_provenance")
 
-  /** Input grows 10×; bytes must not grow super-linearly. The slack over
-    * 10.0 absorbs fixed-size terms flipping (a broadcast that lands on
-    * the other side, parquet page rounding), not algorithmic growth —
-    * a quadratic leg at 10× input shows up as ~100×, far past this. */
-  val BytesRatioMax = 13.0
-  /** Wall ratios are noisy at local[32] with sub-second sf0.01 floors;
-    * still, ≤ 15× at 10× input rules out super-linear compute. */
+  /** Max log-log exponent of shuffle bytes against the work driver
+    * (input ROWS, or the [[WorkModels]] set where one exists), fitted
+    * by OLS over THREE scale points (sf0.001/0.01/0.1 — round-10
+    * upgrade; the former single-ratio 13× slack let an N^1.15 leg pass,
+    * a 100×-span two-segment fit does not). The slack over 1.0 absorbs
+    * map-side-combine efficiency shifting with distinct-keys ×
+    * partitions and compression-ratio drift, not algorithmic growth —
+    * a quadratic leg reads as exponent ≈ 2. */
+  val SlopeMax = 1.25
+  /** Wall ratios are noisy at local[32] with sub-second small-SF
+    * floors; still, ≤ 15× at 10× input rules out super-linear compute
+    * (asserted on the b→c segment, where fixed overhead matters least). */
   val WallRatioMax = 15.0
-  /** For queries with a [[WorkModels]] entry, shuffle may grow up to
-    * this factor × the measured WORK ratio. The slack covers map-side
-    * combine whose effectiveness shrinks as distinct-keys × partitions
-    * approaches the row count (the small-SF baseline under-counts), not
-    * algorithmic growth. */
-  val WorkSlack = 2.5
 
   /** True work drivers for queries whose cost is NOT proportional to
     * input bytes: derived edge/pair sets whose growth between two SFs
@@ -156,24 +155,45 @@ object ScaleAudit {
       "q66_winnowing" -> winnowPairs)
   }
 
+  /** OLS slope of ln(shuffle) on ln(work) over the scale points where
+    * both are positive — the measured scaling exponent. Fewer than two
+    * usable points (a query whose shuffle is zero at the small SFs)
+    * returns 0.0: nothing super-linear can hide in a flat-then-tiny
+    * series, and the spec separately floors on absolute size. Shared by
+    * the audit (reported) and ScaleAuditSpec (asserted ≤ [[SlopeMax]]). */
+  def fitSlope(points: Seq[(Long, Long)]): Double = {
+    val ps = points.filter(p => p._1 > 0 && p._2 > 0)
+      .map(p => (math.log(p._1.toDouble), math.log(p._2.toDouble)))
+    if (ps.size < 2) return 0.0
+    val n = ps.size
+    val sx = ps.map(_._1).sum
+    val sy = ps.map(_._2).sum
+    val sxx = ps.map(p => p._1 * p._1).sum
+    val sxy = ps.map(p => p._1 * p._2).sum
+    val den = n * sxx - sx * sx
+    if (den == 0.0) 0.0 else (n * sxy - sx * sy) / den
+  }
+
   final class MetricsListener extends SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val input = new java.util.concurrent.atomic.AtomicLong
+    val inputRows = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         input.addAndGet(m.inputMetrics.bytesRead)
+        inputRows.addAndGet(m.inputMetrics.recordsRead)
       }
     }
     /** Poll until the async bus has drained (totals stable ~250 ms). */
-    def settled(): (Long, Long) = {
-      var last = (shuffleWrite.get, input.get)
+    def settled(): (Long, Long, Long) = {
+      var last = (shuffleWrite.get, input.get, inputRows.get)
       var stableMs = 0
       val t0 = System.nanoTime()
       while (stableMs < 250 && (System.nanoTime() - t0) < 5e9) {
         Thread.sleep(50)
-        val now = (shuffleWrite.get, input.get)
+        val now = (shuffleWrite.get, input.get, inputRows.get)
         if (now == last) stableMs += 50 else { stableMs = 0; last = now }
       }
       last
@@ -181,9 +201,10 @@ object ScaleAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfA = args.lift(0).getOrElse("/root/testdata/sf0.01")
-    val sfB = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val outFile = args.lift(2).getOrElse("SCALEAUDIT.json")
+    val sfA = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val sfB = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val sfC = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val outFile = args.lift(3).getOrElse("SCALEAUDIT.json")
     val runs = sys.env.getOrElse("SPARK_GRAFT_AUDIT_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -205,58 +226,72 @@ object ScaleAudit {
     try {
       SparkEntry.queries(AuditSet.head)(spark, sfA)
         .write.mode("overwrite").format("noop").save()
-      Seq(sfA, sfB).foreach { sf =>
+      Seq(sfA, sfB, sfC).foreach { sf =>
         ml.HybridIndex.ensure(spark, sf)
         ml.TruthTables.warm(spark, sf)
       }
     } catch { case _: Throwable => () }
     finally spark.catalog.clearCache()
 
-    // per (query, sf): bytes from run 1, wall = min over `runs` runs;
+    // per (query, sf): bytes/rows from run 1, wall = min over `runs` runs;
     // clearCache between runs so persist() fragments never carry over
-    def measure(name: String, sfDir: String): (Double, Long, Long) = {
+    def measure(name: String, sfDir: String): (Double, Long, Long, Long) = {
       val fn = SparkEntry.queries(name)
       var wall = Double.MaxValue
       var sw = 0L
       var in = 0L
+      var ir = 0L
       (1 to runs).foreach { r =>
         listener.settled()
         val sw0 = listener.shuffleWrite.get
         val in0 = listener.input.get
+        val ir0 = listener.inputRows.get
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         finally spark.catalog.clearCache()
         val t = (System.nanoTime() - t0) / 1e9
         wall = math.min(wall, t)
         if (r == 1) {
-          val (sw1, in1) = listener.settled()
+          val (sw1, in1, ir1) = listener.settled()
           sw = sw1 - sw0
           in = in1 - in0
+          ir = ir1 - ir0
         }
       }
-      (wall, sw, in)
+      (wall, sw, in, ir)
     }
 
     val rows = AuditSet.map { name =>
-      val (wa, swa, ina) = measure(name, sfA)
-      val (wb, swb, inb) = measure(name, sfB)
-      val (ka, kb) = WorkModels.get(name) match {
-        case Some(f) => (f(spark, sfA), f(spark, sfB))
-        case None => (0L, 0L)
+      val (wa, swa, ina, ira) = measure(name, sfA)
+      val (wb, swb, inb, irb) = measure(name, sfB)
+      val (wc, swc, inc, irc) = measure(name, sfC)
+      val (ka, kb, kc) = WorkModels.get(name) match {
+        case Some(f) => (f(spark, sfA), f(spark, sfB), f(spark, sfC))
+        case None => (0L, 0L, 0L)
       }
       spark.catalog.clearCache()
-      def ratio(a: Double, b: Double): Double = if (a > 0) b / a else -1.0
-      val workNote = if (ka > 0) f"  work ${ka}%10d -> ${kb}%10d (${ratio(ka.toDouble, kb.toDouble)}%5.1f x)" else ""
-      System.err.println(f"[audit] $name%-28s wall $wa%7.3f -> $wb%7.3f (${ratio(wa, wb)}%5.1f x)  " +
-        f"shuffle ${swa}%12d -> ${swb}%12d (${ratio(swa.toDouble, swb.toDouble)}%5.1f x)$workNote")
+      // default work driver: input ROWS, not bytes — a column-pruned
+      // dictionary-encoded read stays near-constant in BYTES while rows
+      // grow 10× (q302 reads 29 KB at sf0.001 and 89 KB at sf0.1 for a
+      // 100× row span), which would fake a super-linear shuffle slope
+      val slope = ScaleAudit.fitSlope(
+        Seq((if (ka > 0) ka else ira, swa), (if (kb > 0) kb else irb, swb),
+          (if (kc > 0) kc else irc, swc)))
+      val workNote = if (ka > 0) f"  work ${ka}%8d/${kb}%8d/${kc}%9d" else ""
+      System.err.println(f"[audit] $name%-28s wall $wa%6.3f/$wb%6.3f/$wc%7.3f  " +
+        f"shuffle ${swa}%10d/${swb}%10d/${swc}%11d  slope $slope%5.2f$workNote")
       s"""    "$name": {"wall_a": ${f"$wa%.3f"}, "wall_b": ${f"$wb%.3f"}, """ +
-        s""""shuffle_a": $swa, "shuffle_b": $swb, "input_a": $ina, "input_b": $inb, """ +
-        s""""work_a": $ka, "work_b": $kb}"""
+        s""""wall_c": ${f"$wc%.3f"}, """ +
+        s""""shuffle_a": $swa, "shuffle_b": $swb, "shuffle_c": $swc, """ +
+        s""""input_a": $ina, "input_b": $inb, "input_c": $inc, """ +
+        s""""rows_a": $ira, "rows_b": $irb, "rows_c": $irc, """ +
+        s""""work_a": $ka, "work_b": $kb, "work_c": $kc}"""
     }
     val json =
       s"""{
          |  "sf_a": "$sfA",
          |  "sf_b": "$sfB",
+         |  "sf_c": "$sfC",
          |  "runs": $runs,
          |  "queries": {
          |${rows.mkString(",\n")}

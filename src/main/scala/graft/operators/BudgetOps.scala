@@ -161,7 +161,14 @@ object BudgetOps {
     * Float parity: min/max/width/estimate are doubles derived from
     * identical inputs through identical IEEE expressions on both
     * engines (the q295 division discipline), micro-rounded once at the
-    * output. */
+    * output.
+    *
+    * Streaming twin: [[graft.streaming.CorpusStream.histQuantileStream]]
+    * runs the same (flag, bin) counters as an update-mode streaming
+    * aggregate under the frozen bin spec and replays
+    * [[quantileEstimates]] at read time — parity-asserted in
+    * StreamingSpec, completing the sketch-family streaming story
+    * (MG / attrition / IVF / preference-pair precedents). */
   /** The frozen per-flag bin spec (min/max/population) — the calibration
     * pass whose output the streaming twin treats as a static model, the
     * ivfMaintainStream discipline applied to quantiles. */

@@ -201,6 +201,29 @@ object CorpusStream {
       .toDF()
   }
 
+  /** Streaming twin of q302's mergeable-histogram quantiles
+    * ([[graft.operators.BudgetOps.q302HistQuantiles]]): value rows
+    * arrive as a stream and the per-(flag, bin) counters update
+    * continuously — exercising exactly the claim q302's design rests
+    * on (the (flag, bin) state merges by vector addition) as an
+    * update-mode streaming aggregate. The bin SPEC (per-flag min/max
+    * from a calibration pass) is FROZEN and joined in as a static
+    * side — the ivfMaintainStream frozen-model discipline: a spec that
+    * moved with the stream would re-bin history, which no mergeable
+    * sketch can do. State is |flags|·[[graft.operators.BudgetOps
+    * .HistBins]] counter rows, ever; the estimate projection
+    * ([[graft.operators.BudgetOps.quantileEstimates]]) runs at read
+    * time over the counters, and the parity spec asserts the
+    * converged estimates equal the batch op's.
+    *
+    * @param values streaming (flag, v)
+    * @param spec   static (flag, vmin, vmax, n) calibration table */
+  def histQuantileStream(values: DataFrame, spec: DataFrame): DataFrame =
+    values.join(spec, "flag") // stream-static equi probe
+      .withColumn("bin", graft.operators.BudgetOps.binUnderSpec)
+      .groupBy(col("flag"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   def ivfMaintainStream(vecs: DataFrame, model: Seq[Seq[Double]]): DataFrame = {
     graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
     def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

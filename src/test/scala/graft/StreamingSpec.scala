@@ -543,6 +543,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histQuantileStream: streamed (flag, bin) counters reproduce batch q302 estimates") {
+    import graft.operators.BudgetOps
+    val liK = Tables.lineitem(spark, sf).select(col("l_orderkey"),
+      col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val spec = BudgetOps.flagBinSpec(liK.select(col("flag"), col("v")))
+    // two micro-batches: the (flag, bin) counters must merge by vector
+    // addition across the boundary — q302's whole design claim
+    val dir = java.nio.file.Files.createTempDirectory("hist_vals")
+    liK.filter(pmod(col("l_orderkey"), lit(2)) === 0).select(col("flag"), col("v"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    liK.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).select(col("flag"), col("v"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(liK.select(col("flag"), col("v")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.histQuantileStream(stream, spec), "hist_q", OutputMode.Update())
+    try {
+      // last update per (flag, bin) is the converged counter
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag"), col("bin")).orderBy(col("upd").desc)
+      val hist = spark.table("hist_q")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("flag"), col("bin"), col("cnt"))
+      // read-time projection over the counters = the shared estimate core
+      val got = BudgetOps.quantileEstimates(spec, hist)
+        .select(col("flag"), col("p_micro"), col("bin"),
+          floor(col("w") * lit(1000000.0) + lit(0.5)).cast("long").as("width_micro"),
+          floor(col("est") * lit(1000000.0) + lit(0.5)).cast("long").as("est_micro"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted
+      val want = BudgetOps.q302HistQuantiles(spark, sf)
+        .select(col("flag"), col("p_micro"), col("hit_bin"),
+          col("width_micro"), col("est_micro"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted
+      assert(want.nonEmpty && got.sameElements(want),
+        s"stream ${got.toSeq} != batch ${want.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks on watermark eviction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_outer")
