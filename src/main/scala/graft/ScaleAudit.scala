@@ -60,7 +60,7 @@ object ScaleAudit {
     "q290_dup_spans", "q291_coverage_sample", "q292_filter_attrition",
     "q293_embed_outliers", "q297_kcore", "q302_hist_quantiles",
     "q289_hamming_rerank", "q247_ivf_recall", "q305_hybrid_index",
-    "q307_span_provenance")
+    "q307_span_provenance", "q171_interval_overlap")
 
   /** Max log-log exponent of shuffle bytes against the work driver
     * (input ROWS, or the [[WorkModels]] set where one exists), fitted

@@ -128,11 +128,99 @@ object EvalOps {
        |              * 1000000.0 + 0.5) AS BIGINT) AS auc_micro
        |FROM terms""".stripMargin
 
+  /** q308's samples per task, success threshold, and graded k values. */
+  val PassN = 10
+  val PassThresh = 50.0
+  val PassKs: Seq[Int] = Seq(1, 5, 10)
+
+  /** q308 — unbiased pass@k (Chen et al., "Evaluating Large Language
+    * Models Trained on Code" — the HumanEval/MBPP estimator): given n
+    * sampled attempts per task of which c succeed, the probability that
+    * at least one of k drawn samples succeeds is
+    * 1 − C(n−c, k)/C(n, k), and averaging THAT (instead of empirically
+    * resampling k of n) is the variance-free unbiased estimator every
+    * generation-eval harness publishes. The eval tier's existing
+    * metrics are ranking/classification (q256 AUC, q259 ROC, q263
+    * NDCG, q204 retrieval eval); this is the sampling-based
+    * GENERATION metric — a different estimator family.
+    *
+    * Fixture mapping (deterministic, no synthetic data): task = user,
+    * attempts = the user's first [[PassN]] events by (ts, event_id),
+    * success = value ≥ [[PassThresh]] (c spans 1..8 at sf0.01, so both
+    * easy and hard "tasks" exist). Tasks with n < k drop from that k's
+    * average (the estimator requires n ≥ k) — deterministically, on
+    * both engines.
+    *
+    * Exactness: C(n−c,k)/C(n,k) = Π_{i<k} (n−c−i)/(n−i) is computed as
+    * a ratio of EXACT integer falling factorials (≤ 10! ≤ 3.6e6, no
+    * overflow near int64), one integer-DIV micro-division per (task, k)
+    * (truncation, identical on both engines), summed exactly and
+    * divided once per k — no float ever enters.
+    *
+    * Scale shape: one per-task rank window (task-keyed, high
+    * cardinality), one (task) aggregate, a |tasks|×|ks| row-local
+    * projection, one |ks|-row aggregate — partial-aggregable
+    * throughout, nothing global. */
+  def q308PassAtK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("task")).orderBy(col("ts"), col("event_id"))
+    val trials = Tables.events(s, d)
+      .select(col("user_id").as("task"), col("ts"), col("event_id"),
+        (col("value") >= PassThresh).cast("long").as("ok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PassN)
+    val tasks = trials.groupBy(col("task"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+    val perK = tasks
+      .withColumn("k", explode(array(PassKs.map(k => lit(k.toLong)): _*)))
+      .filter(col("k") <= col("n"))
+      .withColumn("num", expr(
+        "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * greatest(n - c - i, 0L))"))
+      .withColumn("den", expr(
+        "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * (n - i))"))
+      .withColumn("pass_micro", expr("1000000 - (num * 1000000 DIV den)"))
+    perK.groupBy(col("k")).agg(
+        count(lit(1)).as("n_tasks"),
+        sum(col("pass_micro")).as("sum_pass_micro"),
+        sum((col("c") === col("n")).cast("long")).as("n_all_pass"),
+        sum((col("c") === 0).cast("long")).as("n_none_pass"))
+      .withColumn("mean_pass_micro", expr("sum_pass_micro DIV n_tasks"))
+      .orderBy(col("k"))
+  }
+
+  val q308Sql: String =
+    s"""WITH f AS (
+       |  SELECT user_id AS task,
+       |         CASE WHEN value >= $PassThresh THEN 1 ELSE 0 END AS ok,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |t AS (SELECT task, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS c
+       |      FROM f WHERE rn <= $PassN GROUP BY task),
+       |pk AS (
+       |  SELECT t.task, t.n, t.c, CAST(u.k AS BIGINT) AS k,
+       |         list_reduce(list_transform(range(0, u.k),
+       |           i -> greatest(t.n - t.c - i, 0)), (a, b) -> a * b) AS num,
+       |         list_reduce(list_transform(range(0, u.k),
+       |           i -> t.n - i), (a, b) -> a * b) AS den
+       |  FROM t, UNNEST([${PassKs.mkString(", ")}]) AS u(k)
+       |  WHERE u.k <= t.n),
+       |pm AS (SELECT task, n, c, k,
+       |              1000000 - ((num * 1000000) // den) AS pass_micro
+       |       FROM pk)
+       |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       |       CAST(SUM(pass_micro) AS BIGINT) AS sum_pass_micro,
+       |       CAST(SUM(CASE WHEN c = n THEN 1 ELSE 0 END) AS BIGINT) AS n_all_pass,
+       |       CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_none_pass,
+       |       CAST(SUM(pass_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |         AS mean_pass_micro
+       |FROM pm GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q255_bootstrap" -> q255Bootstrap _,
-    "q256_auc_exact" -> q256AucExact _)
+    "q256_auc_exact" -> q256AucExact _,
+    "q308_pass_at_k" -> q308PassAtK _)
 
   val oracles: Map[String, String] = Map(
     "q255_bootstrap" -> q255Sql,
-    "q256_auc_exact" -> q256Sql)
+    "q256_auc_exact" -> q256Sql,
+    "q308_pass_at_k" -> q308Sql)
 }

@@ -57,4 +57,48 @@ class EvalOpsSpec extends AnyFunSuite {
     val brute = math.floor(num / (pos.length.toDouble * neg.length) * 1e6 + 0.5).toLong
     assert(auc == brute, s"histogram AUC $auc != brute AUC $brute")
   }
+
+  test("q308: pass@k matches exact combinatorics and is monotone in k") {
+    import graft.operators.EvalOps
+    val rows = EvalOps.q308PassAtK(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_tasks"), r.getAs[Long]("mean_pass_micro"),
+          r.getAs[Long]("sum_pass_micro"))).toMap
+    // every configured k has a graded row (all fixture tasks have n >= 1)
+    assert(rows.keySet == EvalOps.PassKs.map(_.toLong).toSet)
+    // exact Scala model: per task (n, c) from the same deterministic
+    // derivation, pass@k = 1 - C(n-c,k)/C(n,k) with the query's
+    // integer-DIV truncation
+    val per = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, evs) =>
+        val first = evs.sortBy(e =>
+          (e.getAs[java.sql.Timestamp]("ts").getTime,
+            e.getAs[java.sql.Timestamp]("ts").getNanos,
+            e.getAs[Long]("event_id"))).take(EvalOps.PassN)
+        val c = first.count(_.getAs[Double]("value") >= EvalOps.PassThresh).toLong
+        (u, first.length.toLong, c)
+      }.toSeq
+    def fall(x: Long, k: Long): Long = (0L until k).map(i => math.max(x - i, 0L)).product
+    EvalOps.PassKs.map(_.toLong).foreach { k =>
+      val el = per.filter(_._2 >= k)
+      if (el.nonEmpty) {
+        val sum = el.map { case (_, n, c) =>
+          1000000L - fall(n - c, k) * 1000000L / fall(n, k)
+        }.sum
+        val (nTasks, mean, sumGot) = rows(k)
+        assert(nTasks == el.size, s"k=$k: tasks $nTasks != ${el.size}")
+        assert(sumGot == sum, s"k=$k: sum $sumGot != scala $sum")
+        assert(mean == sum / el.size)
+      }
+    }
+    // pass@k is monotone non-decreasing in k on the common task set
+    val ks = rows.keys.toSeq.sorted
+    ks.zip(ks.tail).foreach { case (a, b) =>
+      if (rows(a)._1 == rows(b)._1)
+        assert(rows(a)._2 <= rows(b)._2, s"pass@$a > pass@$b")
+    }
+  }
 }

@@ -398,9 +398,18 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   test("no global-window over unbounded input outside the bounded-domain allowlist") {
     val bad = offenders(
-      _.logical.collectWithSubqueries {
+      b => b.logical.collectWithSubqueries {
         case w: LWindow if w.partitionSpec.isEmpty && !boundedL(w.child) => w
-      }.nonEmpty,
+      }.nonEmpty ||
+        // the logical tree ends at InMemoryRelation for builder-persisted
+        // fragments, so also walk every cached PHYSICAL plan (the q289
+        // BNLJ blind spot, applied to windows); rank-over-limit compiles
+        // to TakeOrderedAndProject, so a physical WindowExec with an
+        // empty partitionSpec is always a genuine global window
+        deepCollect(b.physical) {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !boundedP(w.child) => w
+        }.nonEmpty,
       AllowGlobalWindow)
     assert(bad.isEmpty, s"undocumented global Window in: ${bad.mkString(", ")}")
   }
