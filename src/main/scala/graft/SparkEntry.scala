@@ -67,7 +67,8 @@ object SparkEntry {
       operators.Round9Ops.queries ++
       operators.GovernanceOps.queries ++
       operators.BudgetOps.queries ++
-      operators.Round10Ops.queries
+      operators.Round10Ops.queries ++
+      operators.Round11Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -124,5 +125,6 @@ object SparkEntry {
       operators.Round9Ops.oracles ++
       operators.GovernanceOps.oracles ++
       operators.BudgetOps.oracles ++
-      operators.Round10Ops.oracles
+      operators.Round10Ops.oracles ++
+      operators.Round11Ops.oracles
 }

@@ -24,34 +24,34 @@ import org.apache.spark.sql.functions._
   * Scale shape of the build: the fit is k broadcast rows per iteration
   * (KMeansIvf's contract); the assignment is one codegen projection
   * over the corpus; the lexical index is one doc_id-keyed shuffle with
-  * a df-cap — all linear, all write-once. At 100 TB the artifact lives
-  * in the warehouse with a version tag and the serve path is exactly
-  * the reads below; here it lives in a per-JVM temp dir so every
-  * process (tests, Verify, Bench) rebuilds from the fixtures exactly
-  * once and stale artifacts cannot survive a code change.
+  * a df-cap — all linear, all write-once. The artifact is
+  * CONTENT-VERSIONED (round 11): it is keyed by a fingerprint of the
+  * corpus tables it derives from ([[ArtifactStore]]), so a changed
+  * corpus rebuilds and an unchanged one serves — q309 grades that
+  * lifecycle. At 100 TB the fingerprint is the warehouse table's
+  * snapshot/version id and the artifact a versioned table beside it;
+  * here it lives in a per-JVM temp dir so every process (tests,
+  * Verify, Bench) rebuilds from the fixtures exactly once and stale
+  * artifacts cannot survive a code change.
   */
 object HybridIndex {
-  private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-hybrid-index-")
-    p.toFile.deleteOnExit()
-    p
-  }
-  private val built = scala.collection.mutable.HashSet.empty[String]
+  /** The corpus tables the index derives from — the fingerprint scope
+    * [[ArtifactStore.ensure]] checks freshness against. */
+  private val SrcTables = Seq("documents", "embeddings")
 
-  private def dirFor(d: String): String =
-    root.resolve("ix-" + java.lang.Integer.toHexString(d.hashCode)).toString
+  /** Build-once-per-(JVM, corpus content): train + persist, then hand
+    * back the artifact dir. Keying, freshness, and cleanup live in
+    * [[ArtifactStore]] (content-fingerprint versioning — a changed
+    * corpus rebuilds, an unchanged one serves; q309 grades it). */
+  def ensure(s: SparkSession, d: String): String = ensureTracked(s, d)._1
 
-  /** Build-once-per-(JVM, corpus): train + persist, then hand back the
-    * artifact dir. Serial by construction (Verify/Bench run queries
-    * sequentially; the lock covers test suites). */
-  def ensure(s: SparkSession, d: String): String = synchronized {
-    val dir = dirFor(d)
-    if (!built.contains(dir)) {
-      build(s, d, dir)
-      built += dir
-    }
-    dir
-  }
+  /** ensure + whether a (re)build fired this call — the staleness probe
+    * (q309) reports this alongside the re-indexed artifact counts. */
+  def ensureTracked(s: SparkSession, d: String): (String, Boolean) =
+    ArtifactStore.ensure(s, d, "hybrid", SrcTables)(dir => build(s, d, dir))
+
+  /** Force the next ensure to rebuild (ScaleAudit times the build). */
+  def invalidate(d: String): Unit = ArtifactStore.invalidate(d, "hybrid")
 
   /** Trained coarse quantizer: (cluster, cent array<double>), k rows. */
   def centroids(s: SparkSession, d: String): DataFrame =

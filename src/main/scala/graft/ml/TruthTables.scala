@@ -18,23 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unchanged either way.
   */
 object TruthTables {
-  private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-truth-")
-    p.toFile.deleteOnExit()
-    p
-  }
-  private val built = scala.collection.mutable.HashSet.empty[String]
-
+  /** Keying, content-fingerprint freshness, and shutdown cleanup live
+    * in [[ArtifactStore]] (both truth tables derive from embeddings
+    * only, so that is the fingerprint scope). */
   private def ensure(s: SparkSession, d: String, kind: String)
       (make: => DataFrame): DataFrame = {
-    val dir = root.resolve(
-      kind + "-" + java.lang.Integer.toHexString(d.hashCode)).toString
-    synchronized {
-      if (!built.contains(dir)) {
-        make.write.mode("overwrite").parquet(dir)
-        built += dir
-      }
-    }
+    val (dir, _) = ArtifactStore.ensure(s, d, kind, Seq("embeddings"))(
+      out => make.write.mode("overwrite").parquet(out))
     s.read.parquet(dir)
   }
 

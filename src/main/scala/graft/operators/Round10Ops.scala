@@ -164,7 +164,7 @@ object Round10Ops {
     * bound); the report is the |sources|² matrix. */
   def q307SpanProvenance(s: SparkSession, d: String): DataFrame = {
     val kg = Round9Ops.spanGrams(s, d)
-    val dupH = dupHashesPersisted(kg)
+    val dupH = Round9Ops.dupHashes(kg)
     val ks = kg.join(dupH, "kh").select(col("kh"), col("source")).distinct()
     val tot = dupH.agg(count(lit(1)).as("n_dup_hashes"))
     ks.as("a").join(ks.as("b"),
@@ -176,10 +176,10 @@ object Round10Ops {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  /** q307 consumes the dup-hash set twice (pair join + 1-row total):
-    * pin it so the gram aggregate runs once. */
-  private def dupHashesPersisted(kg: DataFrame): DataFrame =
-    Round9Ops.dupHashes(kg).persist()
+  // q307 consumes the dup-hash set twice (pair join + 1-row total); with
+  // the gram frame a build-once parquet artifact (round 11), recomputing
+  // it is two cheap scans — the former persist() leaked a cache entry
+  // per call (ADVICE r10) for no measurable win.
 
   val q307Sql: String =
     s"""WITH ${Round9Ops.spanGramCtes},

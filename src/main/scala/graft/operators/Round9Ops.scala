@@ -528,8 +528,22 @@ object Round9Ops {
   /** The positional [[SpanGram]]-gram rolling-hash frame
     * (doc_id, source, pos, kh) — q290's first stage, factored out
     * because q307's cross-source span provenance consumes the same
-    * frame. Persisted: both consumers' downstream legs re-read it. */
+    * frame. A build-once [[graft.ml.ArtifactStore]] parquet artifact
+    * since round 11 (ADVICE r10: the former per-call persist() rebuilt
+    * the "shared" frame once per consumer and accumulated cache entries
+    * until an external clearCache): the gram pass — the linear,
+    * dict-encoded half of ExactSubstr — runs once per (JVM, corpus
+    * content) and both consumers scan the artifact, which is exactly
+    * where a production ExactSubstr pipeline materializes its suffix
+    * table. */
   private[graft] def spanGrams(s: SparkSession, d: String): DataFrame = {
+    val (dir, _) = graft.ml.ArtifactStore.ensure(s, d, "grams", Seq("documents")) {
+      out => spanGramsCompute(s, d).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
+  private def spanGramsCompute(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
@@ -541,7 +555,6 @@ object Round9Ops {
       .select(col("doc_id"), col("source"), col("pos"),
         (1 until SpanGram).foldLeft(col("h"))((acc, j) =>
           (acc * 31 + col(s"h$j")) % P).as("kh"))
-      .persist()
   }
 
   /** Hashes occurring ≥ [[SpanMinCount]] times globally — the

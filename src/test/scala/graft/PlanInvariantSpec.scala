@@ -76,11 +76,16 @@ class PlanInvariantSpec extends AnyFunSuite {
     *  - q289: the [[graft.operators.Round9Ops.HamQueryCap]]-row query
     *    broadcast (SF-invariant literal filter) — since round 10 its
     *    recall truth is a persisted TruthTables scan
+    *  - q310: the |sources|-row global sensitive-distribution anchor
+    *    (the EMD needs every group×source cell, absent sources
+    *    included — 20 rows per build at BOTH SFs; the per-group counts
+    *    join is an equi-join on the quasi tuple)
     */
   private val AllowDomainBoundedBuild: Set[String] = Set(
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
     "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
-    "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank")
+    "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank",
+    "q310_t_closeness")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -247,7 +252,12 @@ class PlanInvariantSpec extends AnyFunSuite {
       // the q38 truth grid is GONE (persisted TruthTables scan)
       "q289_hamming_rerank" -> ((a, b) =>
         if (a == Seq(8L) && b == Seq(8L)) None
-        else Some(s"expected [8] query-batch build, got $a vs $b")))
+        else Some(s"expected [8] query-batch build, got $a vs $b")),
+      // |sources|-row global-distribution anchor (+ the 1-row totals
+      // build): source-domain — SF-invariant (20 sources at every SF)
+      "q310_t_closeness" -> ((a, b) =>
+        if (a == b && (a ++ b).forall(_ <= 32)) None
+        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust

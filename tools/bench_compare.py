@@ -47,8 +47,16 @@ def main():
         if b > a * (1 + args.threshold):
             regress.append((k, a, b, b / a))
 
+    # build_wall_sec (round 11): the one-time artifact prebuild, excluded
+    # from every per-query serve time — add it back so round totals stay
+    # apples-to-apples across rounds that moved work between build/serve
+    ob, nb = old.get("build_wall_sec", 0.0), new.get("build_wall_sec", 0.0)
     print(f"old total {old['value']:.1f}s ({len(oq)} queries)  "
           f"new total {new['value']:.1f}s ({len(nq)} queries)")
+    print(f"with build wall: old {old['value'] + ob:.1f}s (+{ob:.1f})  "
+          f"new {new['value'] + nb:.1f}s (+{nb:.1f})")
+    if old.get("prebuild_failed") or new.get("prebuild_failed"):
+        print("WARNING: prebuild_failed set — serve floors smeared in that run")
     shared_old = sum(oq[k] for k in shared)
     shared_new = sum(nq[k] for k in shared)
     if shared:
