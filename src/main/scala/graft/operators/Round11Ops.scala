@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Portable.P
 import graft.ml.HybridIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-11 operators: the persisted-index LIFECYCLE tier. Round 10
@@ -281,18 +282,22 @@ object Round11Ops {
     * of state — mergeable across executors and across stream batches;
     * the truth pass is two key-profile aggregates joined on the bounded
     * part-key domain. */
+  /** The ±1 sign of 4-wise hash `i` on key column `k` — shared by the
+    * batch sketch (q311) and its streaming twin
+    * ([[graft.streaming.CorpusStream.amsSketchStream]]): Horner with a
+    * mod after every product, so intermediates stay under P·max(key)
+    * ≪ 2^63 (ANSI-safe — Spark 4 raises on overflow). */
+  def amsSign(i: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val Seq(c3, c2, c1, c0) = AmsCoef(i)
+    val h1 = pmod(lit(c3) * k, lit(P)) + lit(c2)
+    val h2 = pmod(h1 * k, lit(P)) + lit(c1)
+    val h3 = pmod(h2 * k, lit(P)) + lit(c0)
+    lit(1L) - lit(2L) * pmod(pmod(h3, lit(P)), lit(2L))
+  }
+
   def q311AmsJoinSize(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_returnflag"))
-    def sign(i: Int): org.apache.spark.sql.Column = {
-      val Seq(c3, c2, c1, c0) = AmsCoef(i)
-      val k = col("l_partkey")
-      // Horner with a mod after every product: intermediates stay under
-      // P·max(key) ≪ 2^63 (ANSI-safe — Spark 4 raises on overflow)
-      val h1 = pmod(lit(c3) * k, lit(P)) + lit(c2)
-      val h2 = pmod(h1 * k, lit(P)) + lit(c1)
-      val h3 = pmod(h2 * k, lit(P)) + lit(c0)
-      lit(1L) - lit(2L) * pmod(pmod(h3, lit(P)), lit(2L))
-    }
+    def sign(i: Int): org.apache.spark.sql.Column = amsSign(i, col("l_partkey"))
     val n = AmsGroups * AmsPerGroup
     val aggs = (0 until n).flatMap { i =>
       Seq(sum(sign(i)).as(s"x$i"),
@@ -360,13 +365,174 @@ object Round11Ops {
        |ORDER BY group_id""".stripMargin
   }
 
+  /** Fixed MM iterations for q312 (unrolled in the oracle CTEs). */
+  val BtIters = 3
+
+  /** q312 — Bradley–Terry ratings from pairwise preferences (the
+    * preference-data consumer q288 stops short of: q288 EXTRACTS
+    * (chosen, rejected) pairs for DPO-style training; this RATES the
+    * items from them — the Chatbot-Arena / RLHF-eval aggregation step).
+    * Comparisons: within each (user, day), the argmax-value event's
+    * TYPE beats the argmin-value event's TYPE (q288's within-session
+    * chosen/rejected rule, lifted from event ids to the event-type
+    * domain so the rated items form a closed panel). Ratings come from
+    * [[BtIters]] fixed Minorize-Maximize updates (Hunter 2004):
+    * rᵢ ← Wᵢ / Σ_j nᵢⱼ/(rᵢ+rⱼ), renormalized to mean 1 each round.
+    *
+    * Float parity: there is NO float anywhere — ratings live in micro
+    * fixed-point; each MM term is one integer DIV of exact int64
+    * products ((nᵢⱼ·10¹²) DIV (rᵢ+rⱼ), the q295 single-division
+    * discipline applied per term), the update is one more integer DIV,
+    * and the renormalization a third. Spark DIV and DuckDB // both
+    * truncate toward zero, so every engine computes bit-equal ratings.
+    * A type that never wins rates 0 and stays 0 (its pair partners all
+    * beat it); a pair of never-winners cannot play each other (every
+    * played pair has a winner), so no denominator is ever 0 for a type
+    * that plays.
+    *
+    * Scale shape: the pair extraction is q288's two keyed windows
+    * (partial-aggregable, linear in events); everything after is
+    * |types|²-row arithmetic — at a realistic item domain (rating
+    * MODELS or SOURCES, m in the thousands) the n-matrix is the
+    * observed-pair sparsity and each MM round is one equi-join over
+    * it, T fixed. The int64 micro scale holds to nᵢⱼ ≤ ~9·10⁶ pairs per
+    * cell; beyond that the same recurrence runs in DECIMAL(38,0). */
+  def q312BradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v_micro"))
+    val wd = Window.partitionBy(col("user_id"), col("day"))
+    val hi = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("v_micro").desc, col("event_id"))
+    val lo = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("v_micro").asc, col("event_id"))
+    val ranked = ev
+      .withColumn("rn_hi", row_number().over(hi))
+      .withColumn("rn_lo", row_number().over(lo))
+      .withColumn("n_events", count(lit(1)).over(wd))
+    val pairs = ranked.filter(col("rn_hi") === 1).as("h")
+      .join(ranked.filter(col("rn_lo") === 1).as("l"), Seq("user_id", "day"))
+      .filter(col("h.n_events") >= 2 &&
+        col("h.v_micro") > col("l.v_micro") &&
+        col("h.event_type") =!= col("l.event_type"))
+      .select(col("h.event_type").as("wt"), col("l.event_type").as("lt"))
+    // the |types|²-row win matrix feeds four legs of ONE returned plan
+    // (cells/nm/wins/losses) — persist() here is plan-local reuse, not
+    // the cross-query shared-frame class ADVICE r10 flagged
+    val w = pairs.groupBy(col("wt").as("i"), col("lt").as("j"))
+      .agg(count(lit(1)).as("w")).persist()
+    // symmetric played matrix n_ij = w_ij + w_ji over the union of cells
+    val cells = w.select(col("i"), col("j"))
+      .union(w.select(col("j").as("i"), col("i").as("j"))).distinct()
+    val nm = cells.as("c")
+      .join(w.as("a"), col("c.i") === col("a.i") && col("c.j") === col("a.j"), "left")
+      .join(w.as("b"), col("c.i") === col("b.j") && col("c.j") === col("b.i"), "left")
+      .select(col("c.i"), col("c.j"),
+        (coalesce(col("a.w"), lit(0L)) + coalesce(col("b.w"), lit(0L))).as("n"))
+    val wins = w.groupBy(col("i")).agg(sum(col("w")).as("wins"))
+    val losses = w.groupBy(col("j").as("i")).agg(sum(col("w")).as("losses"))
+    val panel = nm.groupBy(col("i")).agg(sum(col("n")).as("n_played"))
+      .join(wins, Seq("i"), "left").join(losses, Seq("i"), "left")
+      .select(col("i"), col("n_played"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"))
+    val m = panel.agg(count(lit(1)).as("m"))
+    // MM rounds in micro fixed-point, all-integer (see Scaladoc)
+    var r = panel.select(col("i"), lit(1000000L).as("r"))
+    (1 to BtIters).foreach { _ =>
+      val denom = nm.as("nm")
+        .join(r.as("ri"), expr("nm.i = ri.i"))
+        .join(r.as("rj"), expr("nm.j = rj.i"))
+        .groupBy(col("nm.i"))
+        .agg(sum(expr("nm.n * 1000000000000 DIV (ri.r + rj.r)")).as("denom"))
+      val raw = panel.select(col("i"), col("wins")).join(denom, "i")
+        .select(col("i"), expr("wins * 1000000000000 DIV denom").as("r"))
+      val tot = raw.agg(sum(col("r")).as("rs"))
+      r = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+        .select(col("i"), expr("r * (m * 1000000) DIV rs").as("r"))
+    }
+    panel.join(r, "i")
+      .select(col("i").as("event_type"), col("wins"), col("losses"),
+        col("n_played"), col("r").as("rating_micro"))
+      .orderBy(col("rating_micro").desc, col("event_type"))
+  }
+
+  val q312Sql: String = {
+    // one MM round, rendered once and instantiated per iteration
+    // (shared generator = shared structure, the hilbertStep discipline).
+    // Every multiply-referenced CTE is MATERIALIZED: each round reads
+    // raw$t twice and r$prev twice, so DuckDB's default inlining
+    // re-expands the 100k-row window pipeline ~4^T times (OOM'd at
+    // sf0.1); materialization makes the oracle linear like the plan.
+    def round(prev: String, cur: String): String =
+      s"""d$cur AS MATERIALIZED (
+         |  SELECT nm.i,
+         |         CAST(SUM((nm.n * 1000000000000) // (ri.r + rj.r)) AS BIGINT) AS denom
+         |  FROM nm JOIN r$prev ri ON nm.i = ri.i JOIN r$prev rj ON nm.j = rj.i
+         |  GROUP BY nm.i),
+         |raw$cur AS MATERIALIZED (
+         |  SELECT p.i, (p.wins * 1000000000000) // d.denom AS r
+         |  FROM panel p JOIN d$cur d ON p.i = d.i),
+         |r$cur AS MATERIALIZED (
+         |  SELECT i, (r * ((SELECT CAST(COUNT(*) AS BIGINT) FROM panel) * 1000000))
+         |           // (SELECT CAST(SUM(r) AS BIGINT) FROM raw$cur) AS r
+         |  FROM raw$cur)""".stripMargin
+    val rounds = (1 to BtIters).map(t => round((t - 1).toString, t.toString))
+      .mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type,
+       |         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+       |  FROM events),
+       |ranked AS MATERIALIZED (
+       |  SELECT user_id, day, event_type, v_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |                       ORDER BY v_micro DESC, event_id) AS rn_hi,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |                       ORDER BY v_micro ASC, event_id) AS rn_lo,
+       |    CAST(COUNT(*) OVER (PARTITION BY user_id, day) AS BIGINT) AS n_events
+       |  FROM ev),
+       |pairs AS MATERIALIZED (
+       |  SELECT h.event_type AS wt, l.event_type AS lt
+       |  FROM (SELECT * FROM ranked WHERE rn_hi = 1) h
+       |  JOIN (SELECT * FROM ranked WHERE rn_lo = 1) l
+       |    ON h.user_id = l.user_id AND h.day = l.day
+       |  WHERE h.n_events >= 2 AND h.v_micro > l.v_micro
+       |    AND h.event_type <> l.event_type),
+       |w AS MATERIALIZED (
+       |  SELECT wt AS i, lt AS j, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pairs GROUP BY 1, 2),
+       |cells AS (SELECT i, j FROM w UNION SELECT j, i FROM w),
+       |nm AS MATERIALIZED (
+       |  SELECT c.i, c.j, COALESCE(a.w, 0) + COALESCE(b.w, 0) AS n
+       |  FROM cells c
+       |  LEFT JOIN w a ON a.i = c.i AND a.j = c.j
+       |  LEFT JOIN w b ON b.j = c.i AND b.i = c.j),
+       |panel AS MATERIALIZED (
+       |  SELECT np.i, np.n_played,
+       |         COALESCE(wi.wins, 0) AS wins, COALESCE(lo.losses, 0) AS losses
+       |  FROM (SELECT i, CAST(SUM(n) AS BIGINT) AS n_played FROM nm GROUP BY i) np
+       |  LEFT JOIN (SELECT i, CAST(SUM(w) AS BIGINT) AS wins FROM w GROUP BY i) wi
+       |    ON wi.i = np.i
+       |  LEFT JOIN (SELECT j AS i, CAST(SUM(w) AS BIGINT) AS losses FROM w GROUP BY j) lo
+       |    ON lo.i = np.i),
+       |r0 AS (SELECT i, CAST(1000000 AS BIGINT) AS r FROM panel),
+       |$rounds
+       |SELECT p.i AS event_type, p.wins, p.losses, p.n_played,
+       |       r.r AS rating_micro
+       |FROM panel p JOIN r$BtIters r ON p.i = r.i
+       |ORDER BY rating_micro DESC, event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_index_staleness" -> q309IndexStaleness _,
     "q310_t_closeness" -> q310TCloseness _,
-    "q311_ams_join_size" -> q311AmsJoinSize _)
+    "q311_ams_join_size" -> q311AmsJoinSize _,
+    "q312_bradley_terry" -> q312BradleyTerry _)
 
   val oracles: Map[String, String] = Map(
     "q309_index_staleness" -> q309Sql,
     "q310_t_closeness" -> q310Sql,
-    "q311_ams_join_size" -> q311Sql)
+    "q311_ams_join_size" -> q311Sql,
+    "q312_bradley_terry" -> q312Sql)
 }

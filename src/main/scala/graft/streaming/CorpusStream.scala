@@ -224,6 +224,33 @@ object CorpusStream {
       .groupBy(col("flag"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming twin of q311's AMS join-size sketch
+    * ([[graft.operators.Round11Ops.q311AmsJoinSize]]): fact rows arrive
+    * as a stream and each of the 48 sketches' (x, y) ±1-sum counters
+    * update continuously — the AMS counters are the canonical mergeable
+    * sketch (plain vector addition across micro-batches, executors, or
+    * days of history), and this exercises exactly that claim as an
+    * update-mode streaming aggregate. State is 48 counter rows, ever;
+    * the estimate (group means → median → DIV) is a read-time
+    * projection over the counters, shared with the batch op through
+    * [[graft.operators.Round11Ops.amsSign]] so stream and batch signs
+    * are the same expression. The parity spec replays the fixture in
+    * two micro-batches and asserts the converged counters — and the
+    * median-of-means estimate derived from them — equal the batch
+    * op's. */
+  def amsSketchStream(rows: DataFrame): DataFrame = {
+    import graft.operators.Round11Ops
+    val structs = (0 until Round11Ops.AmsGroups * Round11Ops.AmsPerGroup).map { i =>
+      struct(lit(i.toLong).as("sketch_id"),
+        Round11Ops.amsSign(i, col("l_partkey")).as("sx"),
+        when(col("l_returnflag") === "R", Round11Ops.amsSign(i, col("l_partkey")))
+          .otherwise(lit(0L)).as("sy"))
+    }
+    rows.select(explode(array(structs: _*)).as("e"))
+      .groupBy(col("e.sketch_id").as("sketch_id"))
+      .agg(sum(col("e.sx")).as("x"), sum(col("e.sy")).as("y"))
+  }
+
   def ivfMaintainStream(vecs: DataFrame, model: Seq[Seq[Double]]): DataFrame = {
     graft.functions.VectorExpressions.registerAny(vecs.sparkSession)
     def dists(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

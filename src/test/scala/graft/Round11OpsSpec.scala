@@ -119,6 +119,46 @@ class Round11OpsSpec extends AnyFunSuite {
       s"AMS estimate $est implausibly far from $truth")
   }
 
+  test("q312: ratings match a plain-Scala integer MM recount from raw events") {
+    val rows = Round11Ops.q312BradleyTerry(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recount pairs: within (user, day), argmax-value type beats argmin
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "cast(ts as date) as day", "event_id", "event_type",
+        "cast(floor(value * 1000000.0 + 0.5) as bigint) as v").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val pairs = ev.groupBy(e => (e._1, e._2)).values.filter(_.length >= 2).flatMap { g =>
+      val hi = g.minBy(e => (-e._5, e._3))
+      val lo = g.minBy(e => (e._5, e._3))
+      if (hi._5 > lo._5 && hi._4 != lo._4) Some((hi._4, lo._4)) else None
+    }.toSeq
+    val w = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = (w.keys.map(_._1) ++ w.keys.map(_._2)).toSeq.distinct.sorted
+    def nij(i: String, j: String) = w.getOrElse((i, j), 0L) + w.getOrElse((j, i), 0L)
+    val wins = types.map(i => i -> types.map(j => w.getOrElse((i, j), 0L)).sum).toMap
+    val m = types.length.toLong
+    var r = types.map(_ => 1000000L)
+    (1 to Round11Ops.BtIters).foreach { _ =>
+      val raw = types.zipWithIndex.map { case (i, ii) =>
+        val denom = types.zipWithIndex.collect {
+          case (j, jj) if j != i && nij(i, j) > 0 =>
+            nij(i, j) * 1000000000000L / (r(ii) + r(jj))
+        }.sum
+        wins(i) * 1000000000000L / denom
+      }
+      val rs = raw.sum
+      r = raw.map(x => x * (m * 1000000L) / rs)
+    }
+    val want = types.zip(r).toMap
+    rows.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      assert(row.getAs[Long]("rating_micro") == want(t), s"rating mismatch for $t")
+      assert(row.getAs[Long]("wins") == wins(t))
+      assert(row.getAs[Long]("n_played") == types.filter(_ != t).map(nij(t, _)).sum)
+    }
+  }
+
   test("spanGrams is a build-once artifact: no cache entries, stable content") {
     spark.catalog.clearCache()
     val g1 = operators.Round9Ops.spanGrams(spark, sf)

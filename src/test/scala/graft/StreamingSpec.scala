@@ -588,6 +588,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("amsSketchStream: streamed ±1 counters reproduce batch q311 sums and estimate") {
+    import graft.operators.Round11Ops
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"))
+    // two micro-batches: the per-sketch (x, y) counters must merge by
+    // plain addition across the boundary — AMS's mergeability claim
+    val dir = java.nio.file.Files.createTempDirectory("ams_vals")
+    li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(li.select(col("l_partkey"), col("l_returnflag")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.amsSketchStream(stream), "ams_q", OutputMode.Update())
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sketch_id")).orderBy(col("upd").desc)
+      val conv = spark.table("ams_q")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("sketch_id"), col("x"), col("y")).collect()
+        .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(conv.size == Round11Ops.AmsGroups * Round11Ops.AmsPerGroup)
+      // read-time projection over the counters = the batch estimate core
+      val gSums = (0 until Round11Ops.AmsGroups).map { g =>
+        (0 until Round11Ops.AmsPerGroup).map { j =>
+          val (x, y) = conv(g * Round11Ops.AmsPerGroup + j); x * y
+        }.sum
+      }
+      val batch = Round11Ops.q311AmsJoinSize(spark, sf).collect()
+      batch.foreach { r =>
+        assert(r.getAs[Long]("sum_xy") == gSums(r.getAs[Long]("group_id").toInt),
+          s"stream group sums $gSums != batch row $r")
+      }
+      assert(batch.head.getAs[Long]("median_est") ==
+        gSums.sorted.apply(1) / Round11Ops.AmsPerGroup)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks on watermark eviction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_outer")
