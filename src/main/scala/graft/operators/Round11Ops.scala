@@ -391,12 +391,14 @@ object Round11Ops {
     * that plays.
     *
     * Scale shape: the pair extraction is q288's two keyed windows
-    * (partial-aggregable, linear in events); everything after is
-    * |types|²-row arithmetic — at a realistic item domain (rating
-    * MODELS or SOURCES, m in the thousands) the n-matrix is the
-    * observed-pair sparsity and each MM round is one equi-join over
-    * it, T fixed. The int64 micro scale holds to nᵢⱼ ≤ ~9·10⁶ pairs per
-    * cell; beyond that the same recurrence runs in DECIMAL(38,0). */
+    * (partial-aggregable, linear in events), reduced to the ≤|types|²
+    * win matrix in the same pass; the MM solve then runs on the
+    * COLLECTED matrix — the KMeansIvf collected-model discipline: the
+    * solve state is m rows by construction, never corpus-sized, and at
+    * a realistic item domain (rating MODELS or SOURCES, m in the
+    * thousands) the matrix is observed-pair sparse and still driver
+    * sized. The int64 micro scale holds to nᵢⱼ ≤ ~9·10⁶ pairs per
+    * cell; beyond that the same recurrence runs in BigInt. */
   def q312BradleyTerry(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
@@ -417,44 +419,39 @@ object Round11Ops {
         col("h.v_micro") > col("l.v_micro") &&
         col("h.event_type") =!= col("l.event_type"))
       .select(col("h.event_type").as("wt"), col("l.event_type").as("lt"))
-    // the |types|²-row win matrix feeds four legs of ONE returned plan
-    // (cells/nm/wins/losses) — persist() here is plan-local reuse, not
-    // the cross-query shared-frame class ADVICE r10 flagged
-    val w = pairs.groupBy(col("wt").as("i"), col("lt").as("j"))
-      .agg(count(lit(1)).as("w")).persist()
-    // symmetric played matrix n_ij = w_ij + w_ji over the union of cells
-    val cells = w.select(col("i"), col("j"))
-      .union(w.select(col("j").as("i"), col("i").as("j"))).distinct()
-    val nm = cells.as("c")
-      .join(w.as("a"), col("c.i") === col("a.i") && col("c.j") === col("a.j"), "left")
-      .join(w.as("b"), col("c.i") === col("b.j") && col("c.j") === col("b.i"), "left")
-      .select(col("c.i"), col("c.j"),
-        (coalesce(col("a.w"), lit(0L)) + coalesce(col("b.w"), lit(0L))).as("n"))
-    val wins = w.groupBy(col("i")).agg(sum(col("w")).as("wins"))
-    val losses = w.groupBy(col("j").as("i")).agg(sum(col("w")).as("losses"))
-    val panel = nm.groupBy(col("i")).agg(sum(col("n")).as("n_played"))
-      .join(wins, Seq("i"), "left").join(losses, Seq("i"), "left")
-      .select(col("i"), col("n_played"),
-        coalesce(col("wins"), lit(0L)).as("wins"),
-        coalesce(col("losses"), lit(0L)).as("losses"))
-    val m = panel.agg(count(lit(1)).as("m"))
+    // ONE corpus-sized pass: the partial-aggregable win-matrix count.
+    // The matrix is ≤ |types|² rows by construction, so the MM solve is
+    // collected-model work (the KMeansIvf discipline — k×dim centroids
+    // collect per iteration): iterating it as chained DataFrames instead
+    // re-optimized/re-ran the window pipeline per round (~70 s at sf0.1
+    // for 25 matrix cells — measured, and the exact blowup the oracle
+    // hit before its CTEs were MATERIALIZED).
+    val wm: Map[(String, String), Long] =
+      pairs.groupBy(col("wt"), col("lt")).agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = (wm.keys.map(_._1) ++ wm.keys.map(_._2)).toSeq.distinct.sorted
+    def nij(i: String, j: String): Long =
+      wm.getOrElse((i, j), 0L) + wm.getOrElse((j, i), 0L)
+    val wins = types.map(i => i -> types.map(j => wm.getOrElse((i, j), 0L)).sum).toMap
+    val m = types.length.toLong
     // MM rounds in micro fixed-point, all-integer (see Scaladoc)
-    var r = panel.select(col("i"), lit(1000000L).as("r"))
+    var r = types.map(_ => 1000000L)
     (1 to BtIters).foreach { _ =>
-      val denom = nm.as("nm")
-        .join(r.as("ri"), expr("nm.i = ri.i"))
-        .join(r.as("rj"), expr("nm.j = rj.i"))
-        .groupBy(col("nm.i"))
-        .agg(sum(expr("nm.n * 1000000000000 DIV (ri.r + rj.r)")).as("denom"))
-      val raw = panel.select(col("i"), col("wins")).join(denom, "i")
-        .select(col("i"), expr("wins * 1000000000000 DIV denom").as("r"))
-      val tot = raw.agg(sum(col("r")).as("rs"))
-      r = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
-        .select(col("i"), expr("r * (m * 1000000) DIV rs").as("r"))
+      val raw = types.zipWithIndex.map { case (i, ii) =>
+        val denom = types.zipWithIndex.collect {
+          case (j, jj) if j != i && nij(i, j) > 0 =>
+            nij(i, j) * 1000000000000L / (r(ii) + r(jj))
+        }.sum
+        wins(i) * 1000000000000L / denom
+      }
+      val rs = raw.sum
+      r = raw.map(x => x * (m * 1000000L) / rs)
     }
-    panel.join(r, "i")
-      .select(col("i").as("event_type"), col("wins"), col("losses"),
-        col("n_played"), col("r").as("rating_micro"))
+    import s.implicits._
+    types.zipWithIndex.map { case (i, ii) =>
+      val losses = types.map(j => wm.getOrElse((j, i), 0L)).sum
+      (i, wins(i), losses, types.filter(_ != i).map(nij(i, _)).sum, r(ii))
+    }.toDF("event_type", "wins", "losses", "n_played", "rating_micro")
       .orderBy(col("rating_micro").desc, col("event_type"))
   }
 
