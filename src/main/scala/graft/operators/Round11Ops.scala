@@ -152,7 +152,10 @@ object Round11Ops {
     * Scale shape: one partial-aggregable (lang, len_b, source) count,
     * one |sources|-row broadcast global, one domain-bounded window per
     * group (keyed by the quasi tuple — never a global window), then a
-    * |langs|-row panel. */
+    * |langs|-row panel. The exact-integer form holds while
+    * gsz·N·(m−1) < 2^63 (N up to ~10⁹ docs at m=8); past that the
+    * identical recurrence runs on per-group micro SHARES (one early
+    * rounding) or DECIMAL(38,0) — the term structure is unchanged. */
   def q310TCloseness(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("lang"), col("source"),
