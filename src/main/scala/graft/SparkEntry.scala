@@ -68,7 +68,8 @@ object SparkEntry {
       operators.GovernanceOps.queries ++
       operators.BudgetOps.queries ++
       operators.Round10Ops.queries ++
-      operators.Round11Ops.queries
+      operators.Round11Ops.queries ++
+      operators.Round12Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -126,5 +127,6 @@ object SparkEntry {
       operators.GovernanceOps.oracles ++
       operators.BudgetOps.oracles ++
       operators.Round10Ops.oracles ++
-      operators.Round11Ops.oracles
+      operators.Round11Ops.oracles ++
+      operators.Round12Ops.oracles
 }

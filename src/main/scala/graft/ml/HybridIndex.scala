@@ -53,6 +53,10 @@ object HybridIndex {
   /** Force the next ensure to rebuild (ScaleAudit times the build). */
   def invalidate(d: String): Unit = ArtifactStore.invalidate(d, "hybrid")
 
+  /** Drop only the in-memory registry entry, leaving the on-disk
+    * artifact intact — the q313 cold-JVM simulation. */
+  def dropMemo(d: String): Unit = ArtifactStore.dropMemo(d, "hybrid")
+
   /** Trained coarse quantizer: (cluster, cent array<double>), k rows. */
   def centroids(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensure(s, d) + "/centroids")

@@ -63,24 +63,46 @@ object Round11Ops {
     * for the artifacts themselves. */
   def q309IndexStaleness(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    probeCache.synchronized {
-      probeCache.getOrElseUpdate(d, runStaleProbe(s, d))
-    }.toDF("phase", "rebuilt", "n_indexed")
+    // memoize per corpus WITHOUT a global lock across the two index
+    // builds (ADVICE r11): the map insert is cheap (a lazy holder); the
+    // multi-second probe runs under the holder's own lazy-val lock, so
+    // concurrent probes of different corpora proceed in parallel
+    probeCache.computeIfAbsent(d, _ => new ProbeMemo(runStaleProbe(s, d)))
+      .value.toDF("phase", "rebuilt", "n_indexed")
       .orderBy(col("phase"))
   }
 
-  private val probeCache =
-    scala.collection.mutable.HashMap.empty[String, Seq[(String, Boolean, Long)]]
+  private final class ProbeMemo(thunk: => Seq[(String, Boolean, Long)]) {
+    lazy val value: Seq[(String, Boolean, Long)] = thunk
+  }
 
-  private def runStaleProbe(s: SparkSession, d: String): Seq[(String, Boolean, Long)] = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q309-")
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ProbeMemo]
+
+  /** One shared scratch root + ONE shutdown hook for every probed corpus
+    * (ADVICE r11: the former per-probe hooks accumulated, one per call
+    * site, for the JVM's lifetime). The hook also drops the probe
+    * corpora's ArtifactStore entries, so a persistent artifact root
+    * never accumulates per-run scratch-corpus indexes. */
+  private[operators] lazy val probeRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-q309-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      probedDirs.asScala.foreach(graft.ml.ArtifactStore.dropForCorpus)
       def del(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(): Unit
       }
-      del(work.toFile)
+      del(p.toFile)
     }))
+    p
+  }
+  private[operators] val probedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def runStaleProbe(s: SparkSession, d: String): Seq[(String, Boolean, Long)] = {
+    val work = probeRoot.resolve("q309-" + graft.ml.ArtifactStore.pathKey(d))
     val dir = work.toString
+    probedDirs.add(dir): Unit
     def writeCorpus(evenOnly: Boolean): Unit = {
       val keep = (idCol: String) => {
         val base = col(idCol) < StaleSlice

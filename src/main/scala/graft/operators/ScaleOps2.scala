@@ -142,6 +142,15 @@ object ScaleOps2 {
   /** KMV sketch size for q181. */
   val KmvK = 64
 
+  /** The KMV estimator as a read-time projection over a `kmin` sketch
+    * column — shared by the batch op (q181) and its streaming twin
+    * ([[graft.streaming.CorpusStream.kmvSketchStream]]), so stream and
+    * batch estimates are the same expression: fewer than k minima means
+    * the sketch IS the exact distinct set; otherwise D̂ = (k−1)·P/h_k. */
+  val kmvEstimate: org.apache.spark.sql.Column =
+    when(size(col("kmin")) < KmvK, size(col("kmin")).cast("long"))
+      .otherwise(expr(s"${(KmvK - 1) * P}L div element_at(kmin, $KmvK)"))
+
   /** q181 — per-source distinct-token cardinality via a KMV (k minimum
     * values) sketch, next to the exact count it approximates.
     *
@@ -167,9 +176,7 @@ object ScaleOps2 {
       .agg(
         countDistinct(col("h")).as("n_exact"),
         expr(s"smallest_k(h, $k)").as("kmin"))
-      .withColumn("est",
-        when(size(col("kmin")) < k, size(col("kmin")).cast("long"))
-          .otherwise(expr(s"${(k - 1) * P}L div element_at(kmin, $k)")))
+      .withColumn("est", kmvEstimate)
       .select(col("source"), col("n_exact"), col("est"))
       .orderBy(col("source"))
   }
@@ -240,6 +247,13 @@ object ScaleOps2 {
   val CmsDepth = 4
   val CmsWidth = 64L
 
+  /** Counter-bucket of hash row `i` for a token-hash column — shared by
+    * the batch op (q207) and its streaming twin
+    * ([[graft.streaming.CorpusStream.cmsSketchStream]]), so stream and
+    * batch counters land in identical cells. */
+  def cmsBucket(i: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((lit(MinHashA(i)) * h + lit(MinHashB(i))) % lit(P)) % lit(CmsWidth)
+
   /** q207 — Count-Min sketch frequency estimates next to exact counts.
     *
     * The OVER-estimating counterpart of q179's Misra–Gries (which
@@ -261,14 +275,12 @@ object ScaleOps2 {
     * occurrence, at vocabulary cost instead of corpus cost.
     */
   def q207CountMin(s: SparkSession, d: String): DataFrame = {
-    val as = MinHashA.take(CmsDepth)
-    val bs = MinHashB.take(CmsDepth)
     val exact = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", polyHash(col("tok")))
       .persist()
-    def bucket(i: Int) = ((lit(as(i)) * col("h") + lit(bs(i))) % lit(P)) % lit(CmsWidth)
+    def bucket(i: Int) = cmsBucket(i, col("h"))
     val cells = (0 until CmsDepth).map(i =>
       exact.select(lit(i).as("r"), bucket(i).as("bucket"), col("cnt"))).reduce(_ unionAll _)
     val counters = cells.groupBy(col("r"), col("bucket"))

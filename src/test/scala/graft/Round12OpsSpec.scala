@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Round12Ops
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round12OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q313: cold-JVM ensures adopt the on-disk artifact, rebuild only on stale content") {
+    val rows = Round12Ops.q313ArtifactAdopt(spark, sf).collect()
+    assert(rows.length == 4)
+    val byPhase = rows.map(r =>
+      r.getAs[String]("phase") -> ((r.getAs[Boolean]("rebuilt"), r.getAs[Long]("n_indexed")))).toMap
+    val nV1 = Tables.embeddings(spark, sf)
+      .filter(s"vec_id < ${Round12Ops.AdoptSlice} AND vec_id % 2 = 0").count()
+    val nV2 = Tables.embeddings(spark, sf)
+      .filter(s"vec_id < ${Round12Ops.AdoptSlice}").count()
+    assert(byPhase("1_build") == ((true, nV1)))
+    assert(byPhase("2_warm") == ((false, nV1)))
+    assert(byPhase("3_cold_adopt") == ((false, nV1)), "memo dropped, marker fresh: must adopt")
+    assert(byPhase("4_cold_stale") == ((true, nV2)), "memo dropped, marker stale: must rebuild")
+  }
+
+  test("ArtifactStore marker: adopt on match, rebuild on corrupt/missing marker") {
+    val corpus = java.nio.file.Files.createTempDirectory("as12-").resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    java.nio.file.Files.write(corpus.resolve("documents.parquet"), "data-v1".getBytes("UTF-8"))
+    val d = corpus.toString
+    var builds = 0
+    def ensure() = ml.ArtifactStore.ensure(spark, d, "spec12", Seq("documents")) { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "payload.txt"), s"b$builds".getBytes("UTF-8"))
+      builds += 1
+    }
+    val (dir, r1) = ensure()
+    assert(r1 && builds == 1)
+    // marker written last, inside the artifact dir
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(dir, "_FINGERPRINT")))
+    // cold-JVM adopt: memo dropped, disk intact -> served without rebuild,
+    // and the payload is the FIRST build's (proof it read disk, not rebuilt)
+    ml.ArtifactStore.dropMemo(d, "spec12")
+    val (_, r2) = ensure()
+    assert(!r2 && builds == 1)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "payload.txt")), "UTF-8") == "b0")
+    // corrupt marker -> treated as absent -> rebuild
+    ml.ArtifactStore.dropMemo(d, "spec12")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_FINGERPRINT"), "garbage".getBytes("UTF-8"))
+    val (_, r3) = ensure()
+    assert(r3 && builds == 2)
+    // same-size overwrite with different content (the ADVICE-r11 tail-bytes
+    // gap): (size, mtime) can tie, the tail signal must not
+    val f = corpus.resolve("documents.parquet")
+    val t0 = java.nio.file.Files.getLastModifiedTime(f)
+    java.nio.file.Files.write(f, "data-v2".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(f, t0)
+    val (_, r4) = ensure()
+    assert(r4 && builds == 3, "same-size same-mtime overwrite must still rebuild")
+  }
+
+  test("q314: theta estimates match a plain-Scala sketch recount; exact uniques exact") {
+    val rows = Round12Ops.q314SketchSetAlgebra(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recount from raw docs via the same portable shingle pipeline
+    val P = graft.functions.Portable.P
+    val sh = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Portable.shingleHashes(
+            graft.functions.Portable.tokenHashes(
+              graft.functions.Portable.tokens(
+                org.apache.spark.sql.functions.col("text"))))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val k = Round12Ops.ThetaK
+    val thetas = bySrc.view.mapValues { hs =>
+      if (hs.size < k) P else hs.toSeq.sorted.apply(k - 1)
+    }.toMap
+    val thetaG = thetas.values.min
+    val srcOf = sh.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val hs = bySrc(src)
+      assert(r.getAs[Long]("n_distinct") == hs.size.toLong)
+      val exactUniq = hs.count(h => srcOf(h).length == 1 && srcOf(h).head == src).toLong
+      assert(r.getAs[Long]("n_unique") == exactUniq)
+      val sample = hs.toSeq.sorted.take(k).filter(_ < thetaG)
+      assert(r.getAs[Long]("est_distinct") == sample.size * P / thetaG)
+      val uniqSample = sample.count(h => srcOf(h).size == 1).toLong
+      assert(r.getAs[Long]("est_unique") == uniqSample * P / thetaG)
+      // the estimator should land within ~3x of truth at the fixtures
+      val est = r.getAs[Long]("est_distinct")
+      assert(est * 3 > hs.size && est < hs.size * 3L,
+        s"$src theta estimate $est implausibly far from ${hs.size}")
+    }
+  }
+
+  test("q315: tau, sample membership, and estimates match a plain-Scala recount") {
+    val rows = Round12Ops.q315PrioritySample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val P = graft.functions.Portable.P
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val prio = docs.map { case (id, src, w) =>
+      (id, src, w, w * P / ((Round12Ops.PrioA * id + Round12Ops.PrioB) % P + 1))
+    }.sortBy(t => (-t._4, t._1))
+    val k = Round12Ops.PrioK
+    val tau = if (prio.length > k) prio(k)._4 else 0L
+    val sample = prio.take(k)
+    val estBySrc = sample.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(e => math.max(e._3, tau)).sum)).toMap
+    var estTotal = 0L
+    var exactTotal = 0L
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, w) = estBySrc.getOrElse(src, (0L, 0L))
+      assert(r.getAs[Long]("n_sampled") == n)
+      assert(r.getAs[Long]("w_est") == w)
+      val exact = docs.filter(_._2 == src).map(_._3).sum
+      assert(r.getAs[Long]("w_exact") == exact)
+      estTotal += w
+      exactTotal += exact
+    }
+    // the DLT estimator is unbiased; at k=128 over the fixture the grand
+    // total should land well within 2x (per-source errors are reported,
+    // not asserted tight)
+    assert(estTotal * 2 > exactTotal && estTotal < exactTotal * 2,
+      s"priority-sample total $estTotal implausibly far from $exactTotal")
+  }
+}

@@ -632,6 +632,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmvSketchStream: streamed k-minimum sketches reproduce batch q181 estimates") {
+    import graft.operators.ScaleOps2
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text"))
+    // two micro-batches: the ≤k min-sets must merge across the boundary
+    // exactly as they merge across partitions — KMV's mergeability claim
+    val dir = java.nio.file.Files.createTempDirectory("kmv_docs")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0).select(col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(docs.select(col("source"), col("text")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.kmvSketchStream(stream), "kmv_q", OutputMode.Update())
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("upd").desc)
+      // read-time projection over the converged sketches = the shared
+      // estimate core (ScaleOps2.kmvEstimate)
+      val got = spark.table("kmv_q")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("kmin"), ScaleOps2.kmvEstimate.as("est"))
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toSeq, r.getLong(2))).sortBy(_._1)
+      val want = ScaleOps2.q181KmvDistinct(spark, sf)
+        .select(col("source"), col("est")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case ((gs, kmin, ge), (ws, we)) =>
+        assert(gs == ws && ge == we, s"stream ($gs, $ge) != batch ($ws, $we)")
+        assert(kmin.length <= ScaleOps2.KmvK && kmin == kmin.sorted)
+      }
+    } finally q.stop()
+  }
+
+  test("cmsSketchStream: streamed counter grid equals batch q207 counters cell-for-cell") {
+    import graft.operators.ScaleOps2
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("cms_docs")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0).select(col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(docs.select(col("text")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.cmsSketchStream(stream), "cms_q", OutputMode.Update())
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r"), col("bucket")).orderBy(col("upd").desc)
+      val got = spark.table("cms_q")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("r"), col("bucket"), col("csum")).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      // batch counters via the vocabulary trick (hash once per DISTINCT
+      // token, add its exact count) — arithmetically identical to the
+      // stream's per-occurrence adds
+      val want = Tables.documents(spark, sf)
+        .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", graft.functions.Portable.polyHash(col("tok")))
+        .select((0 until ScaleOps2.CmsDepth).map(i =>
+          struct(lit(i).as("r"), ScaleOps2.cmsBucket(i, col("h")).as("bucket"),
+            col("cnt").as("cnt")).as(s"c$i")): _*)
+        .collect()
+        .flatMap(row => (0 until ScaleOps2.CmsDepth).map { i =>
+          val st = row.getStruct(i)
+          ((st.getInt(0), st.getLong(1)), st.getLong(2))
+        })
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(got.nonEmpty && got == want,
+        s"stream grid (${got.size} cells) != batch grid (${want.size} cells)")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks on watermark eviction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_outer")

@@ -49,12 +49,21 @@ def main():
 
     # build_wall_sec (round 11): the one-time artifact prebuild, excluded
     # from every per-query serve time — add it back so round totals stay
-    # apples-to-apples across rounds that moved work between build/serve
-    ob, nb = old.get("build_wall_sec", 0.0), new.get("build_wall_sec", 0.0)
+    # apples-to-apples across rounds that moved work between build/serve.
+    # Pre-r11 files never recorded it (their build cost hid inside serve
+    # times), so a missing key means NOT COMPARABLE, not zero (ADVICE
+    # r11: defaulting to 0.0 printed a phantom regression against them).
     print(f"old total {old['value']:.1f}s ({len(oq)} queries)  "
           f"new total {new['value']:.1f}s ({len(nq)} queries)")
-    print(f"with build wall: old {old['value'] + ob:.1f}s (+{ob:.1f})  "
-          f"new {new['value'] + nb:.1f}s (+{nb:.1f})")
+    if "build_wall_sec" in old and "build_wall_sec" in new:
+        ob, nb = old["build_wall_sec"], new["build_wall_sec"]
+        print(f"with build wall: old {old['value'] + ob:.1f}s (+{ob:.1f})  "
+              f"new {new['value'] + nb:.1f}s (+{nb:.1f})")
+    else:
+        missing = [n for n, d in (("old", old), ("new", new))
+                   if "build_wall_sec" not in d]
+        print(f"with build wall: n/a ({'/'.join(missing)} file predates "
+              "build_wall_sec — totals not comparable on the build axis)")
     if old.get("prebuild_failed") or new.get("prebuild_failed"):
         print("WARNING: prebuild_failed set — serve floors smeared in that run")
     shared_old = sum(oq[k] for k in shared)
