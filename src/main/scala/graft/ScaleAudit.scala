@@ -66,7 +66,11 @@ object ScaleAudit {
     // here: its graded read is a memoized 3-row outcome (O(1) by
     // construction); its build-tier cost is covered by the
     // build_hybrid_index entry below and Bench's build_wall_sec.
-    "q232_hilbert_layout")
+    "q232_hilbert_layout",
+    // round-12 addition: the sketch set-algebra pass lands ~3.5 s at
+    // sf0.1 (dict-pipeline shingles + one persisted distinct pass),
+    // inside the top-20. q313 is excluded for the q309 reason.
+    "q314_sketch_set_algebra")
 
   /** Audited queries driven SOLELY by documents/embeddings (verified by
     * instrumenting [[Tables.load]] during a full execution of every
@@ -86,7 +90,8 @@ object ScaleAudit {
     "q66_winnowing", "q229_bloom_prefilter", "q284_triplet_bounded",
     "q285_dsir_weights", "q290_dup_spans", "q291_coverage_sample",
     "q292_filter_attrition", "q293_embed_outliers", "q289_hamming_rerank",
-    "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance")
+    "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance",
+    "q314_sketch_set_algebra")
 
   /** DocTier queries ALSO measured at the upsampled 10× point. Excluded:
     * the two recall-truth consumers (q247, q289) — their ground-truth

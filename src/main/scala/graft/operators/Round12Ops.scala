@@ -148,13 +148,31 @@ object Round12Ops {
     * per-hash source-count profile, the same profile q311 uses for join
     * truth. At 100 TB the sketches are the only thing that crosses
     * day/source boundaries; the set expressions never touch the corpus.
-    */
+    *
+    * Plan shape: shingles come from the q35/HybridIndex dict pipeline —
+    * the char-level polynomial hash runs once per DISTINCT token (a
+    * broadcast dict join + two lead windows), not once per occurrence,
+    * and the distinct (source, shingle) set is persisted because five
+    * downstream branches (two exact profiles, the sketch, and the two
+    * estimate folds via the shared θ) would otherwise each re-derive it
+    * — the first cut did exactly that and cost 96 s at sf0.1 vs ~3 s
+    * for this shape, hash-identical output. */
   def q314SketchSetAlgebra(s: SparkSession, d: String): DataFrame = {
     graft.functions.AggExpressions.register(s)
-    val sh = Tables.documents(s, d)
+    val tok = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct()
+      .withColumn("th", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("th"), 1).over(wp))
+      .withColumn("h2", lead(col("th"), 2).over(wp))
+      .filter(col("h2").isNotNull)
       .select(col("source"),
-        explode(shingleHashes(tokenHashes(tokens(col("text"))))).as("h"))
+        (((col("th") * 31 + col("h1")) % P * 31 + col("h2")) % P).as("h"))
       .distinct()
+      .persist()
     val exactD = sh.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
     val exactU = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
@@ -247,9 +265,11 @@ object Round12Ops {
     *
     * Differs from its sampling neighbors: q180 (PPS systematic) selects
     * ∝ weight but carries no estimator — τ is exactly what q180 lacks;
-    * q286 (Gumbel top-k) samples WITHOUT weight-proportional inclusion
-    * guarantees for subset sums; q291 (coverage) stratifies by group
-    * rather than weight. All-integer: u never materializes — priorities
+    * q142 (A-ES exponential keys) draws a fixed-size sample PER SOURCE
+    * with float log keys and, again, no subset estimator; q286 (Gumbel
+    * top-k) samples WITHOUT weight-proportional inclusion guarantees
+    * for subset sums; q291 (coverage) stratifies by group rather than
+    * weight. All-integer: u never materializes — priorities
     * are w·P DIV (h+1) in weight units, τ and the max() estimator stay
     * in int64 (w·P ≤ n_chars·10⁹ ≪ 2⁶³), and Spark DIV / DuckDB //
     * truncate identically.
@@ -310,13 +330,253 @@ object Round12Ops {
        |FROM exact LEFT JOIN est USING (source)
        |ORDER BY source""".stripMargin
 
+  /** q316 thresholds: rebalance when the fullest cell exceeds 1.5× the
+    * mean occupancy, or when the delta's cell distribution has drifted
+    * more than 10% total variation from the state's. */
+  val IvfImbalanceMaxMicro = 1500000L
+  val IvfDriftMaxMicro = 100000L
+
+  /** q316 — IVF rebalance gate: the maintenance DECISION the index
+    * lifecycle was missing. The stages so far: build once (q305/q313),
+    * serve (q274), absorb append deltas without retraining (q276) —
+    * but absorb-forever degrades an IVF (cells overfill; the frozen
+    * centroids stop matching the data distribution), so production
+    * systems gate a periodic RETRAIN on measured health. This op reads
+    * q276's maintenance view (per-cell state/delta occupancy — one
+    * shared code path, so the gate grades the same numbers the
+    * maintenance op serves) and folds it to the two standard health
+    * signals plus the decision:
+    *
+    *  - `imbalance_micro` — fullest cell ÷ mean occupancy (micro):
+    *    catches cell overfill, the query-latency killer (a probe scans
+    *    the fullest cell at p99);
+    *  - `tv_drift_micro` — total-variation distance between the
+    *    state's and the delta's cell-share distributions: catches
+    *    distribution shift the frozen quantizer no longer fits;
+    *  - `rebuild` = either threshold tripped, or any cell went EMPTY
+    *    (a dead centroid serves nothing and steals a probe).
+    *
+    * All integer: occupancies are counts, imbalance is one integer DIV
+    * on exact products, the TV distance is a sum of micro-share
+    * absolute differences DIV 2, and the flags are comparisons —
+    * engine-exact. Scale shape: everything after q276's linear
+    * maintenance pass is a k-row fold (k = 8 cells); at 100 TB the gate
+    * reads the same k-row occupancy table the serving tier already
+    * maintains, so the retrain decision costs nothing beyond it. */
+  def q316IvfRebalance(s: SparkSession, d: String): DataFrame = {
+    Round8Ops.q276IvfMaintain(s, d)
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n_state")).as("n_state"),
+        sum(col("n_delta")).as("n_delta"),
+        max(col("n_total")).as("max_cell"),
+        sum(col("n_total")).as("n_all"),
+        sum((col("n_total") === 0L).cast("long")).as("n_empty_cells"),
+        sum(abs(col("share_state_micro") - col("share_delta_micro"))).as("tv2"))
+      .select(
+        col("k"), col("n_state"), col("n_delta"), col("max_cell"),
+        expr("CASE WHEN n_all = 0 THEN 0 ELSE max_cell * k * 1000000 DIV n_all END")
+          .as("imbalance_micro"),
+        expr("tv2 DIV 2").as("tv_drift_micro"),
+        col("n_empty_cells"))
+      .withColumn("rebalance_imbalance", col("imbalance_micro") > IvfImbalanceMaxMicro)
+      .withColumn("rebalance_drift", col("tv_drift_micro") > IvfDriftMaxMicro)
+      .withColumn("rebuild",
+        col("rebalance_imbalance") || col("rebalance_drift") || col("n_empty_cells") > 0)
+  }
+
+  /** The oracle replays q276's full unrolled-Lloyd maintenance oracle
+    * as a subquery and states the same k-row fold over it — one source
+    * of truth for the assignment semantics. */
+  val q316Sql: String =
+    s"""SELECT k, n_state, n_delta, max_cell,
+       |       CASE WHEN n_all = 0 THEN 0
+       |            ELSE (max_cell * k * 1000000) // n_all END AS imbalance_micro,
+       |       tv2 // 2 AS tv_drift_micro,
+       |       n_empty_cells,
+       |       CASE WHEN n_all = 0 THEN 0
+       |            ELSE (max_cell * k * 1000000) // n_all END
+       |         > $IvfImbalanceMaxMicro AS rebalance_imbalance,
+       |       tv2 // 2 > $IvfDriftMaxMicro AS rebalance_drift,
+       |       (CASE WHEN n_all = 0 THEN 0
+       |             ELSE (max_cell * k * 1000000) // n_all END
+       |          > $IvfImbalanceMaxMicro)
+       |         OR (tv2 // 2 > $IvfDriftMaxMicro)
+       |         OR (n_empty_cells > 0) AS rebuild
+       |FROM (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |         CAST(SUM(n_state) AS BIGINT) AS n_state,
+       |         CAST(SUM(n_delta) AS BIGINT) AS n_delta,
+       |         CAST(MAX(n_total) AS BIGINT) AS max_cell,
+       |         CAST(SUM(n_total) AS BIGINT) AS n_all,
+       |         CAST(SUM(CASE WHEN n_total = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_empty_cells,
+       |         CAST(SUM(ABS(share_state_micro - share_delta_micro)) AS BIGINT) AS tv2
+       |  FROM (
+       |${Round8Ops.q276Sql}
+       |  ) maint)""".stripMargin
+
+  /** q317 geometry: 4 equal-weight arms; the chi-square critical value
+    * at df = 3, p = 0.05 is 7.815 (micro units). */
+  val SrmArms = 4
+  val SrmChi2MaxMicro = 7815000L
+
+  /** q317 — sample-ratio-mismatch (SRM) guard: the standard
+    * experimentation guardrail q143's A/B readout stops short of. A
+    * conversion readout is meaningless if the RANDOMIZATION broke —
+    * unequal arm sizes from a biased assignment silently bias every
+    * downstream metric — so production experiment platforms gate
+    * readouts on a chi-square test of observed arm counts against the
+    * planned split. Two assignments of the same distinct-user universe
+    * are graded side by side: `1_hash_mult` (q143's multiplicative
+    * hash — healthy, passes) and `2_mod_bucket` (user_id mod 3 folded
+    * into a 4-arm plan — the classic broken rollout where one arm never
+    * fills; the guard must fire).
+    *
+    * All integer: with equal weights the per-arm term is
+    * (4·oᵢ − T)²·10⁶ DIV (4·T) (one truncating division per term, the
+    * q295 discipline — documented and mirrored in the oracle), summed
+    * into `chi2_micro` and compared to the df=3 critical value. Scale
+    * shape: one distinct pass over the randomization units, then a
+    * |arms|-row fold per assignment — partial-aggregable end to end. */
+  def q317SrmGuard(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+    def readout(variant: String, arm: org.apache.spark.sql.Column): DataFrame = {
+      val counts = users.select(arm.as("arm"))
+        .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val armN = (i: Int) =>
+        coalesce(sum(when(col("arm") === i, col("n"))), lit(0L)).as(s"n$i")
+      counts.agg(armN(0), (1 until SrmArms).map(armN): _*)
+        .withColumn("variant", lit(variant))
+        .withColumn("n_users", expr((0 until SrmArms).map(i => s"n$i").mkString(" + ")))
+        .withColumn("chi2_micro", expr((0 until SrmArms).map(i =>
+          s"(($SrmArms*n$i - n_users)*($SrmArms*n$i - n_users)*1000000)" +
+            s" DIV ($SrmArms*n_users)").mkString(" + ")))
+        .withColumn("srm", col("chi2_micro") > SrmChi2MaxMicro)
+    }
+    val healthy = readout("1_hash_mult",
+      pmod(col("user_id") * lit(2654435761L), lit(SrmArms.toLong)))
+    val buggy = readout("2_mod_bucket", pmod(col("user_id"), lit(3L)))
+    healthy.unionByName(buggy)
+      .select(col("variant"), col("n0"), col("n1"), col("n2"), col("n3"),
+        col("n_users"), col("chi2_micro"), col("srm"))
+      .orderBy(col("variant"))
+  }
+
+  val q317Sql: String = {
+    def variant(name: String, armExpr: String): String = {
+      val terms = (0 until SrmArms).map(i =>
+        s"(($SrmArms*n$i - n_users)*($SrmArms*n$i - n_users)*1000000) // ($SrmArms*n_users)")
+        .mkString(" + ")
+      val ns = (0 until SrmArms).map(i =>
+        s"CAST(SUM(CASE WHEN arm = $i THEN 1 ELSE 0 END) AS BIGINT) AS n$i")
+        .mkString(", ")
+      s"""SELECT variant, n0, n1, n2, n3, n_users,
+         |       $terms AS chi2_micro,
+         |       ($terms) > $SrmChi2MaxMicro AS srm
+         |FROM (SELECT '$name' AS variant, $ns,
+         |             CAST(COUNT(*) AS BIGINT) AS n_users
+         |      FROM (SELECT $armExpr AS arm FROM users))""".stripMargin
+    }
+    s"""WITH users AS (SELECT DISTINCT user_id FROM events)
+       |SELECT * FROM (
+       |${variant("1_hash_mult", s"(user_id * 2654435761) % $SrmArms")}
+       |UNION ALL
+       |${variant("2_mod_bucket", "user_id % 3")})
+       |ORDER BY variant""".stripMargin
+  }
+
+  /** q318 shard counts and the per-shard rendezvous primes (scattered,
+    * the AmsCoef discipline — one per candidate shard, max 9). */
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+  val HrwPrimes: Seq[Long] = Seq(
+    472882049L, 533000401L, 601843553L, 677567567L, 702683951L,
+    765245483L, 829517039L, 881917807L, 920419843L)
+
+  /** q318 — shard-assignment move cost under cluster growth: rendezvous
+    * (highest-random-weight) hashing vs modulo bucketing when the shard
+    * count grows [[ShardsBefore]] → [[ShardsAfter]]. The
+    * partitioning-DESIGN op for a 100 TB store: re-sharding cost is the
+    * data you must physically move, and the two schemes differ by an
+    * order of magnitude — mod N reassigns ≈ N/(N+1) of all keys (every
+    * key whose residue changes), while HRW moves only the keys whose
+    * argmax lands on the NEW shard, ≈ 1/(N+1) — the minimal-disruption
+    * bound consistent hashing exists for. Both schemes are measured on
+    * the same key universe (distinct order keys) and graded as exact
+    * moved-fraction integers.
+    *
+    * HRW here: shard(key) = argmax over shards of
+    * (key+1)·prime(shard) mod P, ties to the larger shard id — the
+    * argmax is a lexicographic max over (score, shard) structs, which
+    * Spark's `array_max` and DuckDB's `max(struct)` both implement
+    * identically, so even the tie-breaks hash-match. All integer.
+    *
+    * Scale shape: one stateless projection per key (array of ≤9 codegen
+    * struct scores, two argmaxes, two mods), then a 2-row fold —
+    * shuffle-free until the final counts; the key universe never
+    * leaves its scan partitioning. */
+  def q318RendezvousShards(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.orders(s, d).select(col("o_orderkey").as("k")).distinct()
+    def hrwShard(n: Int): org.apache.spark.sql.Column =
+      array_max(array((0 until n).map(i =>
+        struct(pmod((col("k") + 1) * lit(HrwPrimes(i)), lit(P)).as("score"),
+          lit(i.toLong).as("shard"))): _*)).getField("shard")
+    keys.select(
+        (hrwShard(ShardsBefore) =!= hrwShard(ShardsAfter)).cast("long").as("hrw_moved"),
+        (pmod(col("k"), lit(ShardsBefore.toLong)) =!=
+          pmod(col("k"), lit(ShardsAfter.toLong))).cast("long").as("mod_moved"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("hrw_moved")).as("hrw"), sum(col("mod_moved")).as("modm"))
+      // 1-row fold fanned to the 2-row panel in-plan (no driver collect)
+      .select(explode(array(
+        struct(lit("1_rendezvous").as("scheme"), col("n_keys"),
+          col("hrw").as("n_moved")),
+        struct(lit("2_mod_bucket").as("scheme"), col("n_keys"),
+          col("modm").as("n_moved")))).as("e"))
+      .select(col("e.scheme").as("scheme"), col("e.n_keys").as("n_keys"),
+        col("e.n_moved").as("n_moved"))
+      .withColumn("moved_micro", expr("n_moved * 1000000 DIV n_keys"))
+      .orderBy(col("scheme"))
+  }
+
+  val q318Sql: String = {
+    def scoreList(n: Int): String = (0 until n).map(i =>
+      s"struct_pack(score := ((k+1)*${HrwPrimes(i)}) % $P, shard := CAST($i AS BIGINT))")
+      .mkString("[", ", ", "]")
+    s"""WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+       |asn AS (
+       |  SELECT k,
+       |    list_max(${scoreList(ShardsBefore)}).shard AS h8,
+       |    list_max(${scoreList(ShardsAfter)}).shard AS h9,
+       |    k % $ShardsBefore AS m8, k % $ShardsAfter AS m9
+       |  FROM keys),
+       |folded AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |         CAST(SUM(CASE WHEN h8 <> h9 THEN 1 ELSE 0 END) AS BIGINT) AS hrw,
+       |         CAST(SUM(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT) AS modm
+       |  FROM asn)
+       |SELECT scheme, n_keys, n_moved, (n_moved * 1000000) // n_keys AS moved_micro
+       |FROM (
+       |  SELECT '1_rendezvous' AS scheme, n_keys, hrw AS n_moved FROM folded
+       |  UNION ALL
+       |  SELECT '2_mod_bucket', n_keys, modm FROM folded)
+       |ORDER BY scheme""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q313_artifact_adopt" -> q313ArtifactAdopt _,
     "q314_sketch_set_algebra" -> q314SketchSetAlgebra _,
-    "q315_priority_sample" -> q315PrioritySample _)
+    "q315_priority_sample" -> q315PrioritySample _,
+    "q316_ivf_rebalance" -> q316IvfRebalance _,
+    "q317_srm_guard" -> q317SrmGuard _,
+    "q318_rendezvous_shards" -> q318RendezvousShards _)
 
   val oracles: Map[String, String] = Map(
     "q313_artifact_adopt" -> q313Sql,
     "q314_sketch_set_algebra" -> q314Sql,
-    "q315_priority_sample" -> q315Sql)
+    "q315_priority_sample" -> q315Sql,
+    "q316_ivf_rebalance" -> q316Sql,
+    "q317_srm_guard" -> q317Sql,
+    "q318_rendezvous_shards" -> q318Sql)
 }

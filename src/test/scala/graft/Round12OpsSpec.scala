@@ -97,6 +97,78 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q316: the gate's signals match a plain-Scala fold of q276's maintenance view") {
+    val maint = operators.Round8Ops.q276IvfMaintain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_state"), r.getAs[Long]("n_delta"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("share_state_micro"),
+        r.getAs[Long]("share_delta_micro")))
+    val row = Round12Ops.q316IvfRebalance(spark, sf).collect().head
+    val k = maint.length.toLong
+    val nAll = maint.map(_._3).sum
+    val imb = maint.map(_._3).max * k * 1000000L / nAll
+    val tv = maint.map(m => math.abs(m._4 - m._5)).sum / 2
+    assert(row.getAs[Long]("k") == k)
+    assert(row.getAs[Long]("imbalance_micro") == imb)
+    assert(row.getAs[Long]("tv_drift_micro") == tv)
+    assert(row.getAs[Long]("n_empty_cells") == maint.count(_._3 == 0).toLong)
+    assert(row.getAs[Boolean]("rebalance_imbalance") ==
+      (imb > Round12Ops.IvfImbalanceMaxMicro))
+    assert(row.getAs[Boolean]("rebalance_drift") == (tv > Round12Ops.IvfDriftMaxMicro))
+    assert(row.getAs[Boolean]("rebuild") ==
+      (imb > Round12Ops.IvfImbalanceMaxMicro || tv > Round12Ops.IvfDriftMaxMicro ||
+        maint.exists(_._3 == 0)))
+  }
+
+  test("q317: the guard fires on the broken assignment and only there") {
+    // sf0.01 (150 randomization units): at sf0.001's 15 users even a
+    // dead arm stays under the df=3 critical value — correctly, chi2
+    // has no power there; the gate's sensitivity needs the driver-gate
+    // fixture, the structural equality below holds at any SF
+    val sf = "/root/testdata/sf0.01"
+    val rows = Round12Ops.q317SrmGuard(spark, sf).collect()
+      .map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("chi2_micro"),
+          r.getAs[Boolean]("srm"), (0 until Round12Ops.SrmArms)
+            .map(i => r.getAs[Long](s"n$i"))))).toMap
+    val users = Tables.events(spark, sf).select(org.apache.spark.sql.functions
+      .col("user_id")).distinct().collect().map(_.getLong(0))
+    def recount(arm: Long => Long) = {
+      val t = users.length.toLong
+      val ns = (0 until Round12Ops.SrmArms).map(i => users.count(u => arm(u) == i).toLong)
+      val chi2 = ns.map { o =>
+        val d = Round12Ops.SrmArms * o - t
+        d * d * 1000000L / (Round12Ops.SrmArms * t)
+      }.sum
+      (t, chi2, ns)
+    }
+    val (t1, c1, ns1) = recount(u => math.floorMod(u * 2654435761L, Round12Ops.SrmArms.toLong))
+    val (t2, c2, ns2) = recount(u => math.floorMod(u, 3L))
+    assert(rows("1_hash_mult") == ((t1, c1, c1 > Round12Ops.SrmChi2MaxMicro, ns1)))
+    assert(rows("2_mod_bucket") == ((t2, c2, c2 > Round12Ops.SrmChi2MaxMicro, ns2)))
+    assert(!rows("1_hash_mult")._3, "healthy multiplicative hash must pass the guard")
+    assert(rows("2_mod_bucket")._3, "mod-3 fold into 4 arms must trip the guard")
+  }
+
+  test("q318: HRW moves ~1/9 of keys, mod moves ~8/9, and both match a recount") {
+    val rows = Round12Ops.q318RendezvousShards(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_moved")))).toMap
+    val P = graft.functions.Portable.P
+    val keys = Tables.orders(spark, sf).select(org.apache.spark.sql.functions
+      .col("o_orderkey")).distinct().collect().map(_.getLong(0))
+    def hrw(k: Long, n: Int): Int = (0 until n)
+      .map(i => (math.floorMod((k + 1) * Round12Ops.HrwPrimes(i), P), i)).max._2
+    val hrwMoved = keys.count(k =>
+      hrw(k, Round12Ops.ShardsBefore) != hrw(k, Round12Ops.ShardsAfter)).toLong
+    val modMoved = keys.count(k =>
+      k % Round12Ops.ShardsBefore != k % Round12Ops.ShardsAfter).toLong
+    assert(rows("1_rendezvous") == ((keys.length.toLong, hrwMoved)))
+    assert(rows("2_mod_bucket") == ((keys.length.toLong, modMoved)))
+    // the design claim: HRW ~1/(N+1), mod ~N/(N+1)
+    assert(hrwMoved * 5 < keys.length, s"HRW moved $hrwMoved of ${keys.length}")
+    assert(modMoved * 5 > keys.length * 4, s"mod moved only $modMoved of ${keys.length}")
+  }
+
   test("q315: tau, sample membership, and estimates match a plain-Scala recount") {
     val rows = Round12Ops.q315PrioritySample(spark, sf).collect()
     assert(rows.nonEmpty)
