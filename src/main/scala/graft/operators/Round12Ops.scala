@@ -564,13 +564,265 @@ object Round12Ops {
        |ORDER BY scheme""".stripMargin
   }
 
+  private def det3(a: Seq[String]): String =
+    s"(${a(0)}*(${a(4)}*${a(8)} - ${a(5)}*${a(7)}) " +
+      s"- ${a(1)}*(${a(3)}*${a(8)} - ${a(5)}*${a(6)}) " +
+      s"+ ${a(2)}*(${a(3)}*${a(7)} - ${a(4)}*${a(6)}))"
+
+  /** The q319 normal-equation solution as shared SQL select items
+    * (q201's Cramer discipline): over DOUBLE stats columns prefixed
+    * `p` — `${p}nd, ${p}sx1, …` — solving [n sx1 sx2; sx1 s11 s12;
+    * sx2 s12 s22]·β = [sy; s1y; s2y], each β rounded to 6 dp. */
+  private def olsSelect(p: String, suffix: String): Seq[String] = {
+    val A = Seq(s"${p}nd", s"${p}sx1", s"${p}sx2", s"${p}sx1", s"${p}s11",
+      s"${p}s12", s"${p}sx2", s"${p}s12", s"${p}s22")
+    val dA = det3(A)
+    def repl(c: Int): String =
+      det3(A.zipWithIndex.map { case (e, i) =>
+        if (i % 3 == c) Seq(s"${p}sy", s"${p}s1y", s"${p}s2y")(i / 3) else e
+      })
+    Seq(
+      s"ROUND(${repl(0)} / $dA, 6) AS b0$suffix",
+      s"ROUND(${repl(1)} / $dA, 6) AS b1$suffix",
+      s"ROUND(${repl(2)} / $dA, 6) AS b2$suffix")
+  }
+
+  /** The nine sufficient-statistic sums of the q319 probe, as SQL
+    * aggregate items over (x1, x2, y) — shared by the per-source pass
+    * and the oracle. */
+  private val StatSums = Seq(
+    "CAST(COUNT(*) AS BIGINT) AS n",
+    "CAST(SUM(x1) AS BIGINT) AS lsx1", "CAST(SUM(x2) AS BIGINT) AS lsx2",
+    "CAST(SUM(x1*x1) AS BIGINT) AS ls11", "CAST(SUM(x1*x2) AS BIGINT) AS ls12",
+    "CAST(SUM(x2*x2) AS BIGINT) AS ls22", "CAST(SUM(y) AS BIGINT) AS lsy",
+    "CAST(SUM(x1*y) AS BIGINT) AS ls1y", "CAST(SUM(x2*y) AS BIGINT) AS ls2y")
+
+  /** q319 — leave-one-source-out ablation (data-mixture valuation): for
+    * each source, the linear probe REFIT WITHOUT that source's
+    * documents, next to the full-corpus fit — "which source moves the
+    * model" answered with k ablations at the cost of ONE corpus pass.
+    * The probe is a 2-regressor OLS (y = n_chars on x1 = tokens,
+    * x2 = distinct tokens — the same closed-form normal-equation
+    * discipline as q201); the valuation readout is each source's
+    * `influence_micro`, the largest coefficient displacement its
+    * removal causes.
+    *
+    * The load-bearing trick is sufficient-statistic SUBTRACTION: OLS
+    * depends on the data only through nine exact-integer sums, the
+    * sums are additive over any partition of the corpus, so the
+    * leave-one-out stats are (global − source) — computed from the
+    * one per-source aggregate, never by re-scanning. That is the
+    * production shape for group-influence at 100 TB: one
+    * partial-aggregable pass builds the per-group stats table (k rows),
+    * and every ablation, including jackknife variants over arbitrary
+    * group unions, is driver-side arithmetic on it. Float parity:
+    * integer sums → double Cramer with the formula STRING shared
+    * between the Spark plan and the oracle (q201's discipline), so the
+    * op order is identical by construction; the influence compare runs
+    * on the 6-dp-rounded betas. */
+  def q319SourceAblation(s: SparkSession, d: String): DataFrame = {
+    val feat = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"), col("n_chars").as("y"))
+      .select(col("source"), size(col("tk")).cast("long").as("x1"),
+        size(array_distinct(col("tk"))).cast("long").as("x2"), col("y"))
+      .filter(col("x1") > 0)
+    val perSrc = feat.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("lsx1"), sum(col("x2")).as("lsx2"),
+      sum(col("x1") * col("x1")).as("ls11"),
+      sum(col("x1") * col("x2")).as("ls12"),
+      sum(col("x2") * col("x2")).as("ls22"),
+      sum(col("y")).as("lsy"),
+      sum(col("x1") * col("y")).as("ls1y"),
+      sum(col("x2") * col("y")).as("ls2y"))
+    val glob = perSrc.agg(
+      sum(col("n")).as("gn"),
+      sum(col("lsx1")).as("g1"), sum(col("lsx2")).as("g2"),
+      sum(col("ls11")).as("g11"), sum(col("ls12")).as("g12"),
+      sum(col("ls22")).as("g22"), sum(col("lsy")).as("gy"),
+      sum(col("ls1y")).as("g1y"), sum(col("ls2y")).as("g2y"))
+    // leave-one-out stats by SUBTRACTION, then the shared Cramer items
+    val loso = perSrc.crossJoin(broadcast(glob)).selectExpr(Seq(
+      "source", "n AS n_docs",
+      "CAST(gn - n AS DOUBLE) AS lnd",
+      "CAST(g1 - lsx1 AS DOUBLE) AS lsx1", "CAST(g2 - lsx2 AS DOUBLE) AS lsx2",
+      "CAST(g11 - ls11 AS DOUBLE) AS ls11", "CAST(g12 - ls12 AS DOUBLE) AS ls12",
+      "CAST(g22 - ls22 AS DOUBLE) AS ls22", "CAST(gy - lsy AS DOUBLE) AS lsy",
+      "CAST(g1y - ls1y AS DOUBLE) AS ls1y", "CAST(g2y - ls2y AS DOUBLE) AS ls2y",
+      "CAST(gn AS DOUBLE) AS gnd",
+      "CAST(g1 AS DOUBLE) AS gsx1", "CAST(g2 AS DOUBLE) AS gsx2",
+      "CAST(g11 AS DOUBLE) AS gs11", "CAST(g12 AS DOUBLE) AS gs12",
+      "CAST(g22 AS DOUBLE) AS gs22", "CAST(gy AS DOUBLE) AS gsy",
+      "CAST(g1y AS DOUBLE) AS gs1y", "CAST(g2y AS DOUBLE) AS gs2y"): _*)
+      // l* = leave-one-out stats, g* = full-corpus stats; the shared
+      // Cramer items read them by prefix
+      .selectExpr(Seq("source", "n_docs") ++
+        olsSelect("l", "") ++ olsSelect("g", "_full"): _*)
+    loso.selectExpr("source", "n_docs", "b0", "b1", "b2",
+        "CAST(ROUND(GREATEST(ABS(b0 - b0_full), ABS(b1 - b1_full), " +
+          "ABS(b2 - b2_full)) * 1000000, 0) AS BIGINT) AS influence_micro")
+      .orderBy(col("source"))
+  }
+
+  val q319Sql: String = {
+    val statSchema = (p: String, src: String) =>
+      s"""CAST(${src}n AS DOUBLE) AS ${p}nd,
+         |CAST(${src}lsx1 AS DOUBLE) AS ${p}sx1, CAST(${src}lsx2 AS DOUBLE) AS ${p}sx2,
+         |CAST(${src}ls11 AS DOUBLE) AS ${p}s11, CAST(${src}ls12 AS DOUBLE) AS ${p}s12,
+         |CAST(${src}ls22 AS DOUBLE) AS ${p}s22, CAST(${src}lsy AS DOUBLE) AS ${p}sy,
+         |CAST(${src}ls1y AS DOUBLE) AS ${p}s1y, CAST(${src}ls2y AS DOUBLE) AS ${p}s2y""".stripMargin
+    s"""WITH feat AS (
+       |  SELECT source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) AS x1,
+       |         CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS x2,
+       |         n_chars AS y
+       |  FROM documents
+       |  WHERE len(${tokensSql("text")}) > 0),
+       |per_src AS (
+       |  SELECT source, ${StatSums.mkString(", ")}
+       |  FROM feat GROUP BY source),
+       |gstat AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS gn,
+       |         CAST(SUM(lsx1) AS BIGINT) AS glsx1, CAST(SUM(lsx2) AS BIGINT) AS glsx2,
+       |         CAST(SUM(ls11) AS BIGINT) AS gls11, CAST(SUM(ls12) AS BIGINT) AS gls12,
+       |         CAST(SUM(ls22) AS BIGINT) AS gls22, CAST(SUM(lsy) AS BIGINT) AS glsy,
+       |         CAST(SUM(ls1y) AS BIGINT) AS gls1y, CAST(SUM(ls2y) AS BIGINT) AS gls2y
+       |  FROM per_src),
+       |stats AS (
+       |  SELECT source, n AS n_docs,
+       |    CAST(gn - n AS DOUBLE) AS lnd,
+       |    CAST(glsx1 - lsx1 AS DOUBLE) AS lsx1, CAST(glsx2 - lsx2 AS DOUBLE) AS lsx2,
+       |    CAST(gls11 - ls11 AS DOUBLE) AS ls11, CAST(gls12 - ls12 AS DOUBLE) AS ls12,
+       |    CAST(gls22 - ls22 AS DOUBLE) AS ls22, CAST(glsy - lsy AS DOUBLE) AS lsy,
+       |    CAST(gls1y - ls1y AS DOUBLE) AS ls1y, CAST(gls2y - ls2y AS DOUBLE) AS ls2y,
+       |    ${statSchema("g", "g")}
+       |  FROM per_src CROSS JOIN gstat),
+       |fit AS (
+       |  SELECT source, n_docs,
+       |    ${olsSelect("l", "").mkString(",\n    ")},
+       |    ${olsSelect("g", "_full").mkString(",\n    ")}
+       |  FROM stats)
+       |SELECT source, n_docs, b0, b1, b2,
+       |       CAST(ROUND(GREATEST(ABS(b0 - b0_full), ABS(b1 - b1_full),
+       |         ABS(b2 - b2_full)) * 1000000, 0) AS BIGINT) AS influence_micro
+       |FROM fit ORDER BY source""".stripMargin
+  }
+
+  /** q320's comparison arms and the sign-test critical value (chi²
+    * df = 1, p = 0.05 → 3.841, micro units). */
+  val PairSrcA = "src0"
+  val PairSrcB = "src1"
+  val SignChi2MaxMicro = 3841000L
+
+  /** q320 — matched-pairs quality comparison with a sign test: does
+    * source A produce higher-quality documents than source B, once
+    * LANGUAGE and LENGTH are controlled? A raw mean comparison is
+    * confounded — a source that happens to ship longer or
+    * differently-languaged docs wins or loses for reasons that have
+    * nothing to do with its pipeline. Matching removes the confound:
+    * within each (lang, token-length-bucket) stratum, the i-th doc of A
+    * (by doc_id rank) pairs with the i-th of B, the paired difference
+    * of lexical-diversity scores is taken, and the per-language sign
+    * test ((n⁺−n⁻)²·10⁶ DIV (n⁺+n⁻), the McNemar statistic, df = 1)
+    * says whether the sign imbalance is real. Ties (equal scores)
+    * count neither side — the standard exclusion.
+    *
+    * All integer: the score is q182's ⌊distinct/total·10⁶⌋ diversity
+    * micro, differences/sums are longs, one truncating DIV yields the
+    * statistic. Scale shape: two keyed windows (rank within stratum ×
+    * source — the shuffle key is the stratum, never global), one
+    * equi-join on (stratum, rank), one per-language fold. Differs from
+    * q317 (randomization-integrity chi²: same test family, but SRM
+    * guards the DENOMINATOR of an experiment while this grades a
+    * matched OUTCOME) and from q143 (raw A/B readout — exactly the
+    * confounded compare this op fixes). */
+  def q320MatchedPairs(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .filter(col("source").isin(PairSrcA, PairSrcB))
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dis"))
+      .filter(col("n_tok") > 0)
+      .withColumn("len_b", expr(s"n_tok DIV ${GovernanceOps.KAnonLenBucket}"))
+      .withColumn("score", expr("n_dis * 1000000 DIV n_tok"))
+    val w = Window.partitionBy(col("lang"), col("len_b"), col("source"))
+      .orderBy(col("doc_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val pairs = ranked.filter(col("source") === PairSrcA)
+      .select(col("lang"), col("len_b"), col("rn"), col("score").as("sa"))
+      .join(ranked.filter(col("source") === PairSrcB)
+        .select(col("lang"), col("len_b"), col("rn"), col("score").as("sb")),
+        Seq("lang", "len_b", "rn"))
+      .withColumn("d", col("sa") - col("sb"))
+    pairs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum((col("d") > 0).cast("long")).as("n_pos"),
+        sum((col("d") < 0).cast("long")).as("n_neg"),
+        sum((col("d") === 0).cast("long")).as("n_tie"),
+        sum(col("d")).as("sum_diff"))
+      .withColumn("chi2_micro", expr(
+        """CASE WHEN n_pos + n_neg = 0 THEN 0
+          |ELSE (n_pos - n_neg)*(n_pos - n_neg)*1000000 DIV (n_pos + n_neg)
+          |END""".stripMargin))
+      .withColumn("significant", col("chi2_micro") > SignChi2MaxMicro)
+      .orderBy(col("lang"))
+  }
+
+  val q320Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+       |         CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS n_dis
+       |  FROM documents
+       |  WHERE source IN ('$PairSrcA', '$PairSrcB')
+       |    AND len(${tokensSql("text")}) > 0),
+       |ranked AS (
+       |  SELECT doc_id, lang, source,
+       |         n_tok // ${GovernanceOps.KAnonLenBucket} AS len_b,
+       |         (n_dis * 1000000) // n_tok AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY lang,
+       |           n_tok // ${GovernanceOps.KAnonLenBucket}, source
+       |           ORDER BY doc_id) AS rn
+       |  FROM scored),
+       |pairs AS (
+       |  SELECT a.lang, a.score - b.score AS d
+       |  FROM (SELECT * FROM ranked WHERE source = '$PairSrcA') a
+       |  JOIN (SELECT * FROM ranked WHERE source = '$PairSrcB') b
+       |    ON a.lang = b.lang AND a.len_b = b.len_b AND a.rn = b.rn)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+       |       CAST(SUM(d) AS BIGINT) AS sum_diff,
+       |       CASE WHEN SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) = 0 THEN 0
+       |            ELSE (CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+       |                    - SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                  * CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+       |                    - SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                  * 1000000)
+       |                 // CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |       END AS chi2_micro,
+       |       CASE WHEN SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) = 0 THEN 0
+       |            ELSE (CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+       |                    - SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                  * CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+       |                    - SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                  * 1000000)
+       |                 // CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |       END > $SignChi2MaxMicro AS significant
+       |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q313_artifact_adopt" -> q313ArtifactAdopt _,
     "q314_sketch_set_algebra" -> q314SketchSetAlgebra _,
     "q315_priority_sample" -> q315PrioritySample _,
     "q316_ivf_rebalance" -> q316IvfRebalance _,
     "q317_srm_guard" -> q317SrmGuard _,
-    "q318_rendezvous_shards" -> q318RendezvousShards _)
+    "q318_rendezvous_shards" -> q318RendezvousShards _,
+    "q319_source_ablation" -> q319SourceAblation _,
+    "q320_matched_pairs" -> q320MatchedPairs _)
 
   val oracles: Map[String, String] = Map(
     "q313_artifact_adopt" -> q313Sql,
@@ -578,5 +830,7 @@ object Round12Ops {
     "q315_priority_sample" -> q315Sql,
     "q316_ivf_rebalance" -> q316Sql,
     "q317_srm_guard" -> q317Sql,
-    "q318_rendezvous_shards" -> q318Sql)
+    "q318_rendezvous_shards" -> q318Sql,
+    "q319_source_ablation" -> q319Sql,
+    "q320_matched_pairs" -> q320Sql)
 }

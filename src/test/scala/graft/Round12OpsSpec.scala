@@ -169,6 +169,86 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(modMoved * 5 > keys.length * 4, s"mod moved only $modMoved of ${keys.length}")
   }
 
+  test("q319: leave-one-out betas equal a direct refit without the source") {
+    val rows = Round12Ops.q319SourceAblation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val feat = Tables.documents(spark, sf)
+      .selectExpr("source",
+        "cast(size(filter(split(text, ' '), t -> t != '')) as long) as x1",
+        "cast(size(array_distinct(filter(split(text, ' '), t -> t != ''))) as long) as x2",
+        "n_chars as y")
+      .filter("x1 > 0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // direct OLS refit (double normal equations via Cramer) on the rows
+    // that EXCLUDE the source — must match the subtraction-path betas
+    def fit(rows: Array[(String, Long, Long, Long)]): (Double, Double, Double) = {
+      val n = rows.length.toDouble
+      val sx1 = rows.map(_._2).sum.toDouble
+      val sx2 = rows.map(_._3).sum.toDouble
+      val s11 = rows.map(r => r._2 * r._2).sum.toDouble
+      val s12 = rows.map(r => r._2 * r._3).sum.toDouble
+      val s22 = rows.map(r => r._3 * r._3).sum.toDouble
+      val sy = rows.map(_._4).sum.toDouble
+      val s1y = rows.map(r => r._2 * r._4).sum.toDouble
+      val s2y = rows.map(r => r._3 * r._4).sum.toDouble
+      def det(a: Array[Double]) =
+        a(0) * (a(4) * a(8) - a(5) * a(7)) - a(1) * (a(3) * a(8) - a(5) * a(6)) +
+          a(2) * (a(3) * a(7) - a(4) * a(6))
+      val A = Array(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+      val b = Array(sy, s1y, s2y)
+      val dA = det(A)
+      def repl(c: Int) = det(A.zipWithIndex.map { case (e, i) =>
+        if (i % 3 == c) b(i / 3) else e
+      })
+      (repl(0) / dA, repl(1) / dA, repl(2) / dA)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (b0, b1, b2) = fit(feat.filterNot(_._1 == src))
+      assert(math.abs(r.getAs[Double]("b0") - b0) < 5e-6, s"$src b0")
+      assert(math.abs(r.getAs[Double]("b1") - b1) < 5e-6, s"$src b1")
+      assert(math.abs(r.getAs[Double]("b2") - b2) < 5e-6, s"$src b2")
+      assert(r.getAs[Long]("n_docs") == feat.count(_._1 == src).toLong)
+    }
+    // sources are not interchangeable: influence must actually vary
+    val inf = rows.map(_.getAs[Long]("influence_micro"))
+    assert(inf.distinct.length > 1 && inf.max > 0)
+  }
+
+  test("q320: pair construction, sign counts, and the statistic match a recount") {
+    val rows = Round12Ops.q320MatchedPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .filter(s"source IN ('${Round12Ops.PairSrcA}', '${Round12Ops.PairSrcB}')")
+      .selectExpr("doc_id", "lang", "source",
+        "cast(size(filter(split(text, ' '), t -> t != '')) as long) as n_tok",
+        "cast(size(array_distinct(filter(split(text, ' '), t -> t != ''))) as long) as n_dis")
+      .filter("n_tok > 0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .map(t => (t._1, t._2, t._3, t._4 / operators.GovernanceOps.KAnonLenBucket,
+        t._5 * 1000000L / t._4))
+    val byStratum = docs.groupBy(d => (d._2, d._4))
+    val pairs = byStratum.toSeq.flatMap { case ((lang, _), g) =>
+      val a = g.filter(_._3 == Round12Ops.PairSrcA).sortBy(_._1).map(_._5)
+      val b = g.filter(_._3 == Round12Ops.PairSrcB).sortBy(_._1).map(_._5)
+      a.zip(b).map { case (sa, sb) => (lang, sa - sb) }
+    }
+    val byLang = pairs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val ds = byLang(lang).map(_._2)
+      val (pos, neg) = (ds.count(_ > 0).toLong, ds.count(_ < 0).toLong)
+      assert(r.getAs[Long]("n_pairs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_pos") == pos)
+      assert(r.getAs[Long]("n_neg") == neg)
+      assert(r.getAs[Long]("sum_diff") == ds.sum)
+      val chi2 = if (pos + neg == 0) 0L
+        else (pos - neg) * (pos - neg) * 1000000L / (pos + neg)
+      assert(r.getAs[Long]("chi2_micro") == chi2)
+      assert(r.getAs[Boolean]("significant") == (chi2 > Round12Ops.SignChi2MaxMicro))
+    }
+  }
+
   test("q315: tau, sample membership, and estimates match a plain-Scala recount") {
     val rows = Round12Ops.q315PrioritySample(spark, sf).collect()
     assert(rows.nonEmpty)
