@@ -282,6 +282,13 @@ object ScaleAudit {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-docscale-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // the derived dirs are per-run temp paths, so any artifacts built
+      // FROM them (hybrid index / truth tables / gram table during the
+      // audit's warm-up and build measurements) are unreachable by every
+      // later run — drop them too, or an opted-in persistent artifact
+      // root grows by one orphaned index set per audit run
+      Seq("a", "b", "e").foreach(sub =>
+        graft.ml.ArtifactStore.dropForCorpus(root.resolve(sub).toString))
       def del(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(): Unit
       }

@@ -104,7 +104,11 @@ object ArtifactStore {
     s"$kind-v$FormatVersion-${pathKey(d)}"
 
   /** Last ≤16 bytes of a regular file, hex — the cheap content signal
-    * folded into the fingerprint (see class doc). */
+    * folded into the fingerprint (see class doc). Reads until the
+    * buffer fills (a single positional read may legally return short,
+    * e.g. on network filesystems — exactly the shared-root deployment;
+    * a zero-padded short read would make the fingerprint
+    * nondeterministic across walks). */
   private def tailSig(f: Path, size: Long): String = {
     val n = math.min(16L, size).toInt
     if (n == 0) "empty"
@@ -112,8 +116,13 @@ object ArtifactStore {
       val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
       try {
         val bb = java.nio.ByteBuffer.allocate(n)
-        ch.read(bb, size - n): Unit
-        bb.array().map(b => f"$b%02x").mkString
+        var pos = size - n
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, pos)
+          if (r < 0) bb.limit(bb.position()) // concurrent truncation: stop
+          else pos += r
+        }
+        bb.array().take(bb.position()).map(b => f"$b%02x").mkString
       } finally ch.close()
     }
   }
@@ -167,18 +176,24 @@ object ArtifactStore {
         (dir, false)
       } else {
         val tmp = Paths.get(dir + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        make(tmp.toString)
-        Files.createDirectories(tmp) // a builder that wrote nothing still markers
-        Files.write(tmp.resolve(MarkerFile),
-          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-        val target = Paths.get(dir)
-        deleteRecursively(target.toFile) // stale or partial predecessor
-        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException =>
-          // lost a cross-process move race: adopt the winner iff fresh
-          if (markerOf(dir).contains(fp)) deleteRecursively(tmp.toFile)
-          else { deleteRecursively(target.toFile); Files.move(tmp, target): Unit }
-        }
+        try {
+          make(tmp.toString)
+          Files.createDirectories(tmp) // a builder that wrote nothing still markers
+          Files.write(tmp.resolve(MarkerFile),
+            fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          val target = Paths.get(dir)
+          deleteRecursively(target.toFile) // stale or partial predecessor
+          try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException =>
+            // lost a cross-process move race: adopt the winner iff fresh
+            if (markerOf(dir).contains(fp)) deleteRecursively(tmp.toFile)
+            else { deleteRecursively(target.toFile); Files.move(tmp, target): Unit }
+          }
+        } finally
+          // a build that threw mid-make must not leak its .tmp dir into a
+          // persistent root (the nano-suffixed name matches no cleanup
+          // pattern, so nothing else would ever remove it)
+          if (Files.exists(tmp)) deleteRecursively(tmp.toFile)
         built.synchronized { built(dir) = fp }
         (dir, true)
       }

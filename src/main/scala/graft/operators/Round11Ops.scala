@@ -72,7 +72,8 @@ object Round11Ops {
       .orderBy(col("phase"))
   }
 
-  private final class ProbeMemo(thunk: => Seq[(String, Boolean, Long)]) {
+  /** Shared by the q309 and q313 probe caches (Round12Ops). */
+  private[operators] final class ProbeMemo(thunk: => Seq[(String, Boolean, Long)]) {
     lazy val value: Seq[(String, Boolean, Long)] = thunk
   }
 

@@ -53,18 +53,16 @@ object Round12Ops {
     * 100 TB, one snapshot-id comparison). */
   def q313ArtifactAdopt(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    adoptCache.computeIfAbsent(d, _ => new Memo(runAdoptProbe(s, d)))
+    // lazy per-corpus memo (Round11Ops.ProbeMemo — the q309 ADVICE-r11
+    // discipline): the map insert is cheap; the probe runs under the
+    // holder's lazy-val lock, never a global one
+    adoptCache.computeIfAbsent(d, _ => new Round11Ops.ProbeMemo(runAdoptProbe(s, d)))
       .value.toDF("phase", "rebuilt", "n_indexed")
       .orderBy(col("phase"))
   }
 
-  /** Lazy per-corpus memo: the map insert is cheap; the probe runs under
-    * the holder's lazy-val lock, never a global one (the q309 ADVICE-r11
-    * discipline). */
-  private final class Memo(thunk: => Seq[(String, Boolean, Long)]) {
-    lazy val value: Seq[(String, Boolean, Long)] = thunk
-  }
-  private val adoptCache = new java.util.concurrent.ConcurrentHashMap[String, Memo]
+  private val adoptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Round11Ops.ProbeMemo]
 
   private def runAdoptProbe(s: SparkSession, d: String): Seq[(String, Boolean, Long)] = {
     // shares q309's scratch root + single shutdown hook (which also
@@ -436,9 +434,14 @@ object Round12Ops {
     * All integer: with equal weights the per-arm term is
     * (4·oᵢ − T)²·10⁶ DIV (4·T) (one truncating division per term, the
     * q295 discipline — documented and mirrored in the oracle), summed
-    * into `chi2_micro` and compared to the df=3 critical value. Scale
-    * shape: one distinct pass over the randomization units, then a
-    * |arms|-row fold per assignment — partial-aggregable end to end. */
+    * into `chi2_micro` and compared to the df=3 critical value. The
+    * exact-int64 form holds while (4T)²·10⁶ < 2⁶³, i.e. T up to ~3·10⁶
+    * randomization units; past that the identical terms run in
+    * DECIMAL(38,0) (or the micro factor drops to 10³ — the statistic
+    * needs 3 significant decimals, not 6), term structure unchanged —
+    * the q310 documented-bound discipline. Scale shape: one distinct
+    * pass over the randomization units, then a |arms|-row fold per
+    * assignment — partial-aggregable end to end. */
   def q317SrmGuard(s: SparkSession, d: String): DataFrame = {
     val users = Tables.events(s, d).select(col("user_id")).distinct()
     def readout(variant: String, arm: org.apache.spark.sql.Column): DataFrame = {
@@ -581,10 +584,13 @@ object Round12Ops {
       det3(A.zipWithIndex.map { case (e, i) =>
         if (i % 3 == c) Seq(s"${p}sy", s"${p}s1y", s"${p}s2y")(i / 3) else e
       })
-    Seq(
-      s"ROUND(${repl(0)} / $dA, 6) AS b0$suffix",
-      s"ROUND(${repl(1)} / $dA, 6) AS b1$suffix",
-      s"ROUND(${repl(2)} / $dA, 6) AS b2$suffix")
+    // singular normal matrix (e.g. x2 collinear with x1 on a degenerate
+    // slice) → betas pinned to 0.0 on BOTH engines: Spark's x/0.0 yields
+    // NaN/Inf while DuckDB yields NULL, so an unguarded divide would
+    // diverge data-dependently (the q276 tot=0 lesson)
+    def beta(c: Int, name: String): String =
+      s"CASE WHEN $dA = 0.0 THEN 0.0 ELSE ROUND(${repl(c)} / $dA, 6) END AS $name"
+    Seq(beta(0, s"b0$suffix"), beta(1, s"b1$suffix"), beta(2, s"b2$suffix"))
   }
 
   /** The nine sufficient-statistic sums of the q319 probe, as SQL
@@ -729,7 +735,9 @@ object Round12Ops {
     *
     * All integer: the score is q182's ⌊distinct/total·10⁶⌋ diversity
     * micro, differences/sums are longs, one truncating DIV yields the
-    * statistic. Scale shape: two keyed windows (rank within stratum ×
+    * statistic (exact in int64 while (n⁺−n⁻)²·10⁶ < 2⁶³ — pair counts
+    * to ~3·10⁶, the q317 bound and the same DECIMAL(38,0) scale-up
+    * path). Scale shape: two keyed windows (rank within stratum ×
     * source — the shuffle key is the stratum, never global), one
     * equi-join on (stratum, rank), one per-language fold. Differs from
     * q317 (randomization-integrity chi²: same test family, but SRM

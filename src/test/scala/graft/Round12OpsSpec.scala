@@ -60,6 +60,27 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r4 && builds == 3, "same-size same-mtime overwrite must still rebuild")
   }
 
+  test("ArtifactStore: a build that throws leaks no .tmp dir and the next ensure retries") {
+    val corpus = java.nio.file.Files.createTempDirectory("as12f-").resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    java.nio.file.Files.write(corpus.resolve("documents.parquet"), "x".getBytes("UTF-8"))
+    val d = corpus.toString
+    var calls = 0
+    def ensure(fail: Boolean) =
+      ml.ArtifactStore.ensure(spark, d, "spec12f", Seq("documents")) { out =>
+        calls += 1
+        if (fail) throw new RuntimeException("boom")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
+      }
+    intercept[RuntimeException](ensure(fail = true))
+    val (dir, r2) = ensure(fail = false)
+    assert(r2 && calls == 2, "failed build must not be memoized as built")
+    val parent = java.nio.file.Paths.get(dir).getParent.toFile
+    val orphans = parent.listFiles().filter(_.getName.contains("spec12f"))
+      .filter(_.getName.contains(".tmp-"))
+    assert(orphans.isEmpty, s"leaked build temp dirs: ${orphans.mkString(", ")}")
+  }
+
   test("q314: theta estimates match a plain-Scala sketch recount; exact uniques exact") {
     val rows = Round12Ops.q314SketchSetAlgebra(spark, sf).collect()
     assert(rows.nonEmpty)
