@@ -238,7 +238,7 @@ object ScaleAudit {
   val UpCopies = 10
   val UpStride = 1000000L
 
-  private def upsample(s: SparkSession, sfC: String, dir: java.nio.file.Path): String = {
+  private[graft] def upsample(s: SparkSession, sfC: String, dir: java.nio.file.Path): String = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, sfC)
     val docCohorts = (0 until UpCopies).map { c =>
