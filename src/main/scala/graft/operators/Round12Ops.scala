@@ -76,6 +76,11 @@ object Round12Ops {
         val base = col(idCol) < AdoptSlice
         if (evenOnly) base && col(idCol) % 2 === 0 else base
       }
+      // coalesce(1) is PROBE-ONLY scope: these scratch corpora are
+      // ≤ AdoptSlice rows by construction, and a single file makes the
+      // fingerprint walk's file set deterministic. Never copy this onto
+      // a real corpus write — one file serializes the whole write (the
+      // Medallion/Layout sinks show the partitioned production shape).
       Tables.documents(s, d).filter(keep("doc_id")).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       Tables.embeddings(s, d).filter(keep("vec_id")).coalesce(1)
@@ -246,7 +251,17 @@ object Round12Ops {
        |ORDER BY source""".stripMargin
 
   /** q315's sample size and the hash-uniform constants (scattered primes,
-    * the AmsCoef discipline): u = ((A·doc_id + B) mod P + 1)/P ∈ (0, 1]. */
+    * the AmsCoef discipline): u = ((A·doc_id + B) mod P + 1)/P ∈ (0, 1].
+    *
+    * Nonnegative-id invariant (ADVICE r12): this hash arithmetic — and
+    * q318's [[HrwPrimes]] scores — uses plain `%`, which Spark and
+    * DuckDB both define as sign-following; the formulas assume
+    * doc_id/o_orderkey/user_id ≥ 0 (true of every fixture table and of
+    * the TPC-H data contract they model). A negative id would shift the
+    * sample deterministically on BOTH engines identically for q315/q318
+    * (both sides use the same `%`), so correctness holds; only q317's
+    * arm bucketing mixes Spark `pmod` with SQL `%`, and its oracle uses
+    * the pmod-equivalent form for exactly that reason. */
   val PrioK = 128
   val PrioA = 265443577L
   val PrioB = 362437L
@@ -481,11 +496,16 @@ object Round12Ops {
          |             CAST(COUNT(*) AS BIGINT) AS n_users
          |      FROM (SELECT $armExpr AS arm FROM users))""".stripMargin
     }
+    // pmod-equivalent bucketing (ADVICE r12): the Spark side uses pmod,
+    // so the oracle wraps each residue as ((x % m) + m) % m — identical
+    // for the fixtures' nonnegative user_ids and loudly identical (not
+    // data-dependently divergent) if a negative id ever enters
     s"""WITH users AS (SELECT DISTINCT user_id FROM events)
        |SELECT * FROM (
-       |${variant("1_hash_mult", s"(user_id * 2654435761) % $SrmArms")}
+       |${variant("1_hash_mult",
+           s"(((user_id * 2654435761) % $SrmArms) + $SrmArms) % $SrmArms")}
        |UNION ALL
-       |${variant("2_mod_bucket", "user_id % 3")})
+       |${variant("2_mod_bucket", "((user_id % 3) + 3) % 3")})
        |ORDER BY variant""".stripMargin
   }
 
