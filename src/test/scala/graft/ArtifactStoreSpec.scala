@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ArtifactStore install discipline (round 13, ADVICE r12): dir
+  * names carry the content fingerprint, a rebuild never deletes a live
+  * predecessor, the lost-move-race branches actually execute (the r12
+  * verdict: "the lose-and-adopt branch is currently argued in a
+  * comment, never executed"), and the persistent-root init sweep
+  * removes what no process can use. Round12OpsSpec keeps the
+  * marker/freshness/thrown-build coverage; this spec owns the
+  * concurrency and hygiene paths.
+  */
+class ArtifactStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpCorpus(tag: String, content: String): java.nio.file.Path = {
+    val c = java.nio.file.Files.createTempDirectory(tag).resolve("corpus")
+    java.nio.file.Files.createDirectories(c)
+    java.nio.file.Files.write(c.resolve("documents.parquet"), content.getBytes("UTF-8"))
+    c
+  }
+
+  private def read(p: java.nio.file.Path): String =
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+
+  test("rebuild for new content installs a NEW dir and retains the live predecessor") {
+    val corpus = tmpCorpus("as13-", "v1")
+    val d = corpus.toString
+    def ensure(payload: String) =
+      ml.ArtifactStore.ensure(spark, d, "spec13a", Seq("documents")) { out =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "payload.txt"), payload.getBytes("UTF-8")): Unit
+      }
+    val (dir1, b1) = ensure("one")
+    assert(b1)
+    // content change -> different fingerprint -> DIFFERENT dir name
+    java.nio.file.Files.write(corpus.resolve("documents.parquet"), "v2--".getBytes("UTF-8"))
+    val (dir2, b2) = ensure("two")
+    assert(b2 && dir1 != dir2, "new content must install under a new fingerprint dir")
+    // the predecessor a concurrent reader may still be scanning is intact
+    assert(read(java.nio.file.Paths.get(dir1, "payload.txt")) == "one")
+    assert(read(java.nio.file.Paths.get(dir2, "payload.txt")) == "two")
+    // …until it ages past the grace period: the next ensure sweeps it
+    val old = System.currentTimeMillis() - ml.ArtifactStore.StaleGraceMs - 60000
+    assert(new java.io.File(dir1).setLastModified(old))
+    ml.ArtifactStore.dropMemo(d, "spec13a")
+    val (dir3, b3) = ensure("three")
+    assert(!b3 && dir3 == dir2, "unchanged content must adopt, not rebuild")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir1)),
+      "superseded fingerprint dir past the grace period must be swept")
+  }
+
+  test("losing the move race to a FINISHED winner adopts it (branch executed, not argued)") {
+    val corpus = tmpCorpus("as13r-", "race")
+    val d = corpus.toString
+    val fp = ml.ArtifactStore.fingerprint(d, Seq("documents"))
+    var target: java.nio.file.Path = null
+    val (dir, built) =
+      ml.ArtifactStore.ensure(spark, d, "spec13b", Seq("documents")) { out =>
+        // simulate another process winning while we build: the fp-named
+        // target appears, fully marked, before our atomic move runs
+        target = java.nio.file.Paths.get(
+          out.substring(0, out.indexOf(".tmp-")))
+        java.nio.file.Files.createDirectories(target)
+        java.nio.file.Files.write(target.resolve("payload.txt"), "winner".getBytes("UTF-8"))
+        java.nio.file.Files.write(target.resolve("_FINGERPRINT"), fp.getBytes("UTF-8"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "payload.txt"), "loser".getBytes("UTF-8")): Unit
+      }
+    assert(built && dir == target.toString)
+    assert(read(java.nio.file.Paths.get(dir, "payload.txt")) == "winner",
+      "lost race against a marked winner must ADOPT the winner's artifact")
+    // the loser's tmp dir must not leak
+    val leaks = target.getParent.toFile.listFiles()
+      .filter(f => f.getName.contains("spec13b") && f.getName.contains(".tmp-"))
+    assert(leaks.isEmpty, s"leaked tmp dirs: ${leaks.mkString(", ")}")
+    // and a later cold ensure adopts without rebuilding
+    ml.ArtifactStore.dropMemo(d, "spec13b")
+    val (_, b2) = ml.ArtifactStore.ensure(spark, d, "spec13b", Seq("documents"))(
+      _ => fail("must adopt, not rebuild"))
+    assert(!b2)
+  }
+
+  test("losing the move race to a MARKER-LESS partial replaces it") {
+    val corpus = tmpCorpus("as13p-", "partial")
+    val d = corpus.toString
+    val (dir, built) =
+      ml.ArtifactStore.ensure(spark, d, "spec13c", Seq("documents")) { out =>
+        // a half-written fp-named dir (no marker — no process adopted it)
+        val target = java.nio.file.Paths.get(out.substring(0, out.indexOf(".tmp-")))
+        java.nio.file.Files.createDirectories(target)
+        java.nio.file.Files.write(target.resolve("payload.txt"), "partial".getBytes("UTF-8"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "payload.txt"), "mine".getBytes("UTF-8")): Unit
+      }
+    assert(built)
+    assert(read(java.nio.file.Paths.get(dir, "payload.txt")) == "mine",
+      "a marker-less partial predecessor must be replaced by the finished build")
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(dir, "_FINGERPRINT")))
+  }
+
+  test("persistent-root init sweep: old tmp dirs and superseded FormatVersions go, rest stays") {
+    val root = java.nio.file.Files.createTempDirectory("as13root-")
+    def mk(name: String, ageMs: Long = 0): java.nio.file.Path = {
+      val p = root.resolve(name)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("f"), "x".getBytes("UTF-8"))
+      if (ageMs > 0) p.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+      p
+    }
+    val v = ml.ArtifactStore.FormatVersion
+    val oldVersion = mk(s"hybrid-v${v - 1}-corpus-abcd1234")
+    val current = mk(s"hybrid-v$v-corpus-abcd1234--deadbeef00112233")
+    val staleTmp = mk(s"hybrid-v$v-corpus-abcd1234--ff.tmp-1-2",
+      ml.ArtifactStore.TmpSweepMs + 60000)
+    val freshTmp = mk(s"hybrid-v$v-corpus-abcd1234--ee.tmp-3-4")
+    val stray = mk("not-ours")
+    ml.ArtifactStore.sweepRoot(root)
+    assert(!java.nio.file.Files.exists(oldVersion), "superseded FormatVersion must be swept")
+    assert(!java.nio.file.Files.exists(staleTmp), "hours-old orphan tmp must be swept")
+    assert(java.nio.file.Files.exists(current), "current-version artifact must survive")
+    assert(java.nio.file.Files.exists(freshTmp), "a live build's fresh tmp must survive")
+    assert(java.nio.file.Files.exists(stray), "non-artifact entries are not ours to delete")
+  }
+
+  test("dropForCorpus removes every kind and fingerprint version for that corpus only") {
+    val cA = tmpCorpus("as13dA-", "A")
+    val cB = tmpCorpus("as13dB-", "B")
+    def build(d: String, kind: String) =
+      ml.ArtifactStore.ensure(spark, d, kind, Seq("documents")) { out =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
+      }._1
+    val a1 = build(cA.toString, "spec13d")
+    val a2 = build(cA.toString, "spec13e")
+    val b1 = build(cB.toString, "spec13d")
+    ml.ArtifactStore.dropForCorpus(cA.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a2)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(b1)),
+      "another corpus's artifacts must survive")
+  }
+}
