@@ -76,6 +76,9 @@ class PlanInvariantSpec extends AnyFunSuite {
     *  - q289: the [[graft.operators.Round9Ops.HamQueryCap]]-row query
     *    broadcast (SF-invariant literal filter) — since round 10 its
     *    recall truth is a persisted TruthTables scan
+    *  - q322: q247's two 16-centroid literal-filtered builds (corpus
+    *    assign + query cell ranking); the occupancy/depth/truth joins
+    *    are equi-joins and the truth is the persisted TruthTables scan
     *  - q310: the |sources|-row global sensitive-distribution anchor
     *    (the EMD needs every group×source cell, absent sources
     *    included — 20 rows per build at BOTH SFs; the per-group counts
@@ -85,7 +88,7 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
     "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
     "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank",
-    "q310_t_closeness")
+    "q310_t_closeness", "q322_multiprobe_adaptive")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -257,7 +260,12 @@ class PlanInvariantSpec extends AnyFunSuite {
       // build): source-domain — SF-invariant (20 sources at every SF)
       "q310_t_closeness" -> ((a, b) =>
         if (a == b && (a ++ b).forall(_ <= 32)) None
-        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")))
+        else Some(s"expected equal source-domain builds <= 32, got $a vs $b")),
+      // q247's seed-centroid builds again (×2) — SF-invariant; everything
+      // else in the adaptive probe is an equi-join or a persisted scan
+      "q322_multiprobe_adaptive" -> ((a, b) =>
+        if (a == b && (a ++ b).forall(_ <= 16)) None
+        else Some(s"expected equal seed builds <= 16, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust

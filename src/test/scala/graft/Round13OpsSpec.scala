@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{AnnAudit, GovernanceOps, Round13Ops}
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round13OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Independent plain-Scala inverse CDF of the two-sided geometric
+    * (α = 1/2) on u ∈ [0, D) — the reference [[Round13Ops.dpNoiseSql]]
+    * must realize. */
+  private def noiseRef(u: Long): Long = {
+    val half = 1L << 19
+    def l2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    if (u < half) { if (u == 0) -20 else -(19 - l2(u)) }
+    else if (u < 2L * half) 0
+    else { val v = Round13Ops.DpD - 1 - u; if (v == 0) 20 else 19 - l2(v) }
+  }
+
+  test("q321 mechanism: the realized noise distribution is EXACTLY dyadic, eps = ln 2") {
+    // enumerate every one of the D = 3·2^19 uniforms: the histogram must
+    // be P(0)·D = 2^19, P(±k)·D = 2^(19-k) for 1 ≤ k ≤ 19, P(±20)·D = 1
+    // (the collapsed tails) — no approximation anywhere
+    val hist = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    var u = 0L
+    while (u < Round13Ops.DpD) { hist(noiseRef(u)) += 1; u += 1 }
+    assert(hist(0L) == (1L << 19))
+    (1 to 19).foreach { k =>
+      assert(hist(k.toLong) == (1L << (19 - k)), s"P(+$k)")
+      assert(hist(-k.toLong) == (1L << (19 - k)), s"P(-$k)")
+    }
+    assert(hist(20L) == 1 && hist(-20L) == 1)
+    assert(hist.keys.forall(k => k >= -20 && k <= 20), "support bounded")
+    assert(hist.values.sum == Round13Ops.DpD)
+    // realized ε: the worst adjacent-outcome probability ratio over the
+    // support interior is exactly 2 → ε = ln 2 (the truncation beyond
+    // ±20 is the ledger's δ = 2/D, not an ε term)
+    val maxRatio = (-19 to 18).map { k =>
+      val (a, b) = (hist(k.toLong).toDouble, hist(k + 1L).toDouble)
+      math.max(a / b, b / a)
+    }.max
+    assert(maxRatio == 2.0, s"realized worst ratio $maxRatio")
+    assert(Round13Ops.DpEpsCellMicro == math.round(math.log(2) * 1e6))
+    assert(Round13Ops.DpDeltaNum == 2 && Round13Ops.DpDeltaDen == Round13Ops.DpD)
+  }
+
+  test("q321 mechanism: the shared SQL fragment equals the Scala reference on Spark") {
+    import org.apache.spark.sql.functions._
+    // a sweep across [0, D) plus every CDF boundary's neighborhood
+    val boundary = (0 to 20).flatMap(k =>
+      Seq(1L << k, (1L << k) - 1, Round13Ops.DpD - (1L << k),
+        Round13Ops.DpD - 1 - (1L << k))) ++
+      Seq(0L, Round13Ops.DpD - 1, 1L << 19, (1L << 20) - 1, 1L << 20)
+    val us = ((0L until Round13Ops.DpD by 991L) ++ boundary)
+      .filter(u => u >= 0 && u < Round13Ops.DpD).distinct
+    val got = spark.createDataFrame(us.map(Tuple1(_))).toDF("u")
+      .withColumn("noise", expr(Round13Ops.dpNoiseSql("u")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    us.foreach(u => assert(got(u) == noiseRef(u), s"u=$u"))
+  }
+
+  test("q321: gate agreement, clamp/null rules, marginal sums, ledger arithmetic") {
+    val rows = Round13Ops.q321DpRelease(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val eps = Round13Ops.DpEpsCellMicro
+    rows.foreach { r =>
+      val nTrue = r.getAs[Long]("n_true")
+      val supp = r.getAs[Boolean]("suppressed")
+      assert(supp == (nTrue < GovernanceOps.KAnonK),
+        "suppression must BE the q299 k-anonymity gate")
+      val u = r.getAs[Long]("u")
+      assert(u >= 0 && u < Round13Ops.DpD)
+      assert(r.getAs[Long]("noise") == noiseRef(u))
+      if (supp) assert(r.isNullAt(r.fieldIndex("n_released")))
+      else assert(r.getAs[Long]("n_released") ==
+        math.max(0L, nTrue + r.getAs[Long]("noise")))
+      // ledger: parallel within level, sequential across levels
+      assert(r.getAs[Long]("eps_cell_micro") == eps)
+      assert(r.getAs[Long]("eps_level_micro") == eps)
+      assert(r.getAs[Long]("eps_release_micro") == r.getAs[Long]("n_levels") * eps)
+      assert(r.getAs[Long]("delta_release_num") ==
+        r.getAs[Long]("n_levels") * Round13Ops.DpDeltaNum)
+      assert(r.getAs[Long]("eps_sequential_bound_micro") ==
+        r.getAs[Long]("n_cells_released") * eps)
+    }
+    val n = rows.length.toLong
+    assert(rows.forall(_.getAs[Long]("n_cells") == n))
+    assert(rows.head.getAs[Long]("n_levels") == 2)
+    // the level-2 marginal is the exact re-aggregation of level 1
+    val lvl1 = rows.filter(_.getAs[Long]("level") == 1)
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .view.mapValues(_.map(_.getAs[Long]("n_true")).sum).toMap
+    val lvl2 = rows.filter(_.getAs[Long]("level") == 2)
+    assert(lvl2.nonEmpty)
+    lvl2.foreach { r =>
+      assert(r.getAs[Long]("len_b") == -1L)
+      assert(r.getAs[Long]("n_true") ==
+        lvl1((r.getAs[String]("lang"), r.getAs[String]("source"))))
+    }
+    // the graded fixture must exercise BOTH outcomes of the gate
+    assert(rows.exists(_.getAs[Boolean]("suppressed")))
+    assert(rows.exists(!_.getAs[Boolean]("suppressed")))
+  }
+
+  test("q322: rows match a plain-Scala adaptive multi-probe recount") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).sortBy(_._1)
+    val cents = emb.filter(_._1 < 16)
+    val corpus = emb.filter(_._1 >= 16)
+    val queries = corpus.filter(_._1 < 24)
+    // assignment: best cosine, tie -> smaller centroid id
+    val cell = corpus.map { case (cid, ce) =>
+      cid -> cents.map { case (k, c) => (-cos(ce, c), k) }.min._2
+    }.toMap
+    val occ = cell.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = queries.map { case (qid, qe) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (cid, ce) => (-cos(qe, ce), cid) }.sorted
+        .take(AnnAudit.RecallK).map(_._2).toSet
+    }.toMap
+    val expected = queries.map { case (qid, qe) =>
+      val order = cents.map { case (k, c) => (-cos(qe, c), k) }.sorted.map(_._2)
+      val cums = order.scanLeft(0L)((acc, k) => acc + occ.getOrElse(k, 0L)).tail
+      val depth = cums.indexWhere(_ >= Round13Ops.AdaptBudget) match {
+        case -1 => order.length
+        case i => i + 1
+      }
+      val probed = order.take(depth).toSet
+      val cand = corpus.filter { case (cid, _) => cid != qid && probed(cell(cid)) }
+      val top = cand.map { case (cid, ce) => (-cos(qe, ce), cid) }.sorted
+        .take(AnnAudit.RecallK).map(_._2)
+      val nHit = top.count(truth(qid))
+      (qid, depth.toLong, cand.length.toLong, nHit.toLong,
+        math.floor(nHit.toDouble / AnnAudit.RecallK * 1e6 + 0.5).toLong)
+    }
+    val got = Round13Ops.q322MultiProbe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("probe_depth"),
+        r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("recall_micro")))
+    assert(got.toSeq == expected.toSeq)
+    // the knob is real: the budget binds (nobody scans the whole corpus)
+    // and at least one query needed more than one cell
+    assert(got.forall(_._3 < corpus.length - 1))
+    assert(got.exists(_._2 > 1))
+  }
+}
