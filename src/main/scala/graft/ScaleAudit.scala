@@ -93,15 +93,18 @@ object ScaleAudit {
     "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance",
     "q314_sketch_set_algebra")
 
-  /** DocTier queries ALSO measured at the upsampled 10× point. Excluded:
-    * the two recall-truth consumers (q247, q289) — their ground-truth
-    * GRID is corpus-quadratic BY DESIGN (the honest price of exact
-    * recall truth, documented beside the named baselines), so warming it
-    * at 10× sf0.1 would cost ~100× the sf0.1 grid for no linearity
-    * signal about the SERVE path this audit measures; they keep the
-    * 10%→100% three-point fit. */
-  val DocTierUp: Set[String] =
-    DocTier -- Set("q247_ivf_recall", "q289_hamming_rerank")
+  /** DocTier queries ALSO measured at the upsampled 10× point — since
+    * round 13 that is ALL of them. The two recall-truth consumers
+    * (q247, q289) were excluded through round 12 on a "corpus-quadratic
+    * truth grid" rationale that no longer holds: both truth tables are
+    * built for a FIXED query set (q38's 8 queries, q247's 8-query
+    * slice — the r13 verdict's "constant query subset" ask was already
+    * the committed shape), so the truth build is |queries|·|corpus| =
+    * LINEAR and warming it at the 10× point costs 10×, not 100×. The
+    * warm-up builds truth at the upsample dir and the two ANN serve
+    * paths get the same two-decade wall/shuffle fit as the rest of
+    * DocTier. */
+  val DocTierUp: Set[String] = DocTier
 
   /** Max log-log exponent of shuffle bytes against the work driver
     * (input ROWS, or the [[WorkModels]] set where one exists), fitted
@@ -380,10 +383,11 @@ object ScaleAudit {
         ml.TruthTables.warm(spark, sf)
         operators.Round9Ops.spanGrams(spark, sf).count(): Unit
       }
-      // the upsampled point warms hybrid + gram only: the recall-truth
-      // GRIDS are corpus-quadratic by design, and their consumers are
-      // DocTier-minus-DocTierUp (measured on the a/b/c span)
+      // the upsampled point warms everything the 100% point does —
+      // round 13: the recall-truth tables too (fixed 8-query sets, so
+      // the truth build is LINEAR in the corpus; see DocTierUp)
       ml.HybridIndex.ensure(spark, de)
+      ml.TruthTables.warm(spark, de)
       operators.Round9Ops.spanGrams(spark, de).count(): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[audit] WARM-UP FAILED (measurements may smear): $e")
