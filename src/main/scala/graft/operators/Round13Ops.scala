@@ -386,11 +386,220 @@ object Round13Ops {
        |ORDER BY qid""".stripMargin
   }
 
+  // ---- q323: DP sum release with contribution clipping ----
+
+  /** Per-document contribution bound for q323's sum release (chars).
+    * Sits at ~the 75th percentile of fixture n_chars, so the clip
+    * genuinely binds on a visible fraction of documents — the
+    * bias-for-privacy trade the op exists to demonstrate. */
+  val DpClipChars = 400L
+
+  /** q323 — differentially-private SUM release with contribution
+    * clipping: the DP concept q321 gets for free and a sum does not.
+    * A count has sensitivity 1 automatically; a SUM of n_chars has
+    * unbounded sensitivity until each document's contribution is
+    * CLIPPED at [[DpClipChars]] — the standard bias-for-privacy trade
+    * (the clip bound is the released quantity's contract, and the
+    * `n_clipped` column shows how hard it binds). Quantization makes
+    * the dyadic mechanism exact at sensitivity C: the clipped sum is
+    * released in units of C (one document moves the clipped sum by
+    * ≤ C, hence the floor-divided unit count by ≤ 1 — sensitivity 1
+    * in units), the SAME exact inverse CDF adds unit noise, and the
+    * release is C·max(0, units + noise) — quantization error ≤ C−1,
+    * also part of the contract. Cells are the q321 level-2 marginal
+    * (lang, source) with the same k-anonymity suppression gate;
+    * publishing q321 AND q323 together costs their ledgers' SUM
+    * (sequential composition across releases — same documents), which
+    * is exactly why both print their own ε.
+    *
+    * All integer: LEAST for the clip, one DIV for the units, the
+    * shared noise fragment, GREATEST for the clamp. Scale shape: one
+    * partial-aggregable aggregate + |cells|-row projection + 1-row
+    * ledger broadcast. */
+  def q323DpSumRelease(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.KAnonK
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        least(col("n_chars"), lit(DpClipChars)).as("w"),
+        (col("n_chars") > DpClipChars).cast("long").as("clipped"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("clipped")).as("n_clipped"),
+        sum(col("w")).as("sum_clipped"))
+      .withColumn("suppressed", col("n_docs") < KAnonK)
+      .withColumn("units", expr(s"sum_clipped DIV $DpClipChars"))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("sum"), col("lang"),
+          col("source"))) * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("released_sum",
+        when(col("suppressed"), lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), col("units") + col("noise")) * DpClipChars))
+    val ledger = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum((!col("suppressed")).cast("long")).as("n_cells_released"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("clip_chars", lit(DpClipChars))
+      .withColumn("eps_release_micro", lit(DpEpsCellMicro))
+      .withColumn("delta_release_num", lit(DpDeltaNum))
+      .withColumn("delta_release_den", lit(DpDeltaDen))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_clipped"),
+        col("sum_clipped"), col("suppressed"), col("units"), col("u"),
+        col("noise"), col("released_sum"), col("n_cells"),
+        col("n_cells_released"), col("clip_chars"),
+        col("eps_release_micro"), col("delta_release_num"),
+        col("delta_release_den"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q323Sql: String = {
+    import GovernanceOps.KAnonK
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'sum', lang, source)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH cells AS (
+       |  SELECT lang, source,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN n_chars > $DpClipChars THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_clipped,
+       |         CAST(SUM(LEAST(n_chars, $DpClipChars)) AS BIGINT) AS sum_clipped
+       |  FROM documents GROUP BY 1, 2),
+       |noised AS (
+       |  SELECT lang, source, n_docs, n_clipped, sum_clipped,
+       |         n_docs < $KAnonK AS suppressed,
+       |         sum_clipped // $DpClipChars AS units,
+       |         CAST($uExpr AS BIGINT) AS u
+       |  FROM cells),
+       |rel AS (
+       |  SELECT *, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise FROM noised),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |         CAST(SUM(CASE WHEN suppressed THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_cells_released
+       |  FROM rel)
+       |SELECT lang, source, n_docs, n_clipped, sum_clipped, suppressed,
+       |       units, u, noise,
+       |       CASE WHEN suppressed THEN NULL
+       |            ELSE GREATEST(CAST(0 AS BIGINT), units + noise)
+       |                 * $DpClipChars END AS released_sum,
+       |       n_cells, n_cells_released,
+       |       CAST($DpClipChars AS BIGINT) AS clip_chars,
+       |       CAST($DpEpsCellMicro AS BIGINT) AS eps_release_micro,
+       |       CAST($DpDeltaNum AS BIGINT) AS delta_release_num,
+       |       CAST($DpDeltaDen AS BIGINT) AS delta_release_den
+       |FROM rel CROSS JOIN ledger
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  // ---- q324: DP unknown-domain histogram (noisy-threshold release) ----
+
+  /** q324's release threshold: a cell appears in the published
+    * histogram iff its NOISY count reaches this. */
+  val DpVocabTau = 16L
+  /** The exact δ of the unknown-domain release: the probability a
+    * count-1 cell survives the threshold, P(1 + noise ≥ τ) =
+    * P(noise ≥ τ−1) — an exact dyadic tail of the realized noise
+    * histogram: Σ_{k=τ−1..19} 2^(19−k) + 1 = 2^(21−τ) − 1 + 1 = 32
+    * at τ = 16, over D. Round13OpsSpec recomputes it by enumerating
+    * the mechanism. */
+  val DpVocabDeltaNum: Long = (1L << (21 - DpVocabTau.toInt)) // 32 at τ=16
+  val DpVocabDeltaDen: Long = DpD
+
+  /** q324 — DP histogram over an UNKNOWN key domain (noisy-threshold /
+    * stability-based release): the mechanism behind every private
+    * vocabulary or n-gram release. q321's histogram enumerates a
+    * CLOSED quasi-cell domain, so absent cells can be released as
+    * noisy zeros; a vocabulary's domain is the data itself — you
+    * cannot add noise to keys you cannot enumerate, and publishing
+    * the observed key set verbatim would leak membership. The
+    * standard fix: noise every OBSERVED cell's count and publish only
+    * cells whose noisy count clears a threshold τ; the probability
+    * that a count-1 cell (one document's unique key) sneaks past τ is
+    * the release's δ — here an EXACT dyadic rational
+    * ([[DpVocabDeltaNum]]/D), because the realized noise distribution
+    * is exactly dyadic.
+    *
+    * Surface: each document's FIRST token (its "title word") — one
+    * key per document, so the cells partition the corpus and parallel
+    * composition prices the release at one ε = ln 2. The graded table
+    * is the auditor's view (every observed cell, its true df, noise,
+    * and release flag); the published view is the
+    * released = true projection — exactly like q321's n_true
+    * discipline.
+    *
+    * Scale shape: one partial-aggregable first-token aggregate (the
+    * cell count is the vocabulary's head — bounded by distinct
+    * openings, not corpus rows), a row-local noise projection, a
+    * 1-row ledger broadcast. */
+  def q324DpVocabRelease(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(element_at(tokens(col("text")), 1).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("vocab"), col("tok")))
+          * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("noisy_count", col("n_true") + col("noise"))
+      .withColumn("released", col("noisy_count") >= DpVocabTau)
+    val ledger = cells.agg(
+      count(lit(1)).as("n_cells_observed"),
+      sum(col("released").cast("long")).as("n_cells_released"),
+      sum(col("n_true")).as("n_docs"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("tau", lit(DpVocabTau))
+      .withColumn("eps_release_micro", lit(DpEpsCellMicro))
+      .withColumn("delta_release_num", lit(DpVocabDeltaNum))
+      .withColumn("delta_release_den", lit(DpVocabDeltaDen))
+      .select(col("tok"), col("n_true"), col("u"), col("noise"),
+        col("noisy_count"), col("released"), col("n_cells_observed"),
+        col("n_cells_released"), col("n_docs"), col("tau"),
+        col("eps_release_micro"), col("delta_release_num"),
+        col("delta_release_den"))
+      .orderBy(col("tok"))
+  }
+
+  val q324Sql: String = {
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'vocab', tok)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH cells AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+       |    SELECT (${tokensSql("text")})[1] AS tok FROM documents)
+       |  WHERE tok IS NOT NULL GROUP BY tok),
+       |noised AS (
+       |  SELECT tok, n_true, CAST($uExpr AS BIGINT) AS u FROM cells),
+       |rel AS (
+       |  SELECT tok, n_true, u,
+       |         CAST(${dpNoiseSql("u")} AS BIGINT) AS noise
+       |  FROM noised),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_observed,
+       |         CAST(SUM(CASE WHEN n_true + noise >= $DpVocabTau
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_released,
+       |         CAST(SUM(n_true) AS BIGINT) AS n_docs
+       |  FROM rel)
+       |SELECT tok, n_true, u, noise,
+       |       n_true + noise AS noisy_count,
+       |       n_true + noise >= $DpVocabTau AS released,
+       |       n_cells_observed, n_cells_released, n_docs,
+       |       CAST($DpVocabTau AS BIGINT) AS tau,
+       |       CAST($DpEpsCellMicro AS BIGINT) AS eps_release_micro,
+       |       CAST($DpVocabDeltaNum AS BIGINT) AS delta_release_num,
+       |       CAST($DpVocabDeltaDen AS BIGINT) AS delta_release_den
+       |FROM rel CROSS JOIN ledger
+       |ORDER BY tok""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q321_dp_release" -> q321DpRelease _,
-    "q322_multiprobe_adaptive" -> q322MultiProbe _)
+    "q322_multiprobe_adaptive" -> q322MultiProbe _,
+    "q323_dp_sum_release" -> q323DpSumRelease _,
+    "q324_dp_vocab_release" -> q324DpVocabRelease _)
 
   val oracles: Map[String, String] = Map(
     "q321_dp_release" -> q321Sql,
-    "q322_multiprobe_adaptive" -> q322Sql)
+    "q322_multiprobe_adaptive" -> q322Sql,
+    "q323_dp_sum_release" -> q323Sql,
+    "q324_dp_vocab_release" -> q324Sql)
 }

@@ -102,6 +102,72 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("q323: clip, quantize, noise, clamp — every column recounts from raw docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_chars")))
+    val c = Round13Ops.DpClipChars
+    val exp = docs.groupBy(t => (t._1, t._2)).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(_._3 > c).toLong,
+        rows.map(t => math.min(t._3, c)).sum)
+    }.toMap
+    val rows = Round13Ops.q323DpSumRelease(spark, sf).collect()
+    assert(rows.length == exp.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val (nDocs, nClipped, sumClipped) = exp(key)
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_clipped") == nClipped)
+      assert(r.getAs[Long]("sum_clipped") == sumClipped)
+      assert(r.getAs[Long]("units") == sumClipped / c)
+      assert(r.getAs[Long]("noise") == noiseRef(r.getAs[Long]("u")))
+      val supp = r.getAs[Boolean]("suppressed")
+      assert(supp == (nDocs < GovernanceOps.KAnonK))
+      if (supp) assert(r.isNullAt(r.fieldIndex("released_sum")))
+      else {
+        val rel = r.getAs[Long]("released_sum")
+        assert(rel == math.max(0L, sumClipped / c + r.getAs[Long]("noise")) * c)
+        assert(rel % c == 0, "release is quantized to clip units")
+      }
+    }
+    // the clip must actually bind somewhere (else the op demonstrates nothing)
+    assert(rows.map(_.getAs[Long]("n_clipped")).sum > 0)
+  }
+
+  test("q324: the unknown-domain release's delta is the mechanism's EXACT tail") {
+    import org.apache.spark.sql.functions._
+    // recompute δ = P(1 + noise >= τ) by enumerating the mechanism —
+    // the claimed constant must BE the realized dyadic tail
+    var tail = 0L
+    var u = 0L
+    while (u < Round13Ops.DpD) {
+      if (noiseRef(u) >= Round13Ops.DpVocabTau - 1) tail += 1
+      u += 1
+    }
+    assert(tail == Round13Ops.DpVocabDeltaNum,
+      s"claimed delta num ${Round13Ops.DpVocabDeltaNum}, realized $tail")
+    assert(Round13Ops.DpVocabDeltaDen == Round13Ops.DpD)
+    val rows = Round13Ops.q324DpVocabRelease(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cells partition the corpus (one first token per document) — the
+    // parallel-composition claim is a checkable identity
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(graft.functions.Portable.tokens(col("text"))) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_true")).sum == nDocs)
+    assert(rows.forall(_.getAs[Long]("n_docs") == nDocs))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("noise") == noiseRef(r.getAs[Long]("u")))
+      assert(r.getAs[Long]("noisy_count") ==
+        r.getAs[Long]("n_true") + r.getAs[Long]("noise"))
+      assert(r.getAs[Boolean]("released") ==
+        (r.getAs[Long]("noisy_count") >= Round13Ops.DpVocabTau))
+    }
+    // the threshold must split the fixture (some released, some not)
+    assert(rows.exists(_.getAs[Boolean]("released")))
+    assert(rows.exists(!_.getAs[Boolean]("released")))
+  }
+
   test("q322: rows match a plain-Scala adaptive multi-probe recount") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
