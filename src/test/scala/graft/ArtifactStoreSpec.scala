@@ -127,6 +127,74 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(stray), "non-artifact entries are not ours to delete")
   }
 
+  test("cross-JVM adoption: a REAL second JVM adopts without rebuilding (CI form)") {
+    // the r12 verdict: q313's dropMemo phases SIMULATE a restart; this
+    // forks genuinely separate JVMs (each builds its own SparkSession)
+    // against one shared GRAFT_ARTIFACT_ROOT — the CI twin of
+    // tools/crossjvm_check.sh, plus the STALE phase the script lacks.
+    // Child 1 must build, child 2 must adopt via the _FINGERPRINT
+    // marker with zero Spark jobs on the build path, and child 3 —
+    // after the corpus changes under them — must rebuild.
+    val root = java.nio.file.Files.createTempDirectory("crossjvm-ci-")
+    // probe against a COPY of the fixture so the stale phase can mutate
+    // it (the fixture itself is read-only)
+    val corpus = java.nio.file.Files.createTempDirectory("crossjvm-corpus-")
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(sf, f),
+        corpus.resolve(f)): Unit
+    }
+    // the child needs Spark's JDK-17 module opens (build.sbt injects
+    // these for forked test/run JVMs; a raw ProcessBuilder java does not
+    // inherit them)
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def probe(): String = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx3g",
+        "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path"),
+        "graft.CrossJvmProbe", corpus.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("GRAFT_ARTIFACT_ROOT", root.toString)
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "child JVM hung")
+      assert(p.exitValue() == 0, s"child JVM failed:\n${out.takeRight(2000)}")
+      out.linesIterator.filter(_.contains("\"probe\":\"crossjvm\"")).toSeq.last
+    }
+    try {
+      val first = probe()
+      val second = probe()
+      assert(first.contains("\"built\":true"), s"jvm1 must build: $first")
+      assert(second.contains("\"built\":false"), s"jvm2 must adopt: $second")
+      def n(s: String) = "\"n_indexed\":(\\d+)".r.findFirstMatchIn(s).get.group(1)
+      assert(n(first) == n(second), "adopted artifact must serve identical rows")
+      // stale phase: the corpus changes between processes (an mtime-visible
+      // rewrite — the fingerprint's snapshot-id contract) → child 3 rebuilds
+      val doc = corpus.resolve("documents.parquet")
+      java.nio.file.Files.setLastModifiedTime(doc,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(doc).toMillis + 73000))
+      val third = probe()
+      assert(third.contains("\"built\":true"), s"jvm3 must rebuild on stale corpus: $third")
+    } finally {
+      ml.ArtifactStore.dropForCorpus(corpus.toString)
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(): Unit
+      }
+      del(root.toFile)
+      del(corpus.toFile)
+    }
+  }
+
   test("dropForCorpus removes every kind and fingerprint version for that corpus only") {
     val cA = tmpCorpus("as13dA-", "A")
     val cB = tmpCorpus("as13dB-", "B")
