@@ -38,8 +38,12 @@ object Round12Ops {
     *  3. `3_cold_adopt` — registry entry dropped
     *     ([[graft.ml.ArtifactStore.dropMemo]] — byte-identical to a
     *     process restart against a persistent root: the ONLY state left
-    *     is the on-disk artifact and its marker) → ensure ADOPTS without
-    *     rebuilding and the artifact still serves v1's rows;
+    *     is the on-disk artifact and its marker; since round 13 this is
+    *     MEASURED, not argued — ArtifactStoreSpec forks real second
+    *     JVMs through build/adopt/rebuild-on-stale, and
+    *     `tools/crossjvm_check.sh` + SCALING.md record the wall numbers)
+    *     → ensure ADOPTS without rebuilding and the artifact still
+    *     serves v1's rows;
     *  4. `4_cold_stale` — corpus overwritten with v2, registry dropped
     *     again → the marker no longer matches, the rebuild fires, and
     *     the re-indexed artifact covers v2.

@@ -6,12 +6,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-13 operators: the differentially-private count RELEASE the
-  * governance tier was missing (q321 — the twice-deferred top advice
-  * item: q299/q306/q310 detect re-identification risk, this is what a
-  * pipeline DOES about it), and adaptive multi-probe ANN serving
-  * (q322 — the recall/cost knob as an operator, not just q247's audit
-  * curve).
+/** Round-13 operators: the differentially-private RELEASE family the
+  * governance tier was missing (q299/q306/q310 detect
+  * re-identification risk; these are what a pipeline DOES about it) —
+  * q321 the two-level count histogram (the twice-deferred top advice
+  * item), q323 the clipped-sum release (the sensitivity concept counts
+  * get for free), q324 the unknown-domain histogram (noisy-threshold
+  * vocabulary release) — plus adaptive multi-probe ANN serving (q322 —
+  * the recall/cost knob as an operator, not just q247's audit curve).
+  * All three releases share one exact integer mechanism
+  * ([[dpNoiseSql]]) whose realized distribution, ε, and δ are
+  * spec-enumerated, and a DuckDB oracle replays the identical noise
+  * formula for each.
   */
 object Round13Ops {
   type Q = (SparkSession, String) => DataFrame
@@ -591,15 +597,170 @@ object Round13Ops {
        |ORDER BY tok""".stripMargin
   }
 
+  // ---- q325: hierarchical consistency post-processing ----
+
+  /** q325's child-level token-length bucket (coarser than q299's
+    * [[GovernanceOps.KAnonLenBucket]] on purpose: every (lang, bucket)
+    * cell clears the k-gate at every fixture SF, so the reconciliation
+    * never meets a suppressed child — gating belongs to the release
+    * ops; this op post-processes released values). */
+  val RecLenBucket = 50L
+  /** Offset making controlled-rounding dividends nonnegative: Spark's
+    * `DIV` truncates toward zero while a negative adjustment needs
+    * floor semantics, and the engines are only guaranteed to agree on
+    * NONNEGATIVE operands (the q315 discipline) — so divide
+    * (diff + B·m) and subtract B back. |diff| is bounded by the noisy
+    * parent count (< 2³² at any conceivable corpus), B·m ≫ that. */
+  val RecOffset = 1000000L
+
+  /** q325 — consistency post-processing for hierarchical DP releases
+    * (Hay et al. "boosting"; the Census TopDown step): q321 showed
+    * that a real release ships a parent histogram AND a child level,
+    * and because each level is noised independently the numbers DO NOT
+    * ADD UP — Σ child ≠ parent, which downstream consumers read as a
+    * data bug. The standard fix is free under DP (post-processing of
+    * released values only): the variance-minimizing (OLS) estimate
+    * subject to the tree constraint, x_p = (m·y_p + Σy_c)/(m+1) with
+    * each child shifted by the equal share (y_p − Σy_c)/(m+1), then
+    * CONTROLLED ROUNDING so the integer outputs still satisfy the
+    * constraint exactly: the floor-divided base share goes to every
+    * child and the remainder to the first `rem` children in bucket
+    * order (deterministic, engine-exact). The spec asserts the
+    * reconciled children SUM EXACTLY to the reconciled parent per
+    * lang — the property the op exists for. A reconciled child can in
+    * principle go negative under an extreme downward adjustment
+    * (clamping would break the sum constraint; Census solves a
+    * nonnegative program instead — out of scope, documented).
+    *
+    * Releases consumed: parent = per-lang counts, children =
+    * (lang, n_tok DIV [[RecLenBucket]]) counts, each noised by the
+    * shared exact mechanism under its own salt tag. Two levels of the
+    * same documents → sequential composition: ε = 2·ln 2,
+    * δ = 4/D — the same ledger arithmetic q321 prints.
+    *
+    * All integer: the only divisions are nonnegative DIVs (the OLS
+    * numerator m·y_p + Σy_c is a sum of clamped counts; the rounding
+    * dividend is offset by [[RecOffset]]·m — see there). Scale shape:
+    * two stacked partial-aggregable aggregates (child cells, then the
+    * per-lang fold), one |children|-row window for the remainder
+    * ranks, all on a |langs|·|buckets| table — corpus-independent
+    * after the one linear pass. */
+  def q325DpReconcile(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $RecLenBucket"))
+    val child = base.groupBy(col("lang"), col("len_b"))
+      .agg(count(lit(1)).as("n_true_c"))
+      .withColumn("u_c",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("rec-child"), col("lang"),
+          col("len_b").cast("string"))) * DpScramble) % P % DpD)
+      .withColumn("y_c",
+        greatest(lit(0L), col("n_true_c") + expr(dpNoiseSql("u_c")).cast("long")))
+    val parent = base.groupBy(col("lang")).agg(count(lit(1)).as("n_true_p"))
+      .withColumn("u_p",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("rec-parent"), col("lang")))
+          * DpScramble) % P % DpD)
+      .withColumn("y_p",
+        greatest(lit(0L), col("n_true_p") + expr(dpNoiseSql("u_p")).cast("long")))
+      .select(col("lang"), col("n_true_p"), col("y_p"))
+    val fold = child.groupBy(col("lang"))
+      .agg(count(lit(1)).as("m"), sum(col("y_c")).as("s_c"))
+      .join(parent, "lang")
+      // OLS parent estimate, floor-rounded (nonneg dividend)
+      .withColumn("x_p", expr("(m * y_p + s_c) DIV (m + 1)"))
+      .withColumn("diff", col("x_p") - col("s_c"))
+      // controlled rounding: base share (offset floor-division) + the
+      // remainder spread over the first `rem` children in bucket order
+      .withColumn("base", expr(s"(diff + $RecOffset * m) DIV m - $RecOffset"))
+      .withColumn("rem", col("diff") - col("base") * col("m"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("len_b"))
+    child.join(broadcast(fold), "lang")
+      .withColumn("rnk", row_number().over(wb))
+      .withColumn("adj", col("base") + when(col("rnk") <= col("rem"), 1L).otherwise(0L))
+      .withColumn("x_c", col("y_c") + col("adj"))
+      .withColumn("eps_release_micro", lit(2L * DpEpsCellMicro))
+      .withColumn("delta_release_num", lit(2L * DpDeltaNum))
+      .withColumn("delta_release_den", lit(DpDeltaDen))
+      .select(col("lang"), col("len_b"), col("n_true_c"), col("u_c"),
+        col("y_c"), col("m"), col("n_true_p"), col("y_p"), col("s_c"),
+        col("x_p"), col("adj"), col("x_c"),
+        col("eps_release_micro"), col("delta_release_num"),
+        col("delta_release_den"))
+      .orderBy(col("lang"), col("len_b"))
+  }
+
+  val q325Sql: String = {
+    val uChild = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'rec-child', lang, CAST(len_b AS VARCHAR))") +
+      s" * $DpScramble) % $P % $DpD"
+    val uParent = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'rec-parent', lang)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH base AS (
+       |  SELECT lang,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $RecLenBucket AS len_b
+       |  FROM documents),
+       |child0 AS (
+       |  SELECT lang, len_b, CAST(COUNT(*) AS BIGINT) AS n_true_c
+       |  FROM base GROUP BY 1, 2),
+       |child1 AS (
+       |  SELECT lang, len_b, n_true_c, CAST($uChild AS BIGINT) AS u_c
+       |  FROM child0),
+       |child AS (
+       |  SELECT lang, len_b, n_true_c, u_c,
+       |         GREATEST(CAST(0 AS BIGINT),
+       |           n_true_c + CAST(${dpNoiseSql("u_c")} AS BIGINT)) AS y_c
+       |  FROM child1),
+       |parent0 AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true_p,
+       |         CAST($uParent AS BIGINT) AS u_p
+       |  FROM base GROUP BY lang),
+       |parent AS (
+       |  SELECT lang, n_true_p,
+       |         GREATEST(CAST(0 AS BIGINT),
+       |           n_true_p + CAST(${dpNoiseSql("u_p")} AS BIGINT)) AS y_p
+       |  FROM parent0),
+       |fold AS (
+       |  SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS m,
+       |         CAST(SUM(c.y_c) AS BIGINT) AS s_c,
+       |         MIN(p.n_true_p) AS n_true_p, MIN(p.y_p) AS y_p
+       |  FROM child c JOIN parent p ON p.lang = c.lang
+       |  GROUP BY c.lang),
+       |fold2 AS (
+       |  SELECT lang, m, s_c, n_true_p, y_p,
+       |         (m * y_p + s_c) // (m + 1) AS x_p
+       |  FROM fold),
+       |fold3 AS (
+       |  SELECT *, x_p - s_c AS diff,
+       |         ((x_p - s_c) + $RecOffset * m) // m - $RecOffset AS base
+       |  FROM fold2),
+       |fold4 AS (SELECT *, diff - base * m AS rem FROM fold3),
+       |ranked AS (
+       |  SELECT c.lang, c.len_b, c.n_true_c, c.u_c, c.y_c,
+       |         f.m, f.n_true_p, f.y_p, f.s_c, f.x_p, f.base, f.rem,
+       |         ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY c.len_b) AS rnk
+       |  FROM child c JOIN fold4 f ON f.lang = c.lang)
+       |SELECT lang, len_b, n_true_c, u_c, y_c, m, n_true_p, y_p, s_c, x_p,
+       |       base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END AS adj,
+       |       y_c + base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END AS x_c,
+       |       CAST(${2L * DpEpsCellMicro} AS BIGINT) AS eps_release_micro,
+       |       CAST(${2L * DpDeltaNum} AS BIGINT) AS delta_release_num,
+       |       CAST($DpDeltaDen AS BIGINT) AS delta_release_den
+       |FROM ranked
+       |ORDER BY lang, len_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q321_dp_release" -> q321DpRelease _,
     "q322_multiprobe_adaptive" -> q322MultiProbe _,
     "q323_dp_sum_release" -> q323DpSumRelease _,
-    "q324_dp_vocab_release" -> q324DpVocabRelease _)
+    "q324_dp_vocab_release" -> q324DpVocabRelease _,
+    "q325_dp_reconcile" -> q325DpReconcile _)
 
   val oracles: Map[String, String] = Map(
     "q321_dp_release" -> q321Sql,
     "q322_multiprobe_adaptive" -> q322Sql,
     "q323_dp_sum_release" -> q323Sql,
-    "q324_dp_vocab_release" -> q324Sql)
+    "q324_dp_vocab_release" -> q324Sql,
+    "q325_dp_reconcile" -> q325Sql)
 }

@@ -168,6 +168,41 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("released")))
   }
 
+  test("q325: reconciled children SUM EXACTLY to the reconciled parent, per lang") {
+    val rows = Round13Ops.q325DpReconcile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val xP = rs.map(_.getAs[Long]("x_p")).distinct
+      assert(xP.length == 1)
+      // the property the op exists for: the constraint holds EXACTLY
+      assert(rs.map(_.getAs[Long]("x_c")).sum == xP.head,
+        s"$lang: reconciled children do not sum to the reconciled parent")
+      // the OLS parent estimate, floor-rounded
+      val m = rs.length.toLong
+      val yP = rs.head.getAs[Long]("y_p")
+      val sC = rs.map(_.getAs[Long]("y_c")).sum
+      assert(rs.head.getAs[Long]("m") == m)
+      assert(rs.head.getAs[Long]("s_c") == sC)
+      assert(xP.head == (m * yP + sC) / (m + 1))
+      // per-child adjustments differ by at most 1 (controlled rounding)
+      val adjs = rs.map(_.getAs[Long]("adj"))
+      assert(adjs.max - adjs.min <= 1)
+      assert(adjs.sum == xP.head - sC)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("y_c") ==
+        math.max(0L, r.getAs[Long]("n_true_c") + noiseRef(r.getAs[Long]("u_c"))))
+      // no suppressed child ever meets this op (geometry chosen for it)
+      assert(r.getAs[Long]("n_true_c") >= GovernanceOps.KAnonK)
+      assert(r.getAs[Long]("eps_release_micro") == 2 * Round13Ops.DpEpsCellMicro)
+    }
+    // reconciliation must actually move something at this fixture
+    // (identical y and x everywhere would mean the test can't detect a
+    // broken adjustment path)
+    assert(rows.exists(r => r.getAs[Long]("adj") != 0L))
+  }
+
   test("q322: rows match a plain-Scala adaptive multi-probe recount") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
