@@ -750,17 +750,190 @@ object Round13Ops {
        |ORDER BY lang, len_b""".stripMargin
   }
 
+  // ---- q326: the budget-tuning curve for adaptive serving ----
+
+  /** The candidate-budget grid q326 sweeps. */
+  val BudgetGrid: Seq[Int] = Seq(16, 64, 256)
+
+  /** q326 — recall-vs-BUDGET tuning curve: the per-BUDGET fold that
+    * picks [[AdaptBudget]] empirically, completing the serving-knob
+    * family — q247 grades recall at fixed NPROBE (the index-side
+    * audit), q322 serves one adaptive budget per query, and this
+    * publishes the table a serving team tunes from: for each budget on
+    * [[BudgetGrid]], the mean/max probe depth the queries actually
+    * needed, the mean candidates scanned (the cost), and the
+    * mean/min recall@5 (the quality) — all integer micro folds over
+    * the fixed query set. The depth VARIANCE is the point: a fixed
+    * nprobe pays the max everywhere, the adaptive budget pays each
+    * query's own price, and this curve shows both sides of that trade
+    * at every budget.
+    *
+    * Scale shape: q322's plan with a |grid|-row broadcast fanned in —
+    * the cumulative-occupancy window is computed ONCE (16 rows per
+    * query), depths derive per (query, budget) from it, candidates
+    * join probed cells per budget, and the output is |grid| rows. The
+    * budget bounds per-query work exactly as in q322. */
+  def q326BudgetCurve(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import graft.functions.VectorExpressions.cosineF
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val corpus = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .persist()
+    val queries = corpus.filter(col("cid") < 24)
+      .select(col("cid").as("qid"), col("ce").as("qe"))
+    val truth = graft.ml.TruthTables.ivfRecallTruth(s, d)
+    val wv = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("centroid_id"))
+    val assigned = corpus.join(broadcast(cents), lit(true))
+      .withColumn("cos", cosineF("ce", "cent"))
+      .withColumn("rnk", row_number().over(wv))
+      .filter(col("rnk") === 1)
+      .select(col("cid"), col("centroid_id").as("cell"))
+    val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("centroid_id"))
+    val cellRank = queries.join(broadcast(cents), lit(true))
+      .withColumn("cos", cosineF("qe", "cent"))
+      .select(col("qid"), col("centroid_id").as("cell"),
+        row_number().over(wc).as("cell_rnk"))
+      .join(broadcast(occ), Seq("cell"), "left")
+      .withColumn("n_cell", coalesce(col("n_cell"), lit(0L)))
+      .withColumn("cum", sum(col("n_cell")).over(
+        Window.partitionBy(col("qid")).orderBy(col("cell_rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist() // one 16-rows-per-query relation feeds every budget
+    val budgets = s.createDataFrame(BudgetGrid.map(Tuple1(_))).toDF("budget")
+    val depth = cellRank.crossJoin(broadcast(budgets))
+      .groupBy(col("qid"), col("budget")).agg(
+        coalesce(min(when(col("cum") >= col("budget"), col("cell_rnk"))),
+          max(col("cell_rnk"))).as("probe_depth"))
+    val cand = cellRank.join(depth, "qid")
+      .filter(col("cell_rnk") <= col("probe_depth"))
+      .select(col("qid"), col("budget"), col("probe_depth"), col("cell"))
+      .join(assigned, "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("budget"), col("probe_depth"), col("cid"))
+    val wr = Window.partitionBy(col("qid"), col("budget"))
+      .orderBy(col("cos").desc, col("cid"))
+    val top = cand.join(corpus, "cid").join(broadcast(queries), "qid")
+      .withColumn("cos", cosineF("qe", "ce"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= AnnAudit.RecallK)
+    val perQ = cand.groupBy(col("qid"), col("budget"))
+      .agg(min(col("probe_depth")).as("probe_depth"), count(lit(1)).as("n_cand"))
+      .join(top.join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+          .groupBy(col("qid"), col("budget"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit")),
+        Seq("qid", "budget"))
+      .withColumn("recall_micro",
+        floor(col("n_hit").cast("double") / lit(AnnAudit.RecallK.toDouble) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    perQ.groupBy(col("budget")).agg(
+        count(lit(1)).as("n_queries"),
+        expr("sum(probe_depth) * 1000000 DIV count(1)").as("mean_depth_micro"),
+        max(col("probe_depth")).cast("long").as("max_depth"),
+        expr("sum(n_cand) * 1000000 DIV count(1)").as("mean_cand_micro"),
+        expr("sum(recall_micro) DIV count(1)").as("mean_recall_micro"),
+        min(col("recall_micro")).as("min_recall_micro"))
+      .select(col("budget").cast("long").as("budget"), col("n_queries"),
+        col("mean_depth_micro"), col("max_depth"), col("mean_cand_micro"),
+        col("mean_recall_micro"), col("min_recall_micro"))
+      .orderBy(col("budget"))
+  }
+
+  val q326Sql: String = {
+    val cos = cosineSql("qe", "ce")
+    s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+       |               FROM embeddings WHERE vec_id < 16),
+       |corpus AS (SELECT vec_id AS cid, embedding AS ce
+       |           FROM embeddings WHERE vec_id >= 16),
+       |q AS (SELECT cid AS qid, ce AS qe FROM corpus WHERE cid < 24),
+       |truth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY $cos DESC, cid) AS rnk
+       |    FROM q JOIN corpus ON qid <> cid)
+       |  WHERE rnk <= ${AnnAudit.RecallK}),
+       |assigned AS (
+       |  SELECT cid, cell FROM (
+       |    SELECT corpus.cid, centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY corpus.cid
+       |        ORDER BY ${cosineSql("ce", "cent")} DESC, centroid_id) AS rnk
+       |    FROM corpus CROSS JOIN cents)
+       |  WHERE rnk = 1),
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell
+       |        FROM assigned GROUP BY cell),
+       |cell_rank AS (
+       |  SELECT cr.qid, cr.cell, cr.cell_rnk,
+       |         SUM(COALESCE(occ.n_cell, 0)) OVER (
+       |           PARTITION BY cr.qid ORDER BY cr.cell_rnk) AS cum
+       |  FROM (
+       |    SELECT qid, centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY ${cosineSql("qe", "cent")} DESC, centroid_id) AS cell_rnk
+       |    FROM q CROSS JOIN cents) cr
+       |  LEFT JOIN occ ON occ.cell = cr.cell),
+       |budgets(budget) AS (VALUES ${BudgetGrid.map(b => s"($b)").mkString(", ")}),
+       |depth AS (
+       |  SELECT qid, budget,
+       |    COALESCE(MIN(CASE WHEN cum >= budget THEN cell_rnk END),
+       |             MAX(cell_rnk)) AS probe_depth
+       |  FROM cell_rank CROSS JOIN budgets GROUP BY qid, budget),
+       |cand AS (
+       |  SELECT cr.qid, d.budget, d.probe_depth, a.cid
+       |  FROM cell_rank cr
+       |  JOIN depth d ON d.qid = cr.qid AND cr.cell_rnk <= d.probe_depth
+       |  JOIN assigned a ON a.cell = cr.cell
+       |  WHERE a.cid <> cr.qid),
+       |top AS (
+       |  SELECT qid, budget, cid FROM (
+       |    SELECT cand.qid, cand.budget, cand.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.qid, cand.budget
+       |        ORDER BY $cos DESC, cand.cid) AS rnk
+       |    FROM cand JOIN corpus ON corpus.cid = cand.cid
+       |              JOIN q ON q.qid = cand.qid)
+       |  WHERE rnk <= ${AnnAudit.RecallK}),
+       |per_q AS (
+       |  SELECT nc.qid, nc.budget, nc.probe_depth, nc.n_cand,
+       |         CAST(FLOOR(CAST(h.n_hit AS DOUBLE) / ${AnnAudit.RecallK.toDouble}
+       |           * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+       |  FROM (SELECT qid, budget, CAST(MIN(probe_depth) AS BIGINT) AS probe_depth,
+       |               CAST(COUNT(*) AS BIGINT) AS n_cand
+       |        FROM cand GROUP BY qid, budget) nc
+       |  JOIN (SELECT top.qid, top.budget,
+       |               CAST(SUM(CASE WHEN truth.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS n_hit
+       |        FROM top LEFT JOIN truth
+       |          ON truth.qid = top.qid AND truth.cid = top.cid
+       |        GROUP BY 1, 2) h
+       |    ON h.qid = nc.qid AND h.budget = nc.budget)
+       |SELECT CAST(budget AS BIGINT) AS budget,
+       |       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |       (CAST(SUM(probe_depth) AS BIGINT) * 1000000) // COUNT(*)
+       |         AS mean_depth_micro,
+       |       CAST(MAX(probe_depth) AS BIGINT) AS max_depth,
+       |       (CAST(SUM(n_cand) AS BIGINT) * 1000000) // COUNT(*)
+       |         AS mean_cand_micro,
+       |       CAST(SUM(recall_micro) AS BIGINT) // COUNT(*) AS mean_recall_micro,
+       |       CAST(MIN(recall_micro) AS BIGINT) AS min_recall_micro
+       |FROM per_q GROUP BY budget
+       |ORDER BY budget""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q321_dp_release" -> q321DpRelease _,
     "q322_multiprobe_adaptive" -> q322MultiProbe _,
     "q323_dp_sum_release" -> q323DpSumRelease _,
     "q324_dp_vocab_release" -> q324DpVocabRelease _,
-    "q325_dp_reconcile" -> q325DpReconcile _)
+    "q325_dp_reconcile" -> q325DpReconcile _,
+    "q326_budget_curve" -> q326BudgetCurve _)
 
   val oracles: Map[String, String] = Map(
     "q321_dp_release" -> q321Sql,
     "q322_multiprobe_adaptive" -> q322Sql,
     "q323_dp_sum_release" -> q323Sql,
     "q324_dp_vocab_release" -> q324Sql,
-    "q325_dp_reconcile" -> q325Sql)
+    "q325_dp_reconcile" -> q325Sql,
+    "q326_budget_curve" -> q326Sql)
 }

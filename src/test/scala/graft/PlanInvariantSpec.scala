@@ -79,6 +79,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     *  - q322: q247's two 16-centroid literal-filtered builds (corpus
     *    assign + query cell ranking); the occupancy/depth/truth joins
     *    are equi-joins and the truth is the persisted TruthTables scan
+    *  - q326: the same two 16-centroid builds plus the |BudgetGrid|-row
+    *    literal budget table (q247's probe-grid shape)
     *  - q310: the |sources|-row global sensitive-distribution anchor
     *    (the EMD needs every group×source cell, absent sources
     *    included — 20 rows per build at BOTH SFs; the per-group counts
@@ -88,7 +90,7 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
     "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
     "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank",
-    "q310_t_closeness", "q322_multiprobe_adaptive")
+    "q310_t_closeness", "q322_multiprobe_adaptive", "q326_budget_curve")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -265,7 +267,11 @@ class PlanInvariantSpec extends AnyFunSuite {
       // else in the adaptive probe is an equi-join or a persisted scan
       "q322_multiprobe_adaptive" -> ((a, b) =>
         if (a == b && (a ++ b).forall(_ <= 16)) None
-        else Some(s"expected equal seed builds <= 16, got $a vs $b")))
+        else Some(s"expected equal seed builds <= 16, got $a vs $b")),
+      // the seed builds plus the literal budget grid — SF-invariant
+      "q326_budget_curve" -> ((a, b) =>
+        if (a == b && (a ++ b).forall(_ <= 16)) None
+        else Some(s"expected equal seed/grid builds <= 16, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust

@@ -250,4 +250,31 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 < corpus.length - 1))
     assert(got.exists(_._2 > 1))
   }
+
+  test("q326: the budget curve is monotone and its folds recount per query") {
+    val rows = Round13Ops.q326BudgetCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("budget"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("mean_depth_micro"), r.getAs[Long]("max_depth"),
+        r.getAs[Long]("mean_cand_micro"), r.getAs[Long]("mean_recall_micro"),
+        r.getAs[Long]("min_recall_micro")))
+    assert(rows.map(_._1).toSeq == Round13Ops.BudgetGrid.map(_.toLong))
+    assert(rows.forall(_._2 == 8), "the fixed 8-query slice")
+    // more budget can only probe deeper, scan more, and recall at least
+    // as much (candidate sets are nested in the budget)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3, "mean depth monotone in budget")
+      assert(lo._5 <= hi._5, "mean candidates monotone in budget")
+      assert(lo._6 <= hi._6, "mean recall monotone in budget")
+    }
+    // the middle budget must match q322 (same AdaptBudget, same plan
+    // semantics — the curve and the serving op cannot drift apart)
+    val q322 = Round13Ops.q322MultiProbe(spark, sf).collect()
+    val atAdapt = rows.find(_._1 == Round13Ops.AdaptBudget.toLong).get
+    assert(atAdapt._3 ==
+      q322.map(_.getAs[Long]("probe_depth")).sum * 1000000L / q322.length)
+    assert(atAdapt._5 ==
+      q322.map(_.getAs[Long]("n_cand")).sum * 1000000L / q322.length)
+    assert(atAdapt._6 == q322.map(_.getAs[Long]("recall_micro")).sum / q322.length)
+    assert(atAdapt._7 == q322.map(_.getAs[Long]("recall_micro")).min)
+  }
 }
