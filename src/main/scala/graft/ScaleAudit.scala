@@ -70,7 +70,12 @@ object ScaleAudit {
     // round-12 addition: the sketch set-algebra pass lands ~3.5 s at
     // sf0.1 (dict-pipeline shingles + one persisted distinct pass),
     // inside the top-20. q313 is excluded for the q309 reason.
-    "q314_sketch_set_algebra")
+    "q314_sketch_set_algebra",
+    // round-13 additions: both entered BENCH_full_r13's top-20 on a
+    // noisy host run (isolated min-of-5 puts them back at their r12
+    // floors — 1.11 s / 1.39 s); audited anyway, the coverage rule is
+    // deliberately conservative and both are cheap linear plans
+    "q76_gold_mart", "q84_unpivot")
 
   /** Audited queries driven SOLELY by documents/embeddings (verified by
     * instrumenting [[Tables.load]] during a full execution of every
