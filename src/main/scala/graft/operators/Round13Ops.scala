@@ -265,7 +265,21 @@ object Round13Ops {
     * cell); the rerank window is bounded by the probed mass. At
     * 100 TB the budget bounds per-query work exactly the way it does
     * here — that is the point of the operator. */
-  def q322MultiProbe(s: SparkSession, d: String): DataFrame = {
+  def q322MultiProbe(s: SparkSession, d: String): DataFrame =
+    perQueryAtBudgets(s, d, Seq(AdaptBudget))
+      .select(col("qid"), col("probe_depth"), col("n_cand"), col("n_hit"),
+        col("recall_micro"))
+      .orderBy(col("qid"))
+
+  /** The q322/q326 shared pipeline: per-(query, budget) adaptive-probe
+    * outcomes — (qid, budget, probe_depth, n_cand, n_hit,
+    * recall_micro) — over the fixed-quantizer slice. One budget per
+    * call for the serving op, the grid for the tuning curve: ONE code
+    * path, so the curve and the op it tunes cannot drift apart
+    * (Round13OpsSpec additionally pins their numbers to each other at
+    * the shared budget point). */
+  private def perQueryAtBudgets(s: SparkSession, d: String,
+      budgetList: Seq[Int]): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     import graft.functions.VectorExpressions.cosineF
     val e = Tables.embeddings(s, d)
@@ -286,8 +300,8 @@ object Round13Ops {
       .select(col("cid"), col("centroid_id").as("cell"))
     val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
     // perturbation-ranked visit order + cumulative occupancy → the
-    // per-query adaptive probe depth (first rank covering the budget;
-    // all cells if the whole corpus is smaller than the budget)
+    // per-(query, budget) adaptive probe depth (first rank covering the
+    // budget; all cells if the whole corpus is smaller than the budget)
     val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("centroid_id"))
     val cellRank = queries.join(broadcast(cents), lit(true))
       .withColumn("cos", cosineF("qe", "cent"))
@@ -298,31 +312,34 @@ object Round13Ops {
       .withColumn("cum", sum(col("n_cell")).over(
         Window.partitionBy(col("qid")).orderBy(col("cell_rnk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val depth = cellRank.groupBy(col("qid")).agg(
-        min(when(col("cum") >= AdaptBudget, col("cell_rnk"))).as("d0"),
-        max(col("cell_rnk")).as("dmax"))
-      .select(col("qid"), coalesce(col("d0"), col("dmax")).as("probe_depth"))
+      .persist() // one 16-rows-per-query relation feeds every budget
+    val budgets = s.createDataFrame(budgetList.map(Tuple1(_))).toDF("budget")
+    val depth = cellRank.crossJoin(broadcast(budgets))
+      .groupBy(col("qid"), col("budget")).agg(
+        coalesce(min(when(col("cum") >= col("budget"), col("cell_rnk"))),
+          max(col("cell_rnk"))).as("probe_depth"))
     val cand = cellRank.join(depth, "qid")
       .filter(col("cell_rnk") <= col("probe_depth"))
-      .select(col("qid"), col("probe_depth"), col("cell"))
+      .select(col("qid"), col("budget"), col("probe_depth"), col("cell"))
       .join(assigned, "cell")
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("probe_depth"), col("cid"))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      .select(col("qid"), col("budget"), col("probe_depth"), col("cid"))
+    val wr = Window.partitionBy(col("qid"), col("budget"))
+      .orderBy(col("cos").desc, col("cid"))
     val top = cand.join(corpus, "cid").join(broadcast(queries), "qid")
       .withColumn("cos", cosineF("qe", "ce"))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= AnnAudit.RecallK)
-    val nCand = cand.groupBy(col("qid"), col("probe_depth"))
-      .agg(count(lit(1)).as("n_cand"))
+    val nCand = cand.groupBy(col("qid"), col("budget"))
+      .agg(min(col("probe_depth")).cast("long").as("probe_depth"),
+        count(lit(1)).as("n_cand"))
     val hits = top.join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
-      .groupBy(col("qid")).agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-    nCand.join(hits, Seq("qid"))
-      .select(col("qid"), col("probe_depth").cast("long").as("probe_depth"),
-        col("n_cand"), col("n_hit"),
+      .groupBy(col("qid"), col("budget"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    nCand.join(hits, Seq("qid", "budget"))
+      .withColumn("recall_micro",
         floor(col("n_hit").cast("double") / lit(AnnAudit.RecallK.toDouble) *
-          lit(1000000.0) + lit(0.5)).cast("long").as("recall_micro"))
-      .orderBy(col("qid"))
+          lit(1000000.0) + lit(0.5)).cast("long"))
   }
 
   val q322Sql: String = {
@@ -774,61 +791,7 @@ object Round13Ops {
     * join probed cells per budget, and the output is |grid| rows. The
     * budget bounds per-query work exactly as in q322. */
   def q326BudgetCurve(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    import graft.functions.VectorExpressions.cosineF
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-    val corpus = e.filter(col("vec_id") >= 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .persist()
-    val queries = corpus.filter(col("cid") < 24)
-      .select(col("cid").as("qid"), col("ce").as("qe"))
-    val truth = graft.ml.TruthTables.ivfRecallTruth(s, d)
-    val wv = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("centroid_id"))
-    val assigned = corpus.join(broadcast(cents), lit(true))
-      .withColumn("cos", cosineF("ce", "cent"))
-      .withColumn("rnk", row_number().over(wv))
-      .filter(col("rnk") === 1)
-      .select(col("cid"), col("centroid_id").as("cell"))
-    val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("centroid_id"))
-    val cellRank = queries.join(broadcast(cents), lit(true))
-      .withColumn("cos", cosineF("qe", "cent"))
-      .select(col("qid"), col("centroid_id").as("cell"),
-        row_number().over(wc).as("cell_rnk"))
-      .join(broadcast(occ), Seq("cell"), "left")
-      .withColumn("n_cell", coalesce(col("n_cell"), lit(0L)))
-      .withColumn("cum", sum(col("n_cell")).over(
-        Window.partitionBy(col("qid")).orderBy(col("cell_rnk"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist() // one 16-rows-per-query relation feeds every budget
-    val budgets = s.createDataFrame(BudgetGrid.map(Tuple1(_))).toDF("budget")
-    val depth = cellRank.crossJoin(broadcast(budgets))
-      .groupBy(col("qid"), col("budget")).agg(
-        coalesce(min(when(col("cum") >= col("budget"), col("cell_rnk"))),
-          max(col("cell_rnk"))).as("probe_depth"))
-    val cand = cellRank.join(depth, "qid")
-      .filter(col("cell_rnk") <= col("probe_depth"))
-      .select(col("qid"), col("budget"), col("probe_depth"), col("cell"))
-      .join(assigned, "cell")
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("budget"), col("probe_depth"), col("cid"))
-    val wr = Window.partitionBy(col("qid"), col("budget"))
-      .orderBy(col("cos").desc, col("cid"))
-    val top = cand.join(corpus, "cid").join(broadcast(queries), "qid")
-      .withColumn("cos", cosineF("qe", "ce"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= AnnAudit.RecallK)
-    val perQ = cand.groupBy(col("qid"), col("budget"))
-      .agg(min(col("probe_depth")).as("probe_depth"), count(lit(1)).as("n_cand"))
-      .join(top.join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
-          .groupBy(col("qid"), col("budget"))
-          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit")),
-        Seq("qid", "budget"))
-      .withColumn("recall_micro",
-        floor(col("n_hit").cast("double") / lit(AnnAudit.RecallK.toDouble) *
-          lit(1000000.0) + lit(0.5)).cast("long"))
+    val perQ = perQueryAtBudgets(s, d, BudgetGrid)
     perQ.groupBy(col("budget")).agg(
         count(lit(1)).as("n_queries"),
         expr("sum(probe_depth) * 1000000 DIV count(1)").as("mean_depth_micro"),
