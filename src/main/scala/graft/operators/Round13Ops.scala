@@ -884,13 +884,121 @@ object Round13Ops {
        |ORDER BY budget""".stripMargin
   }
 
+  // ---- q327: USER-level DP release (contribution bounding) ----
+
+  /** Per-(user, event_type) contribution cap for q327. Sits under the
+    * fixture's per-pair max (24) and above its median (13), so the
+    * bound visibly binds on ~a quarter of pairs — the utility price of
+    * user-level privacy, reported per cell as `n_users_at_cap`. */
+  val DpUserCap = 16L
+
+  /** q327 — USER-level DP count release with contribution bounding:
+    * the privacy-unit subtlety that matters most for training-data
+    * releases and that q321/q323/q324 (all RECORD-level: one document
+    * = one protected record) do not exercise. Protecting USERS is
+    * harder for two reasons this op makes visible in its ledger:
+    *
+    *  1. one user contributes MANY events to a cell — unbounded
+    *     sensitivity until each user's per-cell contribution is capped
+    *     at [[DpUserCap]] (capping the per-(user, cell) COUNT, the
+    *     standard bounding; for counting it equals keeping each user's
+    *     first C events). The capped cell total then moves by ≤ C when
+    *     one user is added or removed, so q323's quantize-to-C trick
+    *     applies: release in C-units at unit sensitivity with the same
+    *     exact dyadic mechanism.
+    *  2. one user touches MANY cells — the per-event_type cells do NOT
+    *     partition users (they partition EVENTS), so parallel
+    *     composition is unavailable at the user level: the user-level
+    *     budget is the SEQUENTIAL composition over every cell a user
+    *     can influence, ε_user = |cells|·ln 2. The ledger prints both
+    *     numbers — `eps_record_micro` (what a record-level reading
+    *     would claim) beside `eps_user_micro` (what the release
+    *     actually guarantees a user) — because conflating them is the
+    *     classic published-DP error.
+    *
+    * All integer: per-(user, cell) LEAST, one DIV for units, the
+    * shared noise fragment, GREATEST clamp, counts for the cap-bind
+    * diagnostic. Scale shape: one partial-aggregable (user, type)
+    * aggregate (the contribution-bounding pass — at 100 TB this is the
+    * per-user state the ingestion tier already maintains), one
+    * |cells|-row projection, a 1-row ledger broadcast. */
+  def q327DpUserLevel(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        least(col("c"), lit(DpUserCap)).as("w"),
+        (col("c") > DpUserCap).cast("long").as("at_cap"))
+    val cells = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("at_cap")).as("n_users_at_cap"),
+        sum(col("w")).as("capped_total"))
+      .withColumn("units", expr(s"capped_total DIV $DpUserCap"))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("user"), col("event_type")))
+          * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("released_count",
+        greatest(lit(0L), col("units") + col("noise")) * DpUserCap)
+    val ledger = cells.agg(count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("cap_per_user", lit(DpUserCap))
+      .withColumn("eps_record_micro", lit(DpEpsCellMicro))
+      .withColumn("eps_user_micro", col("n_cells") * DpEpsCellMicro)
+      .withColumn("delta_user_num", col("n_cells") * DpDeltaNum)
+      .withColumn("delta_user_den", lit(DpDeltaDen))
+      .select(col("event_type"), col("n_users"), col("n_users_at_cap"),
+        col("capped_total"), col("units"), col("u"), col("noise"),
+        col("released_count"), col("n_cells"), col("cap_per_user"),
+        col("eps_record_micro"), col("eps_user_micro"),
+        col("delta_user_num"), col("delta_user_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val q327Sql: String = {
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'user', event_type)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH per_user AS (
+       |  SELECT event_type,
+       |         LEAST(CAST(COUNT(*) AS BIGINT), $DpUserCap) AS w,
+       |         CASE WHEN COUNT(*) > $DpUserCap THEN 1 ELSE 0 END AS at_cap
+       |  FROM events GROUP BY event_type, user_id),
+       |cells AS (
+       |  SELECT event_type,
+       |         CAST(COUNT(*) AS BIGINT) AS n_users,
+       |         CAST(SUM(at_cap) AS BIGINT) AS n_users_at_cap,
+       |         CAST(SUM(w) AS BIGINT) AS capped_total
+       |  FROM per_user GROUP BY event_type),
+       |noised AS (
+       |  SELECT *, capped_total // $DpUserCap AS units,
+       |         CAST($uExpr AS BIGINT) AS u
+       |  FROM cells),
+       |rel AS (
+       |  SELECT *, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise FROM noised),
+       |ledger AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM rel)
+       |SELECT event_type, n_users, n_users_at_cap, capped_total, units, u,
+       |       noise,
+       |       GREATEST(CAST(0 AS BIGINT), units + noise) * $DpUserCap
+       |         AS released_count,
+       |       n_cells,
+       |       CAST($DpUserCap AS BIGINT) AS cap_per_user,
+       |       CAST($DpEpsCellMicro AS BIGINT) AS eps_record_micro,
+       |       n_cells * $DpEpsCellMicro AS eps_user_micro,
+       |       n_cells * $DpDeltaNum AS delta_user_num,
+       |       CAST($DpDeltaDen AS BIGINT) AS delta_user_den
+       |FROM rel CROSS JOIN ledger
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q321_dp_release" -> q321DpRelease _,
     "q322_multiprobe_adaptive" -> q322MultiProbe _,
     "q323_dp_sum_release" -> q323DpSumRelease _,
     "q324_dp_vocab_release" -> q324DpVocabRelease _,
     "q325_dp_reconcile" -> q325DpReconcile _,
-    "q326_budget_curve" -> q326BudgetCurve _)
+    "q326_budget_curve" -> q326BudgetCurve _,
+    "q327_dp_user_level" -> q327DpUserLevel _)
 
   val oracles: Map[String, String] = Map(
     "q321_dp_release" -> q321Sql,
@@ -898,5 +1006,6 @@ object Round13Ops {
     "q323_dp_sum_release" -> q323Sql,
     "q324_dp_vocab_release" -> q324Sql,
     "q325_dp_reconcile" -> q325Sql,
-    "q326_budget_curve" -> q326Sql)
+    "q326_budget_curve" -> q326Sql,
+    "q327_dp_user_level" -> q327Sql)
 }

@@ -251,6 +251,40 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 1))
   }
 
+  test("q327: contribution bounding recounts from raw events; user-level ledger composes") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("c")))
+    val cap = Round13Ops.DpUserCap
+    val exp = raw.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(_._2 > cap).toLong,
+        rows.map(t => math.min(t._2, cap)).sum)
+    }.toMap
+    val rows = Round13Ops.q327DpUserLevel(spark, sf).collect()
+    assert(rows.length == exp.size)
+    val nCells = rows.length.toLong
+    rows.foreach { r =>
+      val (nUsers, atCap, capped) = exp(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_users") == nUsers)
+      assert(r.getAs[Long]("n_users_at_cap") == atCap)
+      assert(r.getAs[Long]("capped_total") == capped)
+      assert(r.getAs[Long]("units") == capped / cap)
+      assert(r.getAs[Long]("noise") == noiseRef(r.getAs[Long]("u")))
+      assert(r.getAs[Long]("released_count") ==
+        math.max(0L, capped / cap + r.getAs[Long]("noise")) * cap)
+      // the ledger's point: user-level epsilon is the SEQUENTIAL
+      // composition over every cell a user can touch, never the
+      // record-level per-cell figure
+      assert(r.getAs[Long]("eps_record_micro") == Round13Ops.DpEpsCellMicro)
+      assert(r.getAs[Long]("eps_user_micro") == nCells * Round13Ops.DpEpsCellMicro)
+      assert(r.getAs[Long]("delta_user_num") == nCells * Round13Ops.DpDeltaNum)
+    }
+    // the bound must actually bind (else the op demonstrates nothing)
+    assert(rows.map(_.getAs[Long]("n_users_at_cap")).sum > 0)
+  }
+
   test("q326: the budget curve is monotone and its folds recount per query") {
     val rows = Round13Ops.q326BudgetCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("budget"), r.getAs[Long]("n_queries"),
