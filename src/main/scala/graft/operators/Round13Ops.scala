@@ -262,9 +262,14 @@ object Round13Ops {
     * the stop decision is a k-row window per query (cumulative
     * occupancy in visit order), NEVER a corpus scan; candidate
     * scanning touches only the probed cells' rows (an equi-join on
-    * cell); the rerank window is bounded by the probed mass. At
-    * 100 TB the budget bounds per-query work exactly the way it does
-    * here — that is the point of the operator. */
+    * cell); the rerank window is bounded by the probed mass. Honest
+    * bound: the budget is the stop TRIGGER (a lower bound on
+    * candidates), so per-query work is budget + the LAST probed
+    * cell's occupancy — at 100 TB that overshoot is controlled by
+    * keeping cells near budget size (scale k with the corpus), which
+    * is precisely the imbalance signal q316's rebalance gate
+    * thresholds; the two operators are the serving tier's feedback
+    * loop. */
   def q322MultiProbe(s: SparkSession, d: String): DataFrame =
     perQueryAtBudgets(s, d, Seq(AdaptBudget))
       .select(col("qid"), col("probe_depth"), col("n_cand"), col("n_hit"),
