@@ -48,10 +48,16 @@ import org.apache.spark.sql.SparkSession
   * fingerprint, it is in the name), so the loser adopts it. The only
   * dir ever deleted before a move is a marker-less one — a partial
   * write no process can have adopted. Superseded-fingerprint siblings
-  * are swept lazily after a grace period ([[StaleGraceMs]]); a reader
-  * that adopted a STALE artifact more than that long ago and is still
-  * mid-read is the documented residual (retain-then-sweep, the
-  * "retain N old versions" variant of the advice).
+  * are swept lazily after a grace period ([[StaleGraceMs]]) measured
+  * from SUPERSESSION, not from install (ADVICE r13: install-time aging
+  * would delete a long-installed artifact the instant a successor
+  * landed, under a reader that adopted it seconds earlier): the first
+  * sweep that observes a superseded sibling stamps a `_SUPERSEDED`
+  * marker into it and leaves it; only a sibling whose marker is older
+  * than the grace is deleted. The residual is a reader still mid-scan
+  * of a STALE artifact more than [[StaleGraceMs]] after its successor
+  * appeared (retain-then-sweep, the "retain N old versions" variant of
+  * the advice).
   *
   * Root: a per-JVM temp dir by default (removed by a recursive shutdown
   * hook — ADVICE r10: `File.deleteOnExit` cannot remove non-empty dirs),
@@ -77,9 +83,13 @@ object ArtifactStore {
   val FormatVersion = 3
 
   private val MarkerFile = "_FINGERPRINT"
+  /** Stamped into a superseded sibling by the first sweep that observes
+    * it — the supersession timestamp the grace period runs from. */
+  private val SupersededFile = "_SUPERSEDED"
 
-  /** How long a superseded-fingerprint artifact dir is retained after a
-    * newer build installs, for in-flight readers that adopted it. */
+  /** How long a superseded-fingerprint artifact dir is retained after
+    * SUPERSESSION is first observed (its `_SUPERSEDED` stamp), for
+    * in-flight readers that adopted it. */
   private[graft] val StaleGraceMs: Long = 10L * 60 * 1000
   /** Orphaned `.tmp-*` dirs older than this are swept at persistent-root
     * init (a live build's tmp dir is seconds-to-minutes old). */
@@ -210,9 +220,14 @@ object ArtifactStore {
     else None
   }
 
-  /** Delete superseded-fingerprint siblings of `key` (retain-then-sweep:
-    * only those untouched for [[StaleGraceMs]], so a reader that JUST
-    * adopted the predecessor finishes its scan; see class doc). */
+  /** Retain-then-sweep of superseded-fingerprint siblings of `key`, with
+    * the grace clock starting at SUPERSESSION (ADVICE r13 — see class
+    * doc): a sibling seen superseded for the first time is stamped with
+    * [[SupersededFile]] and retained; a sibling whose stamp is older
+    * than [[StaleGraceMs]] is deleted. Dir mtime is never used — it
+    * records install time, which says nothing about when a successor
+    * appeared. Concurrent stampers are harmless (both write the same
+    * marker within moments; the clock starts at whichever write wins). */
   private def sweepStaleSiblings(key: String, keepFp: String): Unit = {
     val keep = dirOf(key, keepFp).getFileName.toString
     val prefix = key + "--"
@@ -221,8 +236,15 @@ object ArtifactStore {
     if (entries != null)
       entries.filter { f =>
         f.getName.startsWith(prefix) && f.getName != keep &&
-          !f.getName.contains(".tmp-") && now - f.lastModified() > StaleGraceMs
-      }.foreach(deleteRecursively)
+          !f.getName.contains(".tmp-")
+      }.foreach { f =>
+        val stamp = new java.io.File(f, SupersededFile)
+        if (!stamp.exists())
+          // first observation: start the grace clock here, delete nothing
+          try Files.write(stamp.toPath, Array.emptyByteArray): Unit
+          catch { case _: java.io.IOException => () } // raced a concurrent sweep
+        else if (now - stamp.lastModified() > StaleGraceMs) deleteRecursively(f)
+      }
   }
 
   /** Build-once-per-corpus-CONTENT: returns the artifact dir and whether

@@ -257,15 +257,19 @@ object Round12Ops {
   /** q315's sample size and the hash-uniform constants (scattered primes,
     * the AmsCoef discipline): u = ((A·doc_id + B) mod P + 1)/P ∈ (0, 1].
     *
-    * Nonnegative-id invariant (ADVICE r12): this hash arithmetic — and
-    * q318's [[HrwPrimes]] scores — uses plain `%`, which Spark and
-    * DuckDB both define as sign-following; the formulas assume
-    * doc_id/o_orderkey/user_id ≥ 0 (true of every fixture table and of
-    * the TPC-H data contract they model). A negative id would shift the
-    * sample deterministically on BOTH engines identically for q315/q318
-    * (both sides use the same `%`), so correctness holds; only q317's
-    * arm bucketing mixes Spark `pmod` with SQL `%`, and its oracle uses
-    * the pmod-equivalent form for exactly that reason. */
+    * Nonnegative-id invariant (ADVICE r12/r13): this hash arithmetic
+    * uses plain `%`, which Spark and DuckDB both define as
+    * sign-following; the formulas assume doc_id/o_orderkey/user_id ≥ 0
+    * (true of every fixture table and of the TPC-H data contract they
+    * model). A negative id would shift q315's sample deterministically
+    * on BOTH engines identically (both sides use the same `%`), so its
+    * correctness holds regardless. q317's arm bucketing AND q318's HRW
+    * scoring + `mod_moved` column (see [[q318RendezvousShards]]) mix
+    * Spark `pmod` with the oracle's plain `%`: q317's oracle uses the
+    * pmod-equivalent `((x % m) + m) % m` form for exactly that reason,
+    * while q318 relies on the nonnegative-id contract itself (pmod and
+    * `%` coincide on nonnegative operands) — a negative o_orderkey
+    * would diverge there, which is why the invariant is stated here. */
   val PrioK = 128
   val PrioA = 265443577L
   val PrioB = 362437L

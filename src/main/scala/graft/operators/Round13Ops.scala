@@ -28,7 +28,20 @@ object Round13Ops {
     * re-running a release never spends extra budget and ROTATING the
     * salt is what spends a fresh ε (the production hash-seeded-DP
     * compromise — true randomness would make the release unauditable
-    * and the oracle impossible; q142's determinism precedent). */
+    * and the oracle impossible; q142's determinism precedent).
+    *
+    * SALT SECRECY IS A HARD PRECONDITION of any real privacy claim
+    * (ADVICE r13): anyone who knows the salt can recompute u and the
+    * noise for every public cell name and invert n_released back to the
+    * exact true count — the ε/δ ledger figures hold only against
+    * consumers who do NOT know the salt. This COMMITTED constant
+    * therefore makes the fixture releases fully invertible by design:
+    * it exists so the DuckDB oracle can replay the mechanism and the
+    * grading can hash-check it. A production deployment sources the
+    * salt from a secret store OUTSIDE the released artifact and the
+    * code repo (e.g. `spark.conf`/env injected per release), rotates it
+    * per budget epoch, and never publishes the u/noise diagnostic
+    * columns — only the (cell, n_released) projection. */
   val DpSalt = "dp-release-r13"
 
   /** Uniform modulus D = 3·2^19. Chosen so EVERY CDF boundary of the
@@ -122,12 +135,20 @@ object Round13Ops {
     * Determinism: the noise is a pure function of (salt, cell id) —
     * the q142 hash-uniform precedent, at last used for the op family
     * it was proved for: re-running a release never spends extra
-    * budget, rotating [[DpSalt]] is what spends a fresh ε. The
-    * ≤0.002% modulo bias of mapping [0, P) onto [0, D) is the
+    * budget, rotating [[DpSalt]] is what spends a fresh ε. Mapping the
+    * hash's [0, P) onto [0, D) by `% D` carries a modulo bias (ADVICE
+    * r13 corrected the figure): the P mod D = 1231367 low residues are
+    * hit ⌈P/D⌉ = 636 times vs 635 for the rest, against the ideal
+    * P/D ≈ 635.78 — worst per-outcome relative bias 635/(P/D) − 1 ≈
+    * −0.123%, inflating the worst adjacent-outcome ratio on the
+    * hash-derived uniform to at most 2·(636/635), i.e. realized
+    * ε ≤ ln 2 + ln(636/635) ≈ ln 2 + 1.57·10⁻³. That bias is the
     * documented fixture-side approximation of the uniform; the
-    * mechanism on that uniform is exact (Round13OpsSpec enumerates
-    * all D uniforms and asserts the dyadic histogram and the
-    * realized ε).
+    * mechanism on an ideal uniform is exact (Round13OpsSpec enumerates
+    * all D uniforms and asserts the dyadic histogram and the realized
+    * ε), and each noise tier restates its own bound
+    * ([[Round14Ops.DpD4]] for the α = 1/4 tier — the bias grows with
+    * D/P, so every new tier must re-derive it).
     *
     * All integer, engine-exact: the u arithmetic is two `%`, the
     * inverse CDF is comparisons and sums ([[dpNoiseSql]] — the SAME
@@ -282,7 +303,17 @@ object Round13Ops {
     * call for the serving op, the grid for the tuning curve: ONE code
     * path, so the curve and the op it tunes cannot drift apart
     * (Round13OpsSpec additionally pins their numbers to each other at
-    * the shared budget point). */
+    * the shared budget point).
+    *
+    * Cache scope (ADVICE r13): the two persist()s below (corpus slice +
+    * the 16-rows-per-query cell ranking) are plan-internal reuse; both
+    * relations are bounded by the graded corpus slice and are released
+    * by the harness's per-query `spark.catalog.clearCache()` (Verify,
+    * Bench, and the specs all clear between queries). They cannot be
+    * unpersisted inside this builder — the returned plan still
+    * references them lazily. A long-lived session embedding this op
+    * should clearCache() (or unpersist via its own handle) between
+    * calls, exactly as the harness does. */
   private def perQueryAtBudgets(s: SparkSession, d: String,
       budgetList: Seq[Int]): DataFrame = {
     graft.functions.VectorExpressions.register(s)

@@ -42,12 +42,26 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // the predecessor a concurrent reader may still be scanning is intact
     assert(read(java.nio.file.Paths.get(dir1, "payload.txt")) == "one")
     assert(read(java.nio.file.Paths.get(dir2, "payload.txt")) == "two")
-    // …until it ages past the grace period: the next ensure sweeps it
+    // the install-time sweep stamped the predecessor as superseded —
+    // that stamp, not the dir mtime, is where the grace clock starts
+    val stamp = java.nio.file.Paths.get(dir1, "_SUPERSEDED")
+    assert(java.nio.file.Files.exists(stamp),
+      "first sweep must stamp the superseded sibling, not delete it")
+    // ADVICE r13 scenario: a dir INSTALLED long ago but superseded just
+    // now must survive the grace period — install age proves nothing
+    // about readers who adopted it seconds before the successor landed
     val old = System.currentTimeMillis() - ml.ArtifactStore.StaleGraceMs - 60000
     assert(new java.io.File(dir1).setLastModified(old))
     ml.ArtifactStore.dropMemo(d, "spec13a")
     val (dir3, b3) = ensure("three")
     assert(!b3 && dir3 == dir2, "unchanged content must adopt, not rebuild")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir1)),
+      "old INSTALL time must not trigger the sweep — the clock runs from supersession")
+    // …and once the SUPERSESSION stamp ages past the grace, it is swept
+    assert(stamp.toFile.setLastModified(old))
+    ml.ArtifactStore.dropMemo(d, "spec13a")
+    val (dir4, b4) = ensure("four")
+    assert(!b4 && dir4 == dir2)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir1)),
       "superseded fingerprint dir past the grace period must be swept")
   }
