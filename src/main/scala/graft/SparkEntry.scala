@@ -70,7 +70,8 @@ object SparkEntry {
       operators.Round10Ops.queries ++
       operators.Round11Ops.queries ++
       operators.Round12Ops.queries ++
-      operators.Round13Ops.queries
+      operators.Round13Ops.queries ++
+      operators.Round14Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -130,5 +131,6 @@ object SparkEntry {
       operators.Round10Ops.oracles ++
       operators.Round11Ops.oracles ++
       operators.Round12Ops.oracles ++
-      operators.Round13Ops.oracles
+      operators.Round13Ops.oracles ++
+      operators.Round14Ops.oracles
 }

@@ -1,0 +1,892 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 operators: the DP family becomes a budgeted SYSTEM and the
+  * pipeline gains erasure.
+  *
+  *  - q328 budget-ALLOCATED hierarchical release: a SECOND exact dyadic
+  *    noise tier (α = 1/4, ε = 2·ln 2 — [[dpNoise4Sql]]) lets the two
+  *    levels of q321's hierarchy spend UNEQUAL ε, the Census-TopDown
+  *    budget shape; the ledger shows the split summing to the total.
+  *  - q329 PRIVATE suppression: q321/q323 gate on the true count (their
+  *    documented leak); q329 gates the same surface on the NOISY count —
+  *    post-processing of an already-released value, so the gate itself
+  *    is free — with the per-cell release probability as an exact
+  *    dyadic tail.
+  *  - q330 deletion propagation (right-to-be-forgotten): a deletion
+  *    list → the maintained-vs-scratch post-deletion state of released
+  *    cells, dup clusters, IVF cells, and the per-artifact invalidation
+  *    verdict.
+  *  - q331 adaptive multi-probe on the TRAINED PERSISTED index: q322's
+  *    budget logic lifted from the fixed seed quantizer onto the q305
+  *    HybridIndex artifact, closing the serving loop.
+  *  - q332 post-deletion RE-release under a rotated salt: deletion
+  *    invalidates a published aggregate, and re-publishing costs fresh
+  *    ε — the ledger prints the cumulative spend.
+  *
+  * Shares [[Round13Ops]]'s mechanism discipline: exact integer inverse
+  * CDFs whose every CDF boundary is an integer multiple of 1/D, specs
+  * that ENUMERATE the distribution rather than sample it, and DuckDB
+  * oracles that replay the identical noise formula. [[Round13Ops.DpSalt]]
+  * secrecy remains the hard precondition of any real privacy claim —
+  * the committed fixture salt is grading-only.
+  */
+object Round14Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  import Round13Ops.{DpSalt, DpScramble, DpD, DpEpsCellMicro, DpDeltaNum,
+    dpNoiseSql}
+
+  // ---- the second exact dyadic noise tier: α = 1/4, ε = 2·ln 2 ----
+
+  /** Uniform modulus of the α = 1/4 tier: D₄ = 5·4⁹ = 5·2¹⁸. The
+    * two-sided geometric with α = 1/4 has P(0) = (1−α)/(1+α) = 3/5 and
+    * P(±k) = (3/5)·4⁻ᵏ, so with D₄ = 5·4⁹ every probability times D₄
+    * is an integer: P(0)·D₄ = 3·4⁹, P(±k)·D₄ = 3·4⁹⁻ᵏ for k ≤ 9, and
+    * the collapsed ±10 tails get exactly 1 each (per-side ideal tail
+    * beyond 9 is 4⁻⁹/5 = 1/D₄) — the same all-boundaries-integral
+    * discipline that picked D = 3·2¹⁹ for α = 1/2. ε = ln 4 = 2·ln 2
+    * exactly (every interior adjacent-outcome ratio is 4; the collapsed
+    * tail's is 3 < 4); truncation δ = 2/D₄. Round14OpsSpec enumerates
+    * all D₄ uniforms and asserts this histogram.
+    *
+    * Modulo bias of u = hash % P % D₄ (the per-tier restatement the
+    * r13 advice asks for — the bias grows with D/P): the
+    * P mod D₄ = 1231367 low residues are hit ⌈P/D₄⌉ = 763 times vs 762,
+    * against the ideal P/D₄ ≈ 762.94 — worst per-outcome relative bias
+    * 762/(P/D₄) − 1 ≈ −0.123%, inflating the worst adjacent-outcome
+    * ratio to at most 4·(763/762), i.e. realized ε ≤ ln 4 +
+    * ln(763/762) ≈ ln 4 + 1.31·10⁻³ on the hash-derived uniform. */
+  val DpD4: Long = 5L << 18
+  /** ε of the α = 1/4 tier: ln 4 = 2·ln 2 exactly, in micro. Kept as
+    * 2·[[Round13Ops.DpEpsCellMicro]] so ledger sums of micro units stay
+    * self-consistent across tiers (ln 4 · 10⁶ rounds to the same). */
+  val DpEps4Micro: Long = 2L * DpEpsCellMicro
+
+  /** ⌊log₄ x⌋ for x ≥ 1 as the base-4 comparison ladder (the
+    * [[Round13Ops.dpNoiseSql]] bit-ladder discipline, stride 2). */
+  private def log4Floor(x: String): String =
+    (1 to 9).map(j => s"(CASE WHEN $x >= ${1L << (2 * j)} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Exact integer inverse CDF of the two-sided geometric with α = 1/4
+    * on u ∈ [0, D₄), engine-portable SQL (integer compares only):
+    *  - u < 4⁹:            noise = −(9 − ⌊log₄ u⌋), u = 0 → −10
+    *  - 4⁹ ≤ u < 4·4⁹:     noise = 0   (mass 3·4⁹/D₄ = 3/5 exactly)
+    *  - u ≥ 4·4⁹: mirror with v = D₄−1−u: noise = +(9 − ⌊log₄ v⌋) */
+  def dpNoise4Sql(u: String): String = {
+    val neg = 1L << 18 // 4⁹: F(−1)·D₄
+    val zeroHi = 1L << 20 // 4·4⁹: F(0)·D₄
+    s"""CASE
+       |  WHEN $u < $neg THEN
+       |    CASE WHEN $u = 0 THEN -10 ELSE -(9 - ${log4Floor(u)}) END
+       |  WHEN $u < $zeroHi THEN 0
+       |  ELSE
+       |    CASE WHEN ${DpD4 - 1} - $u = 0 THEN 10
+       |         ELSE 9 - ${log4Floor(s"(${DpD4 - 1} - $u)")} END
+       |END""".stripMargin.replace("\n", " ")
+  }
+
+  /** Common denominator for cross-tier δ sums: lcm(D, D₄) =
+    * lcm(3·2¹⁹, 5·2¹⁸) = 15·2¹⁹. */
+  val DpDeltaLcm: Long = 15L << 19
+  /** δ of the two-level q328 release on the common denominator:
+    * 2/D + 2/D₄ = (2·5 + 2·6)/lcm = 22/(15·2¹⁹). */
+  val Dp328DeltaNum: Long = 2L * (DpDeltaLcm / DpD) + 2L * (DpDeltaLcm / DpD4)
+
+  /** q328 — budget-ALLOCATED hierarchical DP release: q321's two-level
+    * histogram with UNEQUAL ε per level, the shape a real budgeted
+    * release takes (Census TopDown gives coarser levels more budget
+    * because their numbers are the headline figures). Level 1 (the fine
+    * (lang, source, len_b) cells) spends ε = ln 2 via the α = 1/2 tier;
+    * level 2 (the (lang, source) marginal) spends ε = 2·ln 2 via the
+    * NEW α = 1/4 tier ([[dpNoise4Sql]]) — tighter noise where accuracy
+    * matters most. The ledger prints each level's ε and δ beside the
+    * release totals (sequential composition across levels: the split
+    * sums to ε = 3·ln 2, δ = 22/lcm — [[Dp328DeltaNum]]), which is what
+    * makes the accounting a BUDGET rather than a constant: the two
+    * tiers are interchangeable per level and the total is their sum.
+    *
+    * Changing ε never changes the mechanism family: both tiers are the
+    * same exact-dyadic inverse-CDF discipline (α = 2⁻ᵃ keeps every
+    * boundary integral with D = (2ᵃ+1)·2^(a·K)); non-dyadic α would
+    * break integer exactness and is deliberately unsupported.
+    * Suppression stays on the true-count gate for continuity with
+    * q321's contract (q329 is the private-gate op). Salt tags bud1/bud2
+    * make both levels' draws independent of q321's (a SEPARATE release:
+    * publishing both costs the sum of their ledgers).
+    *
+    * All integer, engine-exact; scale shape identical to q321: one
+    * partial-aggregable corpus pass, a |cells|-row re-aggregation and
+    * noise projection, a 1-row ledger broadcast. */
+  def q328DpBudgetSplit(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.{KAnonK, KAnonLenBucket}
+    val fine = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_true"))
+      .persist() // the marginal re-aggregates these |cells| rows
+    val l1 = fine.withColumn("level", lit(1L))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("bud1"), col("lang"),
+          col("source"), col("len_b").cast("string")))
+          * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("alpha_den", lit(2L))
+      .withColumn("noise_d", lit(DpD))
+      .withColumn("eps_level_micro", lit(DpEpsCellMicro))
+    val l2 = fine.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_true")).as("n_true"))
+      .withColumn("len_b", lit(-1L))
+      .withColumn("level", lit(2L))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("bud2"), col("lang"),
+          col("source"))) * DpScramble) % P % DpD4)
+      .withColumn("noise", expr(dpNoise4Sql("u")).cast("long"))
+      .withColumn("alpha_den", lit(4L))
+      .withColumn("noise_d", lit(DpD4))
+      .withColumn("eps_level_micro", lit(DpEps4Micro))
+    val cells = l1.unionByName(l2)
+      .withColumn("suppressed", col("n_true") < KAnonK)
+      .withColumn("n_released",
+        when(col("suppressed"), lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), col("n_true") + col("noise"))))
+    val ledger = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum((!col("suppressed")).cast("long")).as("n_cells_released"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("delta_level_num", lit(DpDeltaNum))
+      // per-level δ denominator IS the level's modulus
+      .withColumn("delta_level_den", col("noise_d"))
+      .withColumn("eps_release_micro", lit(DpEpsCellMicro + DpEps4Micro))
+      .withColumn("delta_release_num", lit(Dp328DeltaNum))
+      .withColumn("delta_release_den", lit(DpDeltaLcm))
+      .select(col("level"), col("lang"), col("source"), col("len_b"),
+        col("n_true"), col("suppressed"), col("u"), col("noise"),
+        col("n_released"), col("alpha_den"), col("noise_d"),
+        col("eps_level_micro"), col("delta_level_num"), col("delta_level_den"),
+        col("n_cells"), col("n_cells_released"),
+        col("eps_release_micro"), col("delta_release_num"),
+        col("delta_release_den"))
+      .orderBy(col("level"), col("lang"), col("source"), col("len_b"))
+  }
+
+  val q328Sql: String = {
+    import GovernanceOps.{KAnonK, KAnonLenBucket}
+    val u1 = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'bud1', lang, source, CAST(len_b AS VARCHAR))") +
+      s" * $DpScramble) % $P % $DpD"
+    val u2 = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'bud2', lang, source)") +
+      s" * $DpScramble) % $P % $DpD4"
+    s"""WITH fine AS (
+       |  SELECT lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1, 2, 3),
+       |l1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS level, lang, source, len_b, n_true,
+       |         CAST($u1 AS BIGINT) AS u,
+       |         CAST(2 AS BIGINT) AS alpha_den,
+       |         CAST($DpD AS BIGINT) AS noise_d,
+       |         CAST($DpEpsCellMicro AS BIGINT) AS eps_level_micro
+       |  FROM fine),
+       |l1n AS (
+       |  SELECT *, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise FROM l1),
+       |l2 AS (
+       |  SELECT CAST(2 AS BIGINT) AS level, lang, source,
+       |         CAST(-1 AS BIGINT) AS len_b,
+       |         CAST(SUM(n_true) AS BIGINT) AS n_true,
+       |         CAST($u2 AS BIGINT) AS u,
+       |         CAST(4 AS BIGINT) AS alpha_den,
+       |         CAST($DpD4 AS BIGINT) AS noise_d,
+       |         CAST($DpEps4Micro AS BIGINT) AS eps_level_micro
+       |  FROM fine GROUP BY lang, source),
+       |l2n AS (
+       |  SELECT *, CAST(${dpNoise4Sql("u")} AS BIGINT) AS noise FROM l2),
+       |cells AS (
+       |  SELECT *, n_true < $KAnonK AS suppressed FROM l1n
+       |  UNION ALL
+       |  SELECT *, n_true < $KAnonK AS suppressed FROM l2n),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |         CAST(SUM(CASE WHEN suppressed THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_cells_released
+       |  FROM cells)
+       |SELECT level, lang, source, len_b, n_true, suppressed, u, noise,
+       |       CASE WHEN suppressed THEN NULL
+       |            ELSE GREATEST(CAST(0 AS BIGINT), n_true + noise) END
+       |         AS n_released,
+       |       alpha_den, noise_d, eps_level_micro,
+       |       CAST($DpDeltaNum AS BIGINT) AS delta_level_num,
+       |       noise_d AS delta_level_den,
+       |       n_cells, n_cells_released,
+       |       CAST(${DpEpsCellMicro + DpEps4Micro} AS BIGINT) AS eps_release_micro,
+       |       CAST($Dp328DeltaNum AS BIGINT) AS delta_release_num,
+       |       CAST($DpDeltaLcm AS BIGINT) AS delta_release_den
+       |FROM cells CROSS JOIN ledger
+       |ORDER BY level, lang, source, len_b""".stripMargin
+  }
+
+  // ---- q329: private suppression (noisy-threshold gate) ----
+
+  /** q329's release threshold on the NOISY count — q324's τ discipline
+    * applied to the closed-domain surface. Sits above the k-anonymity
+    * gate (k = 5) and inside the fixture's marginal-count range
+    * (1..16 at sf0.001), so the noisy gate releases, suppresses, AND
+    * disagrees with the true-count gate at every fixture SF. */
+  val DpGateTau: Long = 8L
+
+  /** Exact release probability P(n_true + noise ≥ τ) · D as an integer
+    * tail of the α = 1/2 dyadic histogram, with t = τ − n_true:
+    * t ≥ 21 → 0; 1 ≤ t ≤ 20 → 2²⁰⁻ᵗ (Σ_{k≥t} 2¹⁹⁻ᵏ + the +20 tail);
+    * −19 ≤ t ≤ 0 → D − 2¹⁹⁺ᵗ (symmetry); t ≤ −20 → D. Spark spelling
+    * (shiftleft); [[dpTailDuck]] is the DuckDB twin (`<<`). */
+  def dpTailSpark(t: String): String =
+    s"""CASE WHEN $t >= 21 THEN CAST(0 AS BIGINT)
+       |     WHEN $t >= 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(20 - $t AS INT))
+       |     WHEN $t >= -19 THEN $DpD - shiftleft(CAST(1 AS BIGINT), CAST(19 + $t AS INT))
+       |     ELSE CAST($DpD AS BIGINT) END""".stripMargin.replace("\n", " ")
+  def dpTailDuck(t: String): String =
+    s"""CASE WHEN $t >= 21 THEN CAST(0 AS BIGINT)
+       |     WHEN $t >= 1 THEN (CAST(1 AS BIGINT) << CAST(20 - $t AS INT))
+       |     WHEN $t >= -19 THEN $DpD - (CAST(1 AS BIGINT) << CAST(19 + $t AS INT))
+       |     ELSE CAST($DpD AS BIGINT) END""".stripMargin.replace("\n", " ")
+
+  /** q329 — PRIVATE suppression for the closed-domain release: q321 and
+    * q323 decide suppression on the TRUE count, which leaks one bit of
+    * un-noised data per cell (their documented out-of-scope gap,
+    * `Round13Ops.scala` q321 doc). The fix costs nothing on a CLOSED
+    * public domain: noise every cell first, then threshold on the NOISY
+    * value — the gate is post-processing of an already-ε-DP release, so
+    * the release's ledger stays (ε = ln 2, δ = 2/D from truncation
+    * alone), with NO extra δ (contrast q324, where the domain itself is
+    * data and the threshold is what buys the δ). The surface is q321's
+    * level-2 (lang, source) marginal — the fixture's fine cells top out
+    * below any sane τ, while the marginal spans 1..16 at sf0.001, so
+    * the gate genuinely splits it.
+    *
+    * What private suppression costs instead is GATE FIDELITY, and the
+    * output measures it: `true_gate` (the k-anonymity decision q321
+    * would take), `gate_agree`, and per cell the EXACT probability the
+    * noisy gate releases it — P(n_true + noise ≥ τ) as the integer
+    * dyadic tail [[dpTailSpark]] over D (spec-recomputed by enumerating
+    * the mechanism). The ledger carries the q324-shaped diagnostic
+    * `p_count1_release_num` = P(a count-1 cell is published)·D = 2²⁰⁻τ⁺¹
+    * — on a closed domain this is a utility/risk DIAGNOSTIC (the
+    * membership-inference reading does not apply: the domain is public
+    * and every cell is noised), not a δ.
+    *
+    * All integer; same one-pass + |cells|-row projection + 1-row ledger
+    * scale shape as q321. */
+  def q329DpNoisyGate(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.KAnonK
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("gate"), col("lang"),
+          col("source"))) * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("noisy_count", col("n_true") + col("noise"))
+      .withColumn("released", col("noisy_count") >= DpGateTau)
+      .withColumn("true_gate", col("n_true") >= KAnonK)
+      .withColumn("gate_agree", col("released") === col("true_gate"))
+      .withColumn("n_released",
+        when(col("released"), greatest(lit(0L), col("noisy_count")))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("t_gap", lit(DpGateTau) - col("n_true"))
+      .withColumn("p_release_num", expr(dpTailSpark("t_gap")))
+    val ledger = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("released").cast("long")).as("n_cells_released"),
+      sum((!col("gate_agree")).cast("long")).as("n_gate_disagree"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("tau", lit(DpGateTau))
+      .withColumn("p_release_den", lit(DpD))
+      .withColumn("p_count1_release_num", lit(1L << (21 - DpGateTau.toInt)))
+      .withColumn("eps_release_micro", lit(DpEpsCellMicro))
+      .withColumn("delta_release_num", lit(DpDeltaNum))
+      .withColumn("delta_release_den", lit(DpD))
+      .select(col("lang"), col("source"), col("n_true"),
+        col("u"), col("noise"), col("noisy_count"), col("released"),
+        col("true_gate"), col("gate_agree"), col("n_released"),
+        col("p_release_num"), col("p_release_den"), col("n_cells"),
+        col("n_cells_released"), col("n_gate_disagree"), col("tau"),
+        col("p_count1_release_num"), col("eps_release_micro"),
+        col("delta_release_num"), col("delta_release_den"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q329Sql: String = {
+    import GovernanceOps.KAnonK
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'gate', lang, source)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH marg AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1, 2),
+       |noised AS (
+       |  SELECT lang, source, n_true, CAST($uExpr AS BIGINT) AS u
+       |  FROM marg),
+       |rel0 AS (
+       |  SELECT *, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise FROM noised),
+       |rel AS (
+       |  SELECT lang, source, n_true, u, noise,
+       |         n_true + noise AS noisy_count,
+       |         n_true + noise >= $DpGateTau AS released,
+       |         n_true >= $KAnonK AS true_gate,
+       |         (n_true + noise >= $DpGateTau) = (n_true >= $KAnonK) AS gate_agree,
+       |         CAST($DpGateTau AS BIGINT) - n_true AS t_gap
+       |  FROM rel0),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |         CAST(SUM(CASE WHEN released THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_cells_released,
+       |         CAST(SUM(CASE WHEN gate_agree THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_gate_disagree
+       |  FROM rel)
+       |SELECT lang, source, n_true, u, noise, noisy_count, released,
+       |       true_gate, gate_agree,
+       |       CASE WHEN released THEN GREATEST(CAST(0 AS BIGINT), noisy_count)
+       |            ELSE NULL END AS n_released,
+       |       ${dpTailDuck("t_gap")} AS p_release_num,
+       |       CAST($DpD AS BIGINT) AS p_release_den,
+       |       n_cells, n_cells_released, n_gate_disagree,
+       |       CAST($DpGateTau AS BIGINT) AS tau,
+       |       CAST(${1L << (21 - DpGateTau.toInt)} AS BIGINT) AS p_count1_release_num,
+       |       CAST($DpEpsCellMicro AS BIGINT) AS eps_release_micro,
+       |       CAST($DpDeltaNum AS BIGINT) AS delta_release_num,
+       |       CAST($DpD AS BIGINT) AS delta_release_den
+       |FROM rel CROSS JOIN ledger
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  // ---- q330: deletion propagation (right-to-be-forgotten) ----
+
+  /** Deletion-list predicate: ids ≡ 0 (mod 23) are to be erased (~4% of
+    * docs and of vectors) — deterministic so the oracle derives the
+    * same list; a real pipeline reads it from a tombstone relation. */
+  val DelMod: Long = 23L
+
+  /** q330 — deletion propagation: the erasure operator every
+    * training-data pipeline eventually runs (GDPR / right-to-be-
+    * forgotten). Input: the corpus plus a deletion list (here the
+    * deterministic [[DelMod]] predicate standing in for a tombstone
+    * relation). Output, one uniform schema across four domains
+    * (`domain, key, n_before, n_deleted, n_after, n_after_scratch,
+    * consistent, invalidated`):
+    *
+    *  - `release_cell`: q321's fine quasi-cells — the released
+    *    aggregate's per-cell delta. `n_after` is the MAINTAINED path
+    *    (before − the delta aggregated over deleted rows only: the
+    *    q192 retractable-aggregate shape — at 100 TB the deletion list
+    *    is ≪ the corpus and this touches only its rows); `n_after_scratch`
+    *    re-aggregates the tombstone-FILTERED corpus from raw text (a
+    *    genuinely different plan); `consistent` asserts they agree —
+    *    the maintained-vs-scratch contract, hash-checked per cell.
+    *  - `dup_cluster`: 2-token-PREFIX blocks of ≥ 2 members (the
+    *    prefix-blocking shape of dedup candidate generation — chosen
+    *    over q33's exact-fp groups because the fixture corpus has ZERO
+    *    exact duplicates (q34 counts them), so exact groups are all
+    *    singletons and would make this domain vacuous) that lose
+    *    members — the dedup artifacts to re-examine (a block whose
+    *    survivors drop below 2 dissolves).
+    *  - `ivf_cell`: the TRAINED persisted assignment
+    *    ([[graft.ml.HybridIndex.assigned]]) per cell. The maintained
+    *    path removes deleted vectors from their cells WITHOUT
+    *    retraining (assignment invariance is q276's maintenance
+    *    contract); whether shrunken occupancy warrants a retrain is
+    *    exactly q316's rebalance gate, fed by these counts.
+    *  - `artifact:{hybrid,grams,knn38,knn247}`: the per-artifact
+    *    invalidation verdict (key = 0). An artifact is invalidated iff
+    *    any row of its source tables is deleted — deletion changes the
+    *    content fingerprint, so [[graft.ml.ArtifactStore]] rebuilds it
+    *    on next ensure; n_before/n_deleted count the artifact's source
+    *    rows (documents + embeddings for hybrid, per its declared
+    *    fingerprint scope).
+    *
+    * `key` is the cell's own id where it has one (fp, cluster) and the
+    * engine-portable polyHash of the quasi-tuple for release cells.
+    * All partial-aggregable; the only persisted intermediate is the
+    * one-pass per-doc projection (released by the harness's per-query
+    * clearCache, like q322's). */
+  def q330DeletionPropagation(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.KAnonLenBucket
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        polyHash(array_join(slice(tokens(lower(col("text"))), 1, 2), " "))
+          .as("fp"),
+        (col("doc_id") % DelMod === 0).as("del"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .persist()
+    def outCols(domain: String) = Seq(
+      lit(domain).as("domain"), col("key"), col("n_before"),
+      col("n_deleted"), (col("n_before") - col("n_deleted")).as("n_after"),
+      col("n_after_scratch"),
+      (col("n_before") - col("n_deleted") === col("n_after_scratch"))
+        .as("consistent"),
+      (col("n_deleted") > 0).as("invalidated"))
+    // release cells: maintained delta vs a from-raw-text scratch recount
+    val cellScratch = Tables.documents(s, d)
+      .filter(col("doc_id") % DelMod =!= 0)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_after_scratch"))
+    val relCells = base.groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_before"), sum(col("del").cast("long")).as("n_deleted"))
+      .join(cellScratch, Seq("lang", "source", "len_b"), "left")
+      .withColumn("n_after_scratch", coalesce(col("n_after_scratch"), lit(0L)))
+      .withColumn("key",
+        polyHash(concat_ws("|", col("lang"), col("source"),
+          col("len_b").cast("string"))))
+      .select(outCols("release_cell"): _*)
+    // dedup candidate blocks (2-token prefix fingerprint groups of >= 2)
+    val fpScratch = Tables.documents(s, d)
+      .filter(col("doc_id") % DelMod =!= 0)
+      .groupBy(polyHash(array_join(slice(tokens(lower(col("text"))), 1, 2), " "))
+        .as("fp"))
+      .agg(count(lit(1)).as("n_after_scratch"))
+    val dupClusters = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_before"), sum(col("del").cast("long")).as("n_deleted"))
+      .filter(col("n_before") >= 2)
+      .join(fpScratch, Seq("fp"), "left")
+      .withColumn("n_after_scratch", coalesce(col("n_after_scratch"), lit(0L)))
+      .withColumn("key", col("fp"))
+      .select(outCols("dup_cluster"): _*)
+    // trained IVF cells: maintained removal from the persisted assignment
+    val asg = graft.ml.HybridIndex.assigned(s, d)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        (col("vec_id") % DelMod === 0).as("vdel"))
+    val ivfScratch = asg.filter(!col("vdel")).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_after_scratch"))
+    val ivfCells = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"), sum(col("vdel").cast("long")).as("n_deleted"))
+      .join(ivfScratch, Seq("cluster"), "left")
+      .withColumn("n_after_scratch", coalesce(col("n_after_scratch"), lit(0L)))
+      .withColumn("key", col("cluster"))
+      .select(outCols("ivf_cell"): _*)
+    // per-artifact invalidation verdict from the 1-row source-table counts
+    val docCnt = base.agg(count(lit(1)).as("nd"),
+      sum(col("del").cast("long")).as("dd"))
+    val vecCnt = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("nv"),
+        sum((col("vec_id") % DelMod === 0).cast("long")).as("dv"))
+    val artifacts = docCnt.crossJoin(vecCnt)
+      .select(explode(array(
+        struct(lit("artifact:hybrid").as("domain"),
+          (col("nd") + col("nv")).as("n_before"),
+          (col("dd") + col("dv")).as("n_deleted")),
+        struct(lit("artifact:grams").as("domain"),
+          col("nd").as("n_before"), col("dd").as("n_deleted")),
+        struct(lit("artifact:knn38").as("domain"),
+          col("nv").as("n_before"), col("dv").as("n_deleted")),
+        struct(lit("artifact:knn247").as("domain"),
+          col("nv").as("n_before"), col("dv").as("n_deleted")))).as("a"))
+      .select(col("a.domain").as("domain"), lit(0L).as("key"),
+        col("a.n_before").as("n_before"), col("a.n_deleted").as("n_deleted"))
+      .withColumn("n_after_scratch", col("n_before") - col("n_deleted"))
+      .select(col("domain"), col("key"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"),
+        col("n_after_scratch"),
+        lit(true).as("consistent"),
+        (col("n_deleted") > 0).as("invalidated"))
+    relCells.unionByName(dupClusters).unionByName(ivfCells)
+      .unionByName(artifacts)
+      .orderBy(col("domain"), col("key"))
+  }
+
+  lazy val q330Sql: String = { // lazy: references VectorOps.trainedModelCtes
+    import GovernanceOps.KAnonLenBucket
+    val fpE = polyHashSql(
+      s"array_to_string((${tokensSql("lower(text)")})[1:2], ' ')")
+    val keyE = polyHashSql("concat_ws('|', lang, source, CAST(len_b AS VARCHAR))")
+    s"""WITH ${VectorOps.trainedModelCtes},
+       |base AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         $fpE AS fp,
+       |         doc_id % $DelMod = 0 AS del
+       |  FROM documents),
+       |cell_s AS (
+       |  SELECT lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_after_scratch
+       |  FROM documents WHERE doc_id % $DelMod <> 0 GROUP BY 1, 2, 3),
+       |cells0 AS (
+       |  SELECT lang, source, len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_before,
+       |         CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+       |  FROM base GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT 'release_cell' AS domain, $keyE AS key, n_before, n_deleted,
+       |         COALESCE(cs.n_after_scratch, CAST(0 AS BIGINT)) AS n_after_scratch
+       |  FROM cells0 LEFT JOIN cell_s cs USING (lang, source, len_b)),
+       |fp_s AS (
+       |  SELECT $fpE AS fp, CAST(COUNT(*) AS BIGINT) AS n_after_scratch
+       |  FROM documents WHERE doc_id % $DelMod <> 0 GROUP BY 1),
+       |dups0 AS (
+       |  SELECT fp,
+       |         CAST(COUNT(*) AS BIGINT) AS n_before,
+       |         CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+       |  FROM base GROUP BY fp HAVING COUNT(*) >= 2),
+       |dups AS (
+       |  SELECT 'dup_cluster' AS domain, d0.fp AS key, n_before, n_deleted,
+       |         COALESCE(fs.n_after_scratch, CAST(0 AS BIGINT)) AS n_after_scratch
+       |  FROM dups0 d0 LEFT JOIN fp_s fs ON fs.fp = d0.fp),
+       |asgv AS (
+       |  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |         vec_id % $DelMod = 0 AS vdel
+       |  FROM a4),
+       |ivf_s AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_after_scratch
+       |  FROM asgv WHERE NOT vdel GROUP BY cluster),
+       |ivf0 AS (
+       |  SELECT cluster,
+       |         CAST(COUNT(*) AS BIGINT) AS n_before,
+       |         CAST(SUM(CASE WHEN vdel THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+       |  FROM asgv GROUP BY cluster),
+       |ivf AS (
+       |  SELECT 'ivf_cell' AS domain, i0.cluster AS key, n_before, n_deleted,
+       |         COALESCE(i.n_after_scratch, CAST(0 AS BIGINT)) AS n_after_scratch
+       |  FROM ivf0 i0 LEFT JOIN ivf_s i ON i.cluster = i0.cluster),
+       |dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |              CAST(SUM(CASE WHEN doc_id % $DelMod = 0 THEN 1 ELSE 0 END)
+       |                AS BIGINT) AS dd
+       |       FROM documents),
+       |vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+       |              CAST(SUM(CASE WHEN vec_id % $DelMod = 0 THEN 1 ELSE 0 END)
+       |                AS BIGINT) AS dv
+       |       FROM embeddings),
+       |arts AS (
+       |  SELECT 'artifact:hybrid' AS domain, CAST(0 AS BIGINT) AS key,
+       |         nd + nv AS n_before, dd + dv AS n_deleted,
+       |         nd + nv - dd - dv AS n_after_scratch
+       |  FROM dc CROSS JOIN vc
+       |  UNION ALL
+       |  SELECT 'artifact:grams', CAST(0 AS BIGINT), nd, dd, nd - dd
+       |  FROM dc
+       |  UNION ALL
+       |  SELECT 'artifact:knn38', CAST(0 AS BIGINT), nv, dv, nv - dv
+       |  FROM vc
+       |  UNION ALL
+       |  SELECT 'artifact:knn247', CAST(0 AS BIGINT), nv, dv, nv - dv
+       |  FROM vc),
+       |unioned AS (
+       |  SELECT * FROM cells UNION ALL SELECT * FROM dups
+       |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM arts)
+       |SELECT domain, key, n_before, n_deleted,
+       |       n_before - n_deleted AS n_after, n_after_scratch,
+       |       n_before - n_deleted = n_after_scratch AS consistent,
+       |       n_deleted > 0 AS invalidated
+       |FROM unioned
+       |ORDER BY domain, key""".stripMargin
+  }
+
+  // ---- q331: adaptive multi-probe on the TRAINED persisted index ----
+
+  /** q331 — q322's adaptive budget probe lifted onto the TRAINED
+    * PERSISTED index (r13 verdict missing #3): q322 probes the fixed
+    * `vec_id < 16` seed quantizer (q247's audit surface); production
+    * serves from the trained artifact. This op reads the q305
+    * HybridIndex artifact — 6-dp-rounded Lloyd centroids
+    * ([[graft.ml.HybridIndex.centroids]], k = 8) and the persisted
+    * corpus assignment ([[graft.ml.HybridIndex.assigned]]) — and runs
+    * the same budget-bounded adaptive probe: cells visited in
+    * query→centroid distance order, stop at the first rank whose
+    * cumulative occupancy covers [[Round13Ops.AdaptBudget]], cosine
+    * rerank of the probed cells, recall@5 against the persisted q38
+    * brute truth ([[graft.ml.TruthTables.knnTop5]] — the q67 grading
+    * surface). This closes the serving loop the verdict names:
+    * persisted trained index (q305) → adaptive probe (this) → occupancy
+    * maintenance (q276) → retrain gate (q316).
+    *
+    * The oracle replays the trained model via the unrolled-Lloyd CTEs
+    * ([[VectorOps.trainedModelCtes]] — the q148 precedent that trained
+    * models are oracle-checkable) and the brute truth via q38's CTE, so
+    * the whole serving path is hash-checked against the SAME model the
+    * artifact persists (q305 proves artifact ≡ CTEs).
+    *
+    * Scale shape: the centroid table is a k-row broadcast; occupancy is
+    * k rows from the persisted assignment (no assign pass — that is the
+    * artifact's job); the stop decision is a k-row window per query;
+    * candidates touch only probed cells via an equi-join on cell; same
+    * honest overshoot bound as q322 (budget + last cell, controlled by
+    * q316). */
+  def q331MultiProbeTrained(s: SparkSession, d: String): DataFrame = {
+    import Round13Ops.AdaptBudget
+    val cents = graft.ml.HybridIndex.centroids(s, d)
+      .select(col("cluster").cast("long").as("cell"), col("cent"))
+    val asg = graft.ml.HybridIndex.assigned(s, d)
+      .select(col("vec_id").as("cid"), col("cluster").cast("long").as("cell"))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = graft.ml.TruthTables.knnTop5(s, d)
+    val occ = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("cell"))
+    val cellRank = queries.join(broadcast(cents), lit(true))
+      .withColumn("dsq", distSq(col("qe"), col("cent")))
+      .select(col("qid"), col("cell"), row_number().over(wc).as("cell_rnk"))
+      .join(broadcast(occ), Seq("cell"), "left")
+      .withColumn("n_cell", coalesce(col("n_cell"), lit(0L)))
+      .withColumn("cum", sum(col("n_cell")).over(
+        Window.partitionBy(col("qid")).orderBy(col("cell_rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val depth = cellRank.groupBy(col("qid")).agg(
+      coalesce(min(when(col("cum") >= AdaptBudget, col("cell_rnk"))),
+        max(col("cell_rnk"))).as("probe_depth"))
+    val cand = cellRank.join(depth, "qid")
+      .filter(col("cell_rnk") <= col("probe_depth"))
+      .select(col("qid"), col("probe_depth"), col("cell"))
+      .join(asg, "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("probe_depth"), col("cid"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val top = cand.join(corpus, "cid").join(broadcast(queries), "qid")
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 5)
+    val nCand = cand.groupBy(col("qid"))
+      .agg(min(col("probe_depth")).cast("long").as("probe_depth"),
+        count(lit(1)).as("n_cand"))
+    val hits = top.join(truth.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    nCand.join(hits, "qid")
+      // exact integers only: recall@5 in micro (n_hit/5 × 1e6)
+      .withColumn("recall_micro", col("n_hit") * lit(200000L))
+      .select(col("qid"), col("probe_depth"), col("n_cand"), col("n_hit"),
+        col("recall_micro"))
+      .orderBy(col("qid"))
+  }
+
+  lazy val q331Sql: String = { // lazy: references VectorOps.trainedModelCtes
+    import Round13Ops.AdaptBudget
+    val distQ =
+      "list_reduce(list_transform(range(1, 65), j -> " +
+        "(q.qe[j] - c.cent[j]) * (q.qe[j] - c.cent[j])), (a, b) -> a + b)"
+    val cos = cosineSql("qe.qemb", "corpus.ce")
+    s"""WITH ${VectorOps.trainedModelCtes},
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < 8),
+       |occ AS (SELECT cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n_cell
+       |        FROM a4 GROUP BY 1),
+       |cell_rank AS (
+       |  SELECT cr.qid, cr.cell, cr.cell_rnk,
+       |         SUM(COALESCE(occ.n_cell, 0)) OVER (
+       |           PARTITION BY cr.qid ORDER BY cr.cell_rnk) AS cum
+       |  FROM (
+       |    SELECT q.qid, c.cluster AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY $distQ, c.cluster) AS cell_rnk
+       |    FROM q CROSS JOIN c3 c) cr
+       |  LEFT JOIN occ ON occ.cell = cr.cell),
+       |depth AS (
+       |  SELECT qid,
+       |    COALESCE(MIN(CASE WHEN cum >= $AdaptBudget THEN cell_rnk END),
+       |             MAX(cell_rnk)) AS probe_depth
+       |  FROM cell_rank GROUP BY qid),
+       |cand AS (
+       |  SELECT cr.qid, d.probe_depth, a.vec_id AS cid
+       |  FROM cell_rank cr
+       |  JOIN depth d ON d.qid = cr.qid AND cr.cell_rnk <= d.probe_depth
+       |  JOIN a4 a ON a.cluster = cr.cell
+       |  WHERE a.vec_id <> cr.qid),
+       |corpus AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |qe AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+       |       WHERE vec_id < 8),
+       |top AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT cand.qid, cand.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.qid
+       |        ORDER BY $cos DESC, cand.cid) AS rnk
+       |    FROM cand JOIN corpus ON corpus.cid = cand.cid
+       |              JOIN qe ON qe.qid = cand.qid)
+       |  WHERE rnk <= 5),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |        AS rnk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 5),
+       |nc AS (SELECT qid, CAST(MIN(probe_depth) AS BIGINT) AS probe_depth,
+       |              CAST(COUNT(*) AS BIGINT) AS n_cand
+       |       FROM cand GROUP BY qid),
+       |hits AS (
+       |  SELECT top.qid,
+       |         CAST(SUM(CASE WHEN brute.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_hit
+       |  FROM top LEFT JOIN brute ON brute.qid = top.qid AND brute.cid = top.cid
+       |  GROUP BY 1)
+       |SELECT qid, probe_depth, n_cand, n_hit,
+       |       n_hit * 200000 AS recall_micro
+       |FROM nc JOIN hits USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
+  // ---- q332: post-deletion re-release under a rotated salt ----
+
+  /** q332 — the DP consequence of q330's deletion: the released q321
+    * aggregate is now WRONG, and the re-release is a fresh mechanism
+    * draw. Re-publishing the corrected counts under the SAME salt would
+    * reveal the deleted rows' exact per-cell counts by subtraction (the
+    * noise cancels: released_v1 − released_v2 = n_del exactly — the
+    * classic differencing attack, and the reason deterministic DP
+    * systems rotate the salt per release epoch). So v2 rotates the salt
+    * tag (rr1 → rr2), draws independent noise, and the ledger prices
+    * the pair as sequential composition: ε_total = 2·ln 2,
+    * δ_total = 4/D — erasure is not free for the publisher.
+    *
+    * Output per fine cell: both releases side by side (v1 on the full
+    * corpus, v2 on the tombstone-filtered corpus — a cell whose members
+    * are all deleted re-counts to 0 and suppresses), the deletion delta,
+    * and the pair ledger. All integer; two one-pass aggregates +
+    * |cells|-row projections + a 1-row ledger broadcast. */
+  def q332DpRerelease(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.{KAnonK, KAnonLenBucket}
+    def cellsOf(df: DataFrame, cnt: String) = df
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as(cnt))
+    def noised(df: DataFrame, tag: String, cnt: String, sfx: String) = df
+      .withColumn(s"u_$sfx",
+        (polyHash(concat_ws("|", lit(DpSalt), lit(tag), col("lang"),
+          col("source"), col("len_b").cast("string")))
+          * DpScramble) % P % DpD)
+      .withColumn(s"noise_$sfx", expr(dpNoiseSql(s"u_$sfx")).cast("long"))
+      .withColumn(s"suppressed_$sfx", col(cnt) < KAnonK)
+      .withColumn(s"n_released_$sfx",
+        when(col(s"suppressed_$sfx"), lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), col(cnt) + col(s"noise_$sfx"))))
+    val docs = Tables.documents(s, d)
+    val v1 = cellsOf(docs, "n_true_v1")
+    val v2 = cellsOf(docs.filter(col("doc_id") % DelMod =!= 0), "n_true_v2")
+    val both = v1.join(v2, Seq("lang", "source", "len_b"), "left")
+      .withColumn("n_true_v2", coalesce(col("n_true_v2"), lit(0L)))
+    val cells = noised(noised(both, "rr1", "n_true_v1", "v1"),
+        "rr2", "n_true_v2", "v2")
+      .withColumn("n_deleted", col("n_true_v1") - col("n_true_v2"))
+    val ledger = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum((col("n_deleted") > 0).cast("long")).as("n_cells_changed"))
+    cells.crossJoin(broadcast(ledger))
+      .withColumn("eps_total_micro", lit(2L * DpEpsCellMicro))
+      .withColumn("delta_total_num", lit(2L * DpDeltaNum))
+      .withColumn("delta_total_den", lit(DpD))
+      .select(col("lang"), col("source"), col("len_b"),
+        col("n_true_v1"), col("n_true_v2"), col("n_deleted"),
+        col("u_v1"), col("noise_v1"), col("suppressed_v1"), col("n_released_v1"),
+        col("u_v2"), col("noise_v2"), col("suppressed_v2"), col("n_released_v2"),
+        col("n_cells"), col("n_cells_changed"),
+        col("eps_total_micro"), col("delta_total_num"), col("delta_total_den"))
+      .orderBy(col("lang"), col("source"), col("len_b"))
+  }
+
+  val q332Sql: String = {
+    import GovernanceOps.{KAnonK, KAnonLenBucket}
+    def uExpr(tag: String) = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', '$tag', lang, source, CAST(len_b AS VARCHAR))") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH v1 AS (
+       |  SELECT lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_true_v1
+       |  FROM documents GROUP BY 1, 2, 3),
+       |v2 AS (
+       |  SELECT lang, source,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $KAnonLenBucket AS len_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_true_v2
+       |  FROM documents WHERE doc_id % $DelMod <> 0 GROUP BY 1, 2, 3),
+       |both0 AS (
+       |  SELECT v1.lang, v1.source, v1.len_b, v1.n_true_v1,
+       |         COALESCE(v2.n_true_v2, CAST(0 AS BIGINT)) AS n_true_v2
+       |  FROM v1 LEFT JOIN v2 USING (lang, source, len_b)),
+       |both1 AS (
+       |  SELECT *, CAST(${uExpr("rr1")} AS BIGINT) AS u_v1,
+       |         CAST(${uExpr("rr2")} AS BIGINT) AS u_v2
+       |  FROM both0),
+       |cells AS (
+       |  SELECT *, CAST(${dpNoiseSql("u_v1")} AS BIGINT) AS noise_v1,
+       |         CAST(${dpNoiseSql("u_v2")} AS BIGINT) AS noise_v2,
+       |         n_true_v1 < $KAnonK AS suppressed_v1,
+       |         n_true_v2 < $KAnonK AS suppressed_v2
+       |  FROM both1),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |         CAST(SUM(CASE WHEN n_true_v1 > n_true_v2 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_cells_changed
+       |  FROM cells)
+       |SELECT lang, source, len_b, n_true_v1, n_true_v2,
+       |       n_true_v1 - n_true_v2 AS n_deleted,
+       |       u_v1, noise_v1, suppressed_v1,
+       |       CASE WHEN suppressed_v1 THEN NULL
+       |            ELSE GREATEST(CAST(0 AS BIGINT), n_true_v1 + noise_v1) END
+       |         AS n_released_v1,
+       |       u_v2, noise_v2, suppressed_v2,
+       |       CASE WHEN suppressed_v2 THEN NULL
+       |            ELSE GREATEST(CAST(0 AS BIGINT), n_true_v2 + noise_v2) END
+       |         AS n_released_v2,
+       |       n_cells, n_cells_changed,
+       |       CAST(${2L * DpEpsCellMicro} AS BIGINT) AS eps_total_micro,
+       |       CAST(${2L * DpDeltaNum} AS BIGINT) AS delta_total_num,
+       |       CAST($DpD AS BIGINT) AS delta_total_den
+       |FROM cells CROSS JOIN ledger
+       |ORDER BY lang, source, len_b""".stripMargin
+  }
+
+  // ---- the streaming twin's read-time release projection ----
+
+  /** Noise/gate/clamp projection over converged quasi-cell counters
+    * (lang, source, len_b, n_true) — the read-time half of
+    * [[graft.streaming.CorpusStream.dpReleaseStream]]. Uses the
+    * IDENTICAL level-1 salt tag as q321 ("1" — q321 tags cells with
+    * `level` cast to string), so a release read from the stream's
+    * converged state is column-for-column the batch q321 fine level;
+    * StreamingSpec pins the two together, which is what stops this
+    * duplicate of the formula and q321's inline copy from drifting. */
+  def dpReleaseProjection(cells: DataFrame): DataFrame = {
+    import GovernanceOps.KAnonK
+    cells
+      .withColumn("suppressed", col("n_true") < KAnonK)
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("1"), col("lang"),
+          col("source"), col("len_b").cast("string")))
+          * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("n_released",
+        when(col("suppressed"), lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), col("n_true") + col("noise"))))
+      .select(col("lang"), col("source"), col("len_b"), col("n_true"),
+        col("suppressed"), col("u"), col("noise"), col("n_released"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q328_dp_budget_split" -> q328DpBudgetSplit _,
+    "q329_dp_noisy_gate" -> q329DpNoisyGate _,
+    "q330_deletion_propagation" -> q330DeletionPropagation _,
+    "q331_multiprobe_trained" -> q331MultiProbeTrained _,
+    "q332_dp_rerelease" -> q332DpRerelease _)
+
+  val oracles: Map[String, String] = Map(
+    "q328_dp_budget_split" -> q328Sql,
+    "q329_dp_noisy_gate" -> q329Sql,
+    "q330_deletion_propagation" -> q330Sql,
+    "q331_multiprobe_trained" -> q331Sql,
+    "q332_dp_rerelease" -> q332Sql)
+}

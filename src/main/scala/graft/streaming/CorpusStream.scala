@@ -278,6 +278,33 @@ object CorpusStream {
       .agg(expr(s"smallest_k(h, $KmvK)").as("kmin"))
   }
 
+  /** Streaming twin of q321's DP count release
+    * ([[graft.operators.Round13Ops.q321DpRelease]], fine level): the
+    * quasi-identifier cell counts are an update-mode streaming
+    * aggregate — partial-aggregable vector addition across
+    * micro-batches is exactly the property q321's one-pass scale claim
+    * rests on — and the NOISE is applied at READ time over the
+    * converged counters under the FROZEN salt (the histQuantileStream
+    * replay discipline): the mechanism is a pure function of
+    * (salt, cell), so the release needs no stream state beyond the
+    * counts, a mid-stream read releases exactly what a batch release
+    * of the prefix would, and re-reading never spends budget. State is
+    * |cells| counter rows, ever. The read-time projection
+    * ([[graft.operators.Round14Ops.dpReleaseProjection]]) reuses the
+    * identical level-1 salt tag, so the parity spec asserts the
+    * converged stream release equals q321's level-1 rows column for
+    * column — noise, gate, clamp and all.
+    * @param docs streaming (lang, source, text) */
+  def dpReleaseStream(docs: DataFrame): DataFrame = {
+    import graft.operators.GovernanceOps.KAnonLenBucket
+    docs
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_true"))
+  }
+
   /** Streaming twin of q207's Count-Min sketch
     * ([[graft.operators.ScaleOps2.q207CountMin]]): documents arrive as
     * a stream and the depth×width counter grid updates continuously —

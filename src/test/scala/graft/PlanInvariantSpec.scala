@@ -81,6 +81,11 @@ class PlanInvariantSpec extends AnyFunSuite {
     *    are equi-joins and the truth is the persisted TruthTables scan
     *  - q326: the same two 16-centroid builds plus the |BudgetGrid|-row
     *    literal budget table (q247's probe-grid shape)
+    *  - q331: the single k-row TRAINED-centroid build (the persisted
+    *    HybridIndex centroids parquet, k = 8 at every SF — the corpus
+    *    assignment comes persisted, so unlike q322 there is no second
+    *    assign-time build; everything else is an equi-join or a
+    *    persisted truth scan)
     *  - q310: the |sources|-row global sensitive-distribution anchor
     *    (the EMD needs every group×source cell, absent sources
     *    included — 20 rows per build at BOTH SFs; the per-group counts
@@ -90,7 +95,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q130_stickiness", "q225_chi2_select", "q226_naive_bayes",
     "q240_growth_curve", "q264_cell_balance", "q39_knn_ivf",
     "q296_source_overlap", "q247_ivf_recall", "q289_hamming_rerank",
-    "q310_t_closeness", "q322_multiprobe_adaptive", "q326_budget_curve")
+    "q310_t_closeness", "q322_multiprobe_adaptive", "q326_budget_curve",
+    "q331_multiprobe_trained")
 
   private val AllowCartesian: Set[String] = Set()
 
@@ -271,7 +277,11 @@ class PlanInvariantSpec extends AnyFunSuite {
       // the seed builds plus the literal budget grid — SF-invariant
       "q326_budget_curve" -> ((a, b) =>
         if (a == b && (a ++ b).forall(_ <= 16)) None
-        else Some(s"expected equal seed/grid builds <= 16, got $a vs $b")))
+        else Some(s"expected equal seed/grid builds <= 16, got $a vs $b")),
+      // the k-row trained-centroid parquet build — k = 8 at every SF
+      "q331_multiprobe_trained" -> ((a, b) =>
+        if (a == Seq(8L) && b == Seq(8L)) None
+        else Some(s"expected [8] trained-centroid build, got $a vs $b")))
     // the checked map and the allowlist must be the SAME set — an entry
     // added to one without the other fails here, so the allowlist can
     // never drift back to name-trust

@@ -891,4 +891,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.map(_.toString).sameElements(want.map(_.toString)))
     } finally q.stop()
   }
+
+  test("dpReleaseStream: converged quasi-cell counters release EXACTLY q321's fine level") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // two micro-batches: the quasi-cell counters must merge by vector
+    // addition across the boundary — q321's partial-aggregability claim
+    val dir = java.nio.file.Files.createTempDirectory("dp_docs")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("lang"), col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .select(col("lang"), col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream
+      .schema(docs.select(col("lang"), col("source"), col("text")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.dpReleaseStream(stream), "dp_cells", OutputMode.Update())
+    try {
+      // last update per cell is the converged counter
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"), col("len_b"))
+        .orderBy(col("upd").desc)
+      val cells = spark.table("dp_cells")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lang"), col("source"), col("len_b"), col("n_true"))
+      // read-time noise under the frozen salt = the release itself
+      val got = operators.Round14Ops.dpReleaseProjection(cells)
+        .orderBy(col("lang"), col("source"), col("len_b")).collect()
+      // batch truth: q321's fine (level-1) rows, same columns
+      val want = operators.Round13Ops.q321DpRelease(spark, sf)
+        .filter(col("level") === 1)
+        .select(col("lang"), col("source"), col("len_b"), col("n_true"),
+          col("suppressed"), col("u"), col("noise"), col("n_released"))
+        .orderBy(col("lang"), col("source"), col("len_b")).collect()
+      assert(want.nonEmpty && got.length == want.length,
+        s"stream cells ${got.length} != batch cells ${want.length}")
+      assert(got.map(_.toString).sameElements(want.map(_.toString)),
+        "streamed release must equal the batch fine level column for column")
+    } finally q.stop()
+  }
 }
