@@ -411,7 +411,10 @@ object Round14Ops {
     *    content fingerprint, so [[graft.ml.ArtifactStore]] rebuilds it
     *    on next ensure; n_before/n_deleted count the artifact's source
     *    rows (documents + embeddings for hybrid, per its declared
-    *    fingerprint scope).
+    *    fingerprint scope). The verdict is not just a claim:
+    *    Round14OpsSpec applies this exact deletion predicate to a
+    *    scratch corpus in place and proves the store REBUILDS on the
+    *    next ensure.
     *
     * `key` is the cell's own id where it has one (fp, cluster) and the
     * engine-portable polyHash of the quasi-tuple for release cells.

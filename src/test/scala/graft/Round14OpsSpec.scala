@@ -254,6 +254,45 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(domain("ivf_cell").values.exists(_._2 > 0))
   }
 
+  test("q330's artifact verdict is REAL: deleting rows changes the fingerprint and the store rebuilds") {
+    import org.apache.spark.sql.functions._
+    // scratch corpus = the fixture's documents + embeddings, copied
+    val dir = java.nio.file.Files.createTempDirectory("r14del").resolve("corpus")
+    java.nio.file.Files.createDirectories(dir)
+    Seq("documents", "embeddings").foreach { t =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    }
+    val d = dir.toString
+    try {
+      var builds = 0
+      def ensure() = ml.ArtifactStore.ensure(spark, d, "spec14del",
+        Seq("documents", "embeddings")) { out =>
+        builds += 1
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
+      }
+      val (_, b1) = ensure()
+      assert(b1 && builds == 1, "first ensure builds")
+      val (_, b2) = ensure()
+      assert(!b2 && builds == 1, "unchanged corpus serves the artifact")
+      // apply q330's deletion predicate IN PLACE (tombstone-filtered
+      // rewrite of the documents table — what an erasure job does)
+      val kept = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % Round14Ops.DelMod =!= 0)
+        .collect()
+      val schema = spark.read.parquet(s"$d/documents.parquet").schema
+      java.nio.file.Files.delete(dir.resolve("documents.parquet"))
+      spark.createDataFrame(
+          java.util.Arrays.asList(kept: _*), schema)
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      // the verdict q330 emits for 'artifact:*' is exactly this: the
+      // content fingerprint changed, so the next ensure REBUILDS
+      val (_, b3) = ensure()
+      assert(b3 && builds == 2,
+        "deletion must invalidate the artifact (fingerprint change -> rebuild)")
+    } finally ml.ArtifactStore.dropForCorpus(d)
+  }
+
   test("q331: rows match a plain-Scala adaptive probe over the TRAINED persisted index") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
