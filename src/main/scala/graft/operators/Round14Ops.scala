@@ -853,6 +853,157 @@ object Round14Ops {
        |ORDER BY lang, source, len_b""".stripMargin
   }
 
+  // ---- q333: the privacy-budget PORTFOLIO ledger ----
+
+  /** q333 — the cross-release budget account (the r13 verdict's point
+    * that per-release ledgers only become meaningful when the PORTFOLIO
+    * composes them): every release the repo publishes on the documents
+    * table — q321 (2 levels), q323, q324, q325 (2 levels), q328
+    * (2 tiers), q329, q332 (2 epochs) — reads the SAME documents, so
+    * publishing them all costs their SEQUENTIAL composition: the total
+    * ε a document is exposed to is the sum of the rows below, and the
+    * running `cum_eps_micro` is the spend curve a budget steward
+    * watches. q327 (events, USER unit) is a separate account — budgets
+    * compose per (dataset, protected unit), never across them, which is
+    * why `dataset` keys the fold.
+    *
+    * Each row's ε/δ are the release's own published constants (ln 2
+    * units in micro; δ as the release's exact rational) and its
+    * `n_cells` is recomputed from the data — the same cell spaces the
+    * release ops aggregate, so the row count is live, not transcribed.
+    * δ totals normalize to the common denominator lcm(D, D₄)
+    * ([[DpDeltaLcm]]); every release δ is k/D, k/D₄ or k/lcm, so the
+    * normalization is exact integer arithmetic. Scale shape: six
+    * distinct-count aggregates (all partial-aggregable) folded to one
+    * row each, a constant 8-row explode, and an ≤8-row window — the
+    * account costs one pass over each source table. */
+  def q333DpPortfolio(s: SparkSession, d: String): DataFrame = {
+    import GovernanceOps.KAnonLenBucket
+    import Round13Ops.{DpVocabDeltaNum, RecLenBucket}
+    val eps = DpEpsCellMicro
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        element_at(tokens(col("text")), 1).as("tok1"))
+    val nFine = docs.select(col("lang"), col("source"),
+        expr(s"n_tok DIV $KAnonLenBucket")).distinct()
+      .agg(count(lit(1)).as("n_fine"))
+    val nMarg = docs.select(col("lang"), col("source")).distinct()
+      .agg(count(lit(1)).as("n_marg"))
+    val nVocab = docs.filter(col("tok1").isNotNull).select(col("tok1"))
+      .distinct().agg(count(lit(1)).as("n_vocab"))
+    val nChild = docs.select(col("lang"), expr(s"n_tok DIV $RecLenBucket"))
+      .distinct().agg(count(lit(1)).as("n_child"))
+    val nLang = docs.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("n_lang"))
+    val nTypes = Tables.events(s, d).select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("n_types"))
+    def rel(ds: String, ord: Long, name: String, epsM: org.apache.spark.sql.Column,
+        dNum: org.apache.spark.sql.Column, dDen: Long,
+        cells: org.apache.spark.sql.Column) =
+      struct(lit(ds).as("dataset"), lit(ord).as("ord"), lit(name).as("release"),
+        epsM.cast("long").as("eps_micro"), dNum.cast("long").as("delta_num"),
+        lit(dDen).as("delta_den"), cells.cast("long").as("n_cells"))
+    val rows = nFine.crossJoin(nMarg).crossJoin(nVocab).crossJoin(nChild)
+      .crossJoin(nLang).crossJoin(nTypes)
+      .select(explode(array(
+        rel("documents", 1, "q321_dp_release", lit(2 * eps), lit(2 * DpDeltaNum),
+          DpD, col("n_fine") + col("n_marg")),
+        rel("documents", 2, "q323_dp_sum_release", lit(eps), lit(DpDeltaNum),
+          DpD, col("n_marg")),
+        rel("documents", 3, "q324_dp_vocab_release", lit(eps), lit(DpVocabDeltaNum),
+          DpD, col("n_vocab")),
+        rel("documents", 4, "q325_dp_reconcile", lit(2 * eps), lit(2 * DpDeltaNum),
+          DpD, col("n_child") + col("n_lang")),
+        rel("documents", 5, "q328_dp_budget_split", lit(eps + DpEps4Micro),
+          lit(Dp328DeltaNum), DpDeltaLcm, col("n_fine") + col("n_marg")),
+        rel("documents", 6, "q329_dp_noisy_gate", lit(eps), lit(DpDeltaNum),
+          DpD, col("n_marg")),
+        rel("documents", 7, "q332_dp_rerelease", lit(2 * eps), lit(2 * DpDeltaNum),
+          DpD, lit(2L) * col("n_fine")),
+        rel("events", 1, "q327_dp_user_level", col("n_types") * eps,
+          col("n_types") * DpDeltaNum, DpD, col("n_types")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("delta_num_lcm",
+        col("delta_num") * (lit(DpDeltaLcm) / col("delta_den")).cast("long"))
+    val wCum = Window.partitionBy(col("dataset")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("dataset"))
+    rows
+      .withColumn("cum_eps_micro", sum(col("eps_micro")).over(wCum))
+      .withColumn("total_eps_micro", sum(col("eps_micro")).over(wAll))
+      .withColumn("total_delta_num", sum(col("delta_num_lcm")).over(wAll))
+      .withColumn("total_delta_den", lit(DpDeltaLcm))
+      .select(col("dataset"), col("ord"), col("release"), col("eps_micro"),
+        col("delta_num"), col("delta_den"), col("delta_num_lcm"),
+        col("n_cells"), col("cum_eps_micro"), col("total_eps_micro"),
+        col("total_delta_num"), col("total_delta_den"))
+      .orderBy(col("dataset"), col("ord"))
+  }
+
+  val q333Sql: String = {
+    import GovernanceOps.KAnonLenBucket
+    import Round13Ops.{DpVocabDeltaNum, RecLenBucket}
+    val eps = DpEpsCellMicro
+    val toks = tokensSql("text")
+    s"""WITH docs AS (
+       |  SELECT lang, source,
+       |         CAST(len($toks) AS BIGINT) AS n_tok,
+       |         ($toks)[1] AS tok1
+       |  FROM documents),
+       |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fine FROM (
+       |  SELECT DISTINCT lang, source, n_tok // $KAnonLenBucket FROM docs)),
+       |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_marg FROM (
+       |  SELECT DISTINCT lang, source FROM docs)),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM (
+       |  SELECT DISTINCT tok1 FROM docs WHERE tok1 IS NOT NULL)),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child FROM (
+       |  SELECT DISTINCT lang, n_tok // $RecLenBucket FROM docs)),
+       |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lang FROM (
+       |  SELECT DISTINCT lang FROM docs)),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM (
+       |  SELECT DISTINCT event_type FROM events)),
+       |k AS (SELECT * FROM nf CROSS JOIN nm CROSS JOIN nv CROSS JOIN nc
+       |      CROSS JOIN nl CROSS JOIN nt),
+       |rel AS (
+       |  SELECT 'documents' AS dataset, CAST(1 AS BIGINT) AS ord,
+       |         'q321_dp_release' AS release,
+       |         CAST(${2 * eps} AS BIGINT) AS eps_micro,
+       |         CAST(${2 * DpDeltaNum} AS BIGINT) AS delta_num,
+       |         CAST($DpD AS BIGINT) AS delta_den,
+       |         n_fine + n_marg AS n_cells
+       |  FROM k
+       |  UNION ALL SELECT 'documents', 2, 'q323_dp_sum_release',
+       |         $eps, $DpDeltaNum, $DpD, n_marg FROM k
+       |  UNION ALL SELECT 'documents', 3, 'q324_dp_vocab_release',
+       |         $eps, $DpVocabDeltaNum, $DpD, n_vocab FROM k
+       |  UNION ALL SELECT 'documents', 4, 'q325_dp_reconcile',
+       |         ${2 * eps}, ${2 * DpDeltaNum}, $DpD, n_child + n_lang FROM k
+       |  UNION ALL SELECT 'documents', 5, 'q328_dp_budget_split',
+       |         ${eps + DpEps4Micro}, $Dp328DeltaNum, $DpDeltaLcm,
+       |         n_fine + n_marg FROM k
+       |  UNION ALL SELECT 'documents', 6, 'q329_dp_noisy_gate',
+       |         $eps, $DpDeltaNum, $DpD, n_marg FROM k
+       |  UNION ALL SELECT 'documents', 7, 'q332_dp_rerelease',
+       |         ${2 * eps}, ${2 * DpDeltaNum}, $DpD, 2 * n_fine FROM k
+       |  UNION ALL SELECT 'events', 1, 'q327_dp_user_level',
+       |         n_types * $eps, n_types * $DpDeltaNum, $DpD, n_types FROM k),
+       |norm AS (
+       |  SELECT *, delta_num * ($DpDeltaLcm // delta_den) AS delta_num_lcm
+       |  FROM rel)
+       |SELECT dataset, ord, release, eps_micro, delta_num, delta_den,
+       |       delta_num_lcm, n_cells,
+       |       CAST(SUM(eps_micro) OVER (PARTITION BY dataset ORDER BY ord)
+       |         AS BIGINT) AS cum_eps_micro,
+       |       CAST(SUM(eps_micro) OVER (PARTITION BY dataset) AS BIGINT)
+       |         AS total_eps_micro,
+       |       CAST(SUM(delta_num_lcm) OVER (PARTITION BY dataset) AS BIGINT)
+       |         AS total_delta_num,
+       |       CAST($DpDeltaLcm AS BIGINT) AS total_delta_den
+       |FROM norm
+       |ORDER BY dataset, ord""".stripMargin
+  }
+
   // ---- the streaming twin's read-time release projection ----
 
   /** Noise/gate/clamp projection over converged quasi-cell counters
@@ -884,12 +1035,14 @@ object Round14Ops {
     "q329_dp_noisy_gate" -> q329DpNoisyGate _,
     "q330_deletion_propagation" -> q330DeletionPropagation _,
     "q331_multiprobe_trained" -> q331MultiProbeTrained _,
-    "q332_dp_rerelease" -> q332DpRerelease _)
+    "q332_dp_rerelease" -> q332DpRerelease _,
+    "q333_dp_portfolio" -> q333DpPortfolio _)
 
   val oracles: Map[String, String] = Map(
     "q328_dp_budget_split" -> q328Sql,
     "q329_dp_noisy_gate" -> q329Sql,
     "q330_deletion_propagation" -> q330Sql,
     "q331_multiprobe_trained" -> q331Sql,
-    "q332_dp_rerelease" -> q332Sql)
+    "q332_dp_rerelease" -> q332Sql,
+    "q333_dp_portfolio" -> q333Sql)
 }

@@ -342,6 +342,52 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1 || got.exists(_._2 > 1))
   }
 
+  test("q333: portfolio n_cells are LIVE (equal to each release's actual output) and totals compose") {
+    val rows = Round14Ops.q333DpPortfolio(spark, sf).collect()
+    val docs = rows.filter(_.getAs[String]("dataset") == "documents")
+      .sortBy(_.getAs[Long]("ord"))
+    val events = rows.filter(_.getAs[String]("dataset") == "events")
+    assert(docs.length == 7 && events.length == 1)
+    def cellsOf(name: String): Long =
+      docs.find(_.getAs[String]("release") == name).get.getAs[Long]("n_cells")
+    // every n_cells equals the release op's REAL output size — the
+    // account reads the data, it does not transcribe constants
+    assert(cellsOf("q321_dp_release") ==
+      Round13Ops.q321DpRelease(spark, sf).count())
+    assert(cellsOf("q323_dp_sum_release") ==
+      Round13Ops.q323DpSumRelease(spark, sf).count())
+    assert(cellsOf("q324_dp_vocab_release") ==
+      Round13Ops.q324DpVocabRelease(spark, sf).count())
+    val q325 = Round13Ops.q325DpReconcile(spark, sf).collect()
+    assert(cellsOf("q325_dp_reconcile") ==
+      q325.length + q325.map(_.getAs[String]("lang")).distinct.length)
+    assert(cellsOf("q328_dp_budget_split") ==
+      Round14Ops.q328DpBudgetSplit(spark, sf).count())
+    assert(cellsOf("q329_dp_noisy_gate") ==
+      Round14Ops.q329DpNoisyGate(spark, sf).count())
+    assert(cellsOf("q332_dp_rerelease") ==
+      2 * Round14Ops.q332DpRerelease(spark, sf).count())
+    assert(events.head.getAs[Long]("n_cells") ==
+      Round13Ops.q327DpUserLevel(spark, sf).count())
+    // sequential composition: cum is the prefix sum, total the full sum
+    val eps = docs.map(_.getAs[Long]("eps_micro"))
+    val cums = docs.map(_.getAs[Long]("cum_eps_micro"))
+    assert(cums.toSeq == eps.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(docs.forall(_.getAs[Long]("total_eps_micro") == eps.sum))
+    // the documents portfolio costs 12·ln 2 (2+1+1+2+3+1+2 ln-2 units)
+    assert(eps.sum == 12 * Round13Ops.DpEpsCellMicro)
+    // δ normalization to lcm(D, D4) is exact, totals add as integers
+    docs.foreach { r =>
+      assert(r.getAs[Long]("delta_num_lcm") == r.getAs[Long]("delta_num") *
+        (Round14Ops.DpDeltaLcm / r.getAs[Long]("delta_den")))
+    }
+    assert(docs.forall(_.getAs[Long]("total_delta_num") ==
+      docs.map(_.getAs[Long]("delta_num_lcm")).sum))
+    // the events account is user-level: ε scales with |cells| (q327's rule)
+    assert(events.head.getAs[Long]("eps_micro") ==
+      events.head.getAs[Long]("n_cells") * Round13Ops.DpEpsCellMicro)
+  }
+
   test("q332: both releases recount; the rotated salt draws independent noise") {
     import org.apache.spark.sql.functions._
     import graft.functions.Portable.tokens
