@@ -75,7 +75,15 @@ object ScaleAudit {
     // noisy host run (isolated min-of-5 puts them back at their r12
     // floors — 1.11 s / 1.39 s); audited anyway, the coverage rule is
     // deliberately conservative and both are cheap linear plans
-    "q76_gold_mart", "q84_unpivot")
+    "q76_gold_mart", "q84_unpivot",
+    // round-14 additions: both entered BENCH_full_r14's top-20 on a
+    // drift-inflated run (the same session's isolated min-of-5 put q67
+    // at 1.06 s, its floor; q40's committed r13 quiet reading was
+    // 1.69 s); audited anyway per the same conservative rule — both
+    // are doc-tier plans (trained-cell probe — linear; df-capped
+    // shingle inverted-index pair join — linear in its measured pair
+    // work set, which is now q40's WorkModels driver)
+    "q67_ivf_search_trained", "q40_ngram_jaccard")
 
   /** Audited queries driven SOLELY by documents/embeddings (verified by
     * instrumenting [[Tables.load]] during a full execution of every
@@ -96,7 +104,9 @@ object ScaleAudit {
     "q285_dsir_weights", "q290_dup_spans", "q291_coverage_sample",
     "q292_filter_attrition", "q293_embed_outliers", "q289_hamming_rerank",
     "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance",
-    "q314_sketch_set_algebra")
+    "q314_sketch_set_algebra",
+    // round-14: the coverage additions are both text-tier
+    "q67_ivf_search_trained", "q40_ngram_jaccard")
 
   /** DocTier queries ALSO measured at the upsampled 10× point — since
     * round 13 that is ALL of them. The two recall-truth consumers
@@ -189,6 +199,26 @@ object ScaleAudit {
         .filter(col("df") <= operators.ScaleOps.ShingleDfCap)
         .agg(sum(col("df") * (col("df") - 1) / 2)).head().getDouble(0).toLong
     }
+    // df-capped 3-gram shingle pair rows, q40 (winnowPairs' discipline
+    // on the shingle inverted index: the pair join's true work set)
+    def shinglePairs(s: SparkSession, d: String): Long = {
+      import graft.functions.Portable.{tokens, polyHash, P}
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      tok.join(broadcast(dict), "tok")
+        .withColumn("h1", lead(col("h"), 1).over(wp))
+        .withColumn("h2", lead(col("h"), 2).over(wp))
+        .filter(col("h2").isNotNull)
+        .select(col("doc_id"),
+          ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+        .distinct()
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= operators.ScaleOps.ShingleDfCap)
+        .agg(sum(col("df") * (col("df") - 1) / 2)).head().getDouble(0).toLong
+    }
     Map(
       "q151_pagerank" -> csEdges, "q176_recursive_bfs" -> csEdges,
       // q297 peels the same symmetrized co-purchase edge set csEdges
@@ -201,7 +231,8 @@ object ScaleAudit {
       "q152_item_similarity" -> basketPairs, "q162_triangle_count" -> basketPairs,
       "q238_assortativity" -> basketPairs,
       "q160_brand_lift" -> brandPairs,
-      "q66_winnowing" -> winnowPairs)
+      "q66_winnowing" -> winnowPairs,
+      "q40_ngram_jaccard" -> shinglePairs)
   }
 
   /** One denominator per query (ADVICE r10): the measured work series
