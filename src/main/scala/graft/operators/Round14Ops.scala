@@ -853,13 +853,121 @@ object Round14Ops {
        |ORDER BY lang, source, len_b""".stripMargin
   }
 
+  // ---- q334: DP selection (report-noisy-max) ----
+
+  /** q334 — private SELECTION via report-noisy-max: every release so
+    * far publishes noisy VALUES; the other half of the DP toolbox
+    * releases a private ARGMAX — "which (lang, source) cell is the
+    * modal one" — without pricing every cell. Mechanism: add the exact
+    * tier-1 geometric noise to each cell's count (fresh salt tag,
+    * deterministic per cell) and release ONLY the identity of the
+    * noisy maximum (ties broken (lang, source) ascending — a
+    * data-independent rule, so it costs nothing). The one-shot price
+    * is the point: naively publishing all |cells| noisy counts and
+    * letting the consumer take the max would also work (q321 already
+    * does), but selection-only costs a CONSTANT ε independent of
+    * |cells| — the ledger prints the conservative bound
+    * eps_selection = 2·ln 2 (valid for any sensitivity-1 utility) AND
+    * the monotone-histogram refinement eps_monotone = ln 2 (the
+    * Dwork–Roth Claim 3.9 setting applies here EXACTLY because the
+    * cells partition documents: one added document raises exactly one
+    * count by 1). Truncating the noise at ±20 can flip the argmax only
+    * if some cell's untruncated draw would exceed the support — union
+    * bound δ = |cells|·2/D, computed live.
+    *
+    * The graded table carries every cell's diagnostics (n_true, u,
+    * noise, noisy_count, gap to the winner) for the oracle; the
+    * released VIEW is the is_winner projection alone. `runner_up_gap`
+    * (winner's noisy count minus the best loser's) is the utility
+    * readout — a small gap means the selection was essentially a coin
+    * flip at this ε.
+    *
+    * No global sort: the argmax is a 1-row struct-min fold (q318's
+    * struct-argmax discipline) broadcast back over the |cells| rows.
+    * Scale shape: one partial-aggregable pass + two 1-row broadcasts. */
+  def q334DpNoisyMax(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("argmax"), col("lang"),
+          col("source"))) * DpScramble) % P % DpD)
+      .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+      .withColumn("noisy_count", col("n_true") + col("noise"))
+    // argmax by (noisy desc, lang asc, source asc) as a struct-min fold
+    val win = cells.agg(min(struct((-col("noisy_count")).as("nn"),
+        col("lang").as("l"), col("source").as("s"))).as("w"))
+      .select(col("w.l").as("winner_lang"), col("w.s").as("winner_source"),
+        (-col("w.nn")).as("winner_noisy"))
+    val flagged = cells.crossJoin(broadcast(win))
+      .withColumn("is_winner",
+        col("lang") === col("winner_lang") && col("source") === col("winner_source"))
+      .withColumn("gap_to_winner", col("winner_noisy") - col("noisy_count"))
+    val ledger = flagged.agg(
+      count(lit(1)).as("n_cells"),
+      min(when(!col("is_winner"), col("gap_to_winner"))).as("runner_up_gap"))
+    flagged.crossJoin(broadcast(ledger))
+      .withColumn("eps_selection_micro", lit(2L * DpEpsCellMicro))
+      .withColumn("eps_monotone_micro", lit(DpEpsCellMicro))
+      .withColumn("delta_selection_num", col("n_cells") * DpDeltaNum)
+      .withColumn("delta_selection_den", lit(DpD))
+      .select(col("lang"), col("source"), col("n_true"), col("u"),
+        col("noise"), col("noisy_count"), col("is_winner"),
+        col("winner_lang"), col("winner_source"), col("gap_to_winner"),
+        col("n_cells"), col("runner_up_gap"),
+        col("eps_selection_micro"), col("eps_monotone_micro"),
+        col("delta_selection_num"), col("delta_selection_den"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q334Sql: String = {
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'argmax', lang, source)") +
+      s" * $DpScramble) % $P % $DpD"
+    s"""WITH marg AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1, 2),
+       |noised AS (
+       |  SELECT lang, source, n_true, CAST($uExpr AS BIGINT) AS u
+       |  FROM marg),
+       |cells AS (
+       |  SELECT *, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise,
+       |         n_true + CAST(${dpNoiseSql("u")} AS BIGINT) AS noisy_count
+       |  FROM noised),
+       |win AS (
+       |  SELECT lang AS winner_lang, source AS winner_source,
+       |         noisy_count AS winner_noisy
+       |  FROM cells ORDER BY noisy_count DESC, lang, source LIMIT 1),
+       |flagged AS (
+       |  SELECT c.*, w.winner_lang, w.winner_source,
+       |         c.lang = w.winner_lang AND c.source = w.winner_source
+       |           AS is_winner,
+       |         w.winner_noisy - c.noisy_count AS gap_to_winner
+       |  FROM cells c CROSS JOIN win w),
+       |ledger AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |         CAST(MIN(CASE WHEN is_winner THEN NULL ELSE gap_to_winner END)
+       |           AS BIGINT) AS runner_up_gap
+       |  FROM flagged)
+       |SELECT lang, source, n_true, u, noise, noisy_count, is_winner,
+       |       winner_lang, winner_source, gap_to_winner,
+       |       n_cells, runner_up_gap,
+       |       CAST(${2L * DpEpsCellMicro} AS BIGINT) AS eps_selection_micro,
+       |       CAST($DpEpsCellMicro AS BIGINT) AS eps_monotone_micro,
+       |       n_cells * $DpDeltaNum AS delta_selection_num,
+       |       CAST($DpD AS BIGINT) AS delta_selection_den
+       |FROM flagged CROSS JOIN ledger
+       |ORDER BY lang, source""".stripMargin
+  }
+
   // ---- q333: the privacy-budget PORTFOLIO ledger ----
 
   /** q333 — the cross-release budget account (the r13 verdict's point
     * that per-release ledgers only become meaningful when the PORTFOLIO
     * composes them): every release the repo publishes on the documents
     * table — q321 (2 levels), q323, q324, q325 (2 levels), q328
-    * (2 tiers), q329, q332 (2 epochs) — reads the SAME documents, so
+    * (2 tiers), q329, q332 (2 epochs), q334 (selection, at its
+    * conservative bound) — reads the SAME documents, so
     * publishing them all costs their SEQUENTIAL composition: the total
     * ε a document is exposed to is the sum of the rows below, and the
     * running `cum_eps_micro` is the spend curve a budget steward
@@ -921,6 +1029,11 @@ object Round14Ops {
           DpD, col("n_marg")),
         rel("documents", 7, "q332_dp_rerelease", lit(2 * eps), lit(2 * DpDeltaNum),
           DpD, lit(2L) * col("n_fine")),
+        // the selection release enters at its conservative 2·ln 2 bound
+        // (q334's ledger also prints the monotone refinement ln 2); its
+        // truncation δ union-bounds over the |marginal| cells
+        rel("documents", 8, "q334_dp_noisy_max", lit(2 * eps),
+          col("n_marg") * DpDeltaNum, DpD, col("n_marg")),
         rel("events", 1, "q327_dp_user_level", col("n_types") * eps,
           col("n_types") * DpDeltaNum, DpD, col("n_types")))).as("r"))
       .select(col("r.*"))
@@ -986,6 +1099,8 @@ object Round14Ops {
        |         $eps, $DpDeltaNum, $DpD, n_marg FROM k
        |  UNION ALL SELECT 'documents', 7, 'q332_dp_rerelease',
        |         ${2 * eps}, ${2 * DpDeltaNum}, $DpD, 2 * n_fine FROM k
+       |  UNION ALL SELECT 'documents', 8, 'q334_dp_noisy_max',
+       |         ${2 * eps}, n_marg * $DpDeltaNum, $DpD, n_marg FROM k
        |  UNION ALL SELECT 'events', 1, 'q327_dp_user_level',
        |         n_types * $eps, n_types * $DpDeltaNum, $DpD, n_types FROM k),
        |norm AS (
@@ -1036,7 +1151,8 @@ object Round14Ops {
     "q330_deletion_propagation" -> q330DeletionPropagation _,
     "q331_multiprobe_trained" -> q331MultiProbeTrained _,
     "q332_dp_rerelease" -> q332DpRerelease _,
-    "q333_dp_portfolio" -> q333DpPortfolio _)
+    "q333_dp_portfolio" -> q333DpPortfolio _,
+    "q334_dp_noisy_max" -> q334DpNoisyMax _)
 
   val oracles: Map[String, String] = Map(
     "q328_dp_budget_split" -> q328Sql,
@@ -1044,5 +1160,6 @@ object Round14Ops {
     "q330_deletion_propagation" -> q330Sql,
     "q331_multiprobe_trained" -> q331Sql,
     "q332_dp_rerelease" -> q332Sql,
-    "q333_dp_portfolio" -> q333Sql)
+    "q333_dp_portfolio" -> q333Sql,
+    "q334_dp_noisy_max" -> q334Sql)
 }

@@ -347,7 +347,7 @@ class Round14OpsSpec extends AnyFunSuite {
     val docs = rows.filter(_.getAs[String]("dataset") == "documents")
       .sortBy(_.getAs[Long]("ord"))
     val events = rows.filter(_.getAs[String]("dataset") == "events")
-    assert(docs.length == 7 && events.length == 1)
+    assert(docs.length == 8 && events.length == 1)
     def cellsOf(name: String): Long =
       docs.find(_.getAs[String]("release") == name).get.getAs[Long]("n_cells")
     // every n_cells equals the release op's REAL output size — the
@@ -367,6 +367,8 @@ class Round14OpsSpec extends AnyFunSuite {
       Round14Ops.q329DpNoisyGate(spark, sf).count())
     assert(cellsOf("q332_dp_rerelease") ==
       2 * Round14Ops.q332DpRerelease(spark, sf).count())
+    assert(cellsOf("q334_dp_noisy_max") ==
+      Round14Ops.q334DpNoisyMax(spark, sf).count())
     assert(events.head.getAs[Long]("n_cells") ==
       Round13Ops.q327DpUserLevel(spark, sf).count())
     // sequential composition: cum is the prefix sum, total the full sum
@@ -374,8 +376,8 @@ class Round14OpsSpec extends AnyFunSuite {
     val cums = docs.map(_.getAs[Long]("cum_eps_micro"))
     assert(cums.toSeq == eps.scanLeft(0L)(_ + _).tail.toSeq)
     assert(docs.forall(_.getAs[Long]("total_eps_micro") == eps.sum))
-    // the documents portfolio costs 12·ln 2 (2+1+1+2+3+1+2 ln-2 units)
-    assert(eps.sum == 12 * Round13Ops.DpEpsCellMicro)
+    // the documents portfolio costs 14·ln 2 (2+1+1+2+3+1+2+2 ln-2 units)
+    assert(eps.sum == 14 * Round13Ops.DpEpsCellMicro)
     // δ normalization to lcm(D, D4) is exact, totals add as integers
     docs.foreach { r =>
       assert(r.getAs[Long]("delta_num_lcm") == r.getAs[Long]("delta_num") *
@@ -386,6 +388,48 @@ class Round14OpsSpec extends AnyFunSuite {
     // the events account is user-level: ε scales with |cells| (q327's rule)
     assert(events.head.getAs[Long]("eps_micro") ==
       events.head.getAs[Long]("n_cells") * Round13Ops.DpEpsCellMicro)
+  }
+
+  test("q334: the noisy argmax recounts; selection is one-shot priced") {
+    val rows = Round14Ops.q334DpNoisyMax(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("noise") == noiseRef(r.getAs[Long]("u")))
+      assert(r.getAs[Long]("noisy_count") ==
+        r.getAs[Long]("n_true") + r.getAs[Long]("noise"))
+    }
+    // the winner is the exact argmax under (noisy desc, lang, source)
+    val want = rows.map(r => (-r.getAs[Long]("noisy_count"),
+      r.getAs[String]("lang"), r.getAs[String]("source"))).min
+    val winners = rows.filter(_.getAs[Boolean]("is_winner"))
+    assert(winners.length == 1)
+    val w = winners.head
+    assert((-w.getAs[Long]("noisy_count"), w.getAs[String]("lang"),
+      w.getAs[String]("source")) == want)
+    assert(rows.forall(r => r.getAs[String]("winner_lang") == w.getAs[String]("lang") &&
+      r.getAs[String]("winner_source") == w.getAs[String]("source")))
+    // gaps are against the winner's noisy count; the runner-up gap is
+    // the smallest loser gap (the utility readout)
+    rows.foreach(r => assert(r.getAs[Long]("gap_to_winner") ==
+      w.getAs[Long]("noisy_count") - r.getAs[Long]("noisy_count")))
+    val bestLoser = rows.filter(!_.getAs[Boolean]("is_winner"))
+      .map(_.getAs[Long]("gap_to_winner")).min
+    assert(rows.forall(_.getAs[Long]("runner_up_gap") == bestLoser))
+    // the selection price is CONSTANT in |cells| — the op's whole point
+    val n = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells") == n)
+      assert(r.getAs[Long]("eps_selection_micro") == 2 * Round13Ops.DpEpsCellMicro)
+      assert(r.getAs[Long]("eps_monotone_micro") == Round13Ops.DpEpsCellMicro)
+      // ...while the truncation δ union-bounds over cells, so it is NOT
+      assert(r.getAs[Long]("delta_selection_num") == n * Round13Ops.DpDeltaNum)
+    }
+    // the noisy winner differs from the TRUE modal cell or not — either
+    // way the true argmax must be a close contender: sanity that noise
+    // support (±20) bounds how far the winner's true count can sit from
+    // the true maximum
+    val trueMax = rows.map(_.getAs[Long]("n_true")).max
+    assert(trueMax - w.getAs[Long]("n_true") <= 40)
   }
 
   test("q332: both releases recount; the rotated salt draws independent noise") {
