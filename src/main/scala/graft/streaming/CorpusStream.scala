@@ -305,6 +305,31 @@ object CorpusStream {
       .agg(count(lit(1)).as("n_true"))
   }
 
+  /** Streaming twin of q330's deletion propagation over the release
+    * cells: erasure applied as a CDC/tombstone stream. Ingestion rows
+    * carry `delta` = +1 (insert) or −1 (tombstone); the quasi-cell
+    * state is an update-mode SUM of deltas — the retractable-aggregate
+    * shape (q192) as streaming state, which is exactly how a 100 TB
+    * pipeline services deletion requests without a batch rewrite: the
+    * deletion list replays as −1 rows and the maintained counters land
+    * on the post-deletion truth. The parity spec feeds the corpus as a
+    * +1 micro-batch, the q330 deletion list as a −1 micro-batch, and
+    * asserts the converged counters equal q330's maintained
+    * `release_cell` n_after per cell — INCLUDING the vanished cells,
+    * which must converge to exactly 0, not disappear (a tombstoned
+    * cell's state row is the proof the deletion was applied; sweeping
+    * it is a compaction policy, not aggregation semantics).
+    * @param rows streaming (delta, lang, source, text) */
+  def tombstoneCellStream(rows: DataFrame): DataFrame = {
+    import graft.operators.GovernanceOps.KAnonLenBucket
+    rows
+      .select(col("delta").cast("long").as("delta"), col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(sum(col("delta")).as("n_live"))
+  }
+
   /** Streaming twin of q207's Count-Min sketch
     * ([[graft.operators.ScaleOps2.q207CountMin]]): documents arrive as
     * a stream and the depth×width counter grid updates continuously —

@@ -892,6 +892,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tombstoneCellStream: a -1 deletion stream converges to q330's maintained cells") {
+    import graft.operators.Round14Ops
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // micro-batch 1: the whole corpus as +1 inserts; micro-batch 2: the
+    // q330 deletion list replayed as -1 tombstones — the counters must
+    // RETRACT across the batch boundary
+    val dir = java.nio.file.Files.createTempDirectory("tomb_docs")
+    docs.withColumn("delta", lit(1L))
+      .select(col("delta"), col("lang"), col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    docs.filter(col("doc_id") % Round14Ops.DelMod === 0)
+      .withColumn("delta", lit(-1L))
+      .select(col("delta"), col("lang"), col("source"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val schema = docs.withColumn("delta", lit(1L))
+      .select(col("delta"), col("lang"), col("source"), col("text")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val q = EventStream.runToMemory(
+      CorpusStream.tombstoneCellStream(stream), "tomb_cells", OutputMode.Update())
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"), col("len_b"))
+        .orderBy(col("upd").desc)
+      val got = spark.table("tomb_cells")
+        .withColumn("upd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(graft.functions.Portable.polyHash(concat_ws("|",
+          col("lang"), col("source"), col("len_b").cast("string"))).as("key"),
+          col("n_live"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // batch truth: q330's maintained release_cell state (keyed the
+      // same way), INCLUDING cells whose members were all deleted
+      val want = Round14Ops.q330DeletionPropagation(spark, sf)
+        .filter(col("domain") === "release_cell")
+        .select(col("key"), col("n_after"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(want.nonEmpty && got.sameElements(want),
+        s"stream cells ${got.length} != batch cells ${want.length}")
+      // the retraction is real: some cell converged to exactly 0
+      assert(got.exists(_._2 == 0L), "a fully-tombstoned cell must read 0")
+    } finally q.stop()
+  }
+
   test("dpReleaseStream: converged quasi-cell counters release EXACTLY q321's fine level") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
