@@ -230,6 +230,14 @@ object ArtifactStore {
     * marker within moments; the clock starts at whichever write wins). */
   private def sweepStaleSiblings(key: String, keepFp: String): Unit = {
     val keep = dirOf(key, keepFp).getFileName.toString
+    // A previously superseded dir whose fingerprint is CURRENT again (the
+    // revert path: corpus content flips back) keeps its old stamp through
+    // the adopt — if it is later superseded a second time, that stale
+    // stamp would already be past StaleGraceMs and the first sweep would
+    // delete it with zero grace. Clear the keep dir's stamp so each new
+    // supersession restarts the grace clock (ADVICE r14).
+    try Files.deleteIfExists(dirOf(key, keepFp).resolve(SupersededFile)): Unit
+    catch { case _: java.io.IOException => () }
     val prefix = key + "--"
     val now = System.currentTimeMillis()
     val entries = root.toFile.listFiles()

@@ -132,7 +132,11 @@ object Round14Ops {
       .withColumn("len_b", expr(s"n_tok DIV $KAnonLenBucket"))
       .groupBy(col("lang"), col("source"), col("len_b"))
       .agg(count(lit(1)).as("n_true"))
-      .persist() // the marginal re-aggregates these |cells| rows
+      // Cache scope (the q322/q330 contract): the fine |cells| rows are
+      // re-aggregated by the marginal level below; released by the
+      // harness's per-query clearCache — long-lived sessions must
+      // clearCache between calls or the persisted cells outlive the query.
+      .persist()
     val l1 = fine.withColumn("level", lit(1L))
       .withColumn("u",
         (polyHash(concat_ws("|", lit(DpSalt), lit("bud1"), col("lang"),
@@ -259,6 +263,16 @@ object Round14Ops {
        |     WHEN $t >= 1 THEN (CAST(1 AS BIGINT) << CAST(20 - $t AS INT))
        |     WHEN $t >= -19 THEN $DpD - (CAST(1 AS BIGINT) << CAST(19 + $t AS INT))
        |     ELSE CAST($DpD AS BIGINT) END""".stripMargin.replace("\n", " ")
+  /** P(noise ≥ t)·D as a Scala constant — the same 4-branch tail as
+    * [[dpTailSpark]]/[[dpTailDuck]], for ledger constants computed at
+    * build time. ADVICE r14: the q329 count-1 diagnostic was inlined as
+    * the t ≥ 1 branch alone (`1 << (21 − τ)`), silently wrong outside
+    * 2 ≤ τ ≤ 21; deriving it here keeps it valid for any gate. */
+  def dpTail(t: Long): Long =
+    if (t >= 21) 0L
+    else if (t >= 1) 1L << (20 - t).toInt
+    else if (t >= -19) DpD - (1L << (19 + t).toInt)
+    else DpD
 
   /** q329 — PRIVATE suppression for the closed-domain release: q321 and
     * q323 decide suppression on the TRUE count, which leaks one bit of
@@ -311,7 +325,7 @@ object Round14Ops {
     cells.crossJoin(broadcast(ledger))
       .withColumn("tau", lit(DpGateTau))
       .withColumn("p_release_den", lit(DpD))
-      .withColumn("p_count1_release_num", lit(1L << (21 - DpGateTau.toInt)))
+      .withColumn("p_count1_release_num", lit(dpTail(DpGateTau - 1)))
       .withColumn("eps_release_micro", lit(DpEpsCellMicro))
       .withColumn("delta_release_num", lit(DpDeltaNum))
       .withColumn("delta_release_den", lit(DpD))
@@ -361,7 +375,7 @@ object Round14Ops {
        |       CAST($DpD AS BIGINT) AS p_release_den,
        |       n_cells, n_cells_released, n_gate_disagree,
        |       CAST($DpGateTau AS BIGINT) AS tau,
-       |       CAST(${1L << (21 - DpGateTau.toInt)} AS BIGINT) AS p_count1_release_num,
+       |       CAST(${dpTail(DpGateTau - 1)} AS BIGINT) AS p_count1_release_num,
        |       CAST($DpEpsCellMicro AS BIGINT) AS eps_release_micro,
        |       CAST($DpDeltaNum AS BIGINT) AS delta_release_num,
        |       CAST($DpD AS BIGINT) AS delta_release_den

@@ -636,4 +636,26 @@ object EventStream {
     q.processAllAvailable()
     q
   }
+
+  /** Update-mode drain with an EXPLICIT version column: every row is
+    * stamped with its micro-batch id as `upd` and appended to `dir` as
+    * parquet, so "latest update per key" is `max(upd)` under a real
+    * contract. The memory-sink alternative of ranking on
+    * monotonically_increasing_id only works because batch-append order
+    * happens to map to increasing partition ids — an implementation
+    * detail of the sink, not a guarantee (ADVICE r14). Update-mode
+    * re-emissions of a key in a later batch carry a strictly larger
+    * `upd` by the sink contract itself (foreachBatch ids are the
+    * stream's monotone epoch ids). */
+  def runToParquetVersioned(df: DataFrame, dir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("upd", lit(id)).write.mode("append").parquet(dir): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -66,6 +66,49 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "superseded fingerprint dir past the grace period must be swept")
   }
 
+  test("re-supersession after a revert restarts the grace clock (ADVICE r14)") {
+    val corpus = tmpCorpus("as15-", "v1")
+    val d = corpus.toString
+    val src = corpus.resolve("documents.parquet")
+    def ensure(payload: String) =
+      ml.ArtifactStore.ensure(spark, d, "spec15a", Seq("documents")) { out =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "payload.txt"), payload.getBytes("UTF-8")): Unit
+      }
+    val mtimeV1 = java.nio.file.Files.getLastModifiedTime(src)
+    val (dir1, _) = ensure("one")
+    java.nio.file.Files.write(src, "v2--".getBytes("UTF-8"))
+    val mtimeV2 = java.nio.file.Files.getLastModifiedTime(src)
+    val (dir2, _) = ensure("two")
+    val stamp1 = java.nio.file.Paths.get(dir1, "_SUPERSEDED")
+    assert(java.nio.file.Files.exists(stamp1), "supersession must stamp dir1")
+    // the stamp ages past the grace, but before any sweep fires the
+    // corpus REVERTS to v1 (same bytes AND same mtime — the fingerprint
+    // is (size, mtime, tail)) and dir1 becomes current again
+    val old = System.currentTimeMillis() - ml.ArtifactStore.StaleGraceMs - 60000
+    assert(stamp1.toFile.setLastModified(old))
+    java.nio.file.Files.write(src, "v1".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(src, mtimeV1)
+    ml.ArtifactStore.dropMemo(d, "spec15a")
+    val (dir3, b3) = ensure("three")
+    assert(!b3 && dir3 == dir1, "revert must adopt the original fingerprint dir")
+    assert(!java.nio.file.Files.exists(stamp1),
+      "adopting a dir as current must clear its stale supersession stamp")
+    // superseded a SECOND time: the first sweep must stamp FRESH and
+    // retain — without the stamp-clear, the stale pre-revert clock would
+    // already be past the grace and dir1 would be deleted immediately
+    java.nio.file.Files.write(src, "v2--".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(src, mtimeV2)
+    ml.ArtifactStore.dropMemo(d, "spec15a")
+    val (dir4, b4) = ensure("four")
+    assert(!b4 && dir4 == dir2, "v2 content must re-adopt dir2")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir1)),
+      "re-superseded dir must survive its fresh grace period")
+    assert(java.nio.file.Files.exists(stamp1),
+      "re-supersession must stamp the grace clock anew")
+  }
+
   test("losing the move race to a FINISHED winner adopts it (branch executed, not argued)") {
     val corpus = tmpCorpus("as13r-", "race")
     val d = corpus.toString

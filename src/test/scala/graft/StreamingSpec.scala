@@ -912,14 +912,18 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.resolve("*").toString)
-    val q = EventStream.runToMemory(
-      CorpusStream.tombstoneCellStream(stream), "tomb_cells", OutputMode.Update())
+    // explicit batch-id version column (ADVICE r14): latest update per
+    // cell is max(upd) under the foreachBatch epoch-id contract, not an
+    // accident of memory-sink append order
+    val sink = java.nio.file.Files.createTempDirectory("tomb_sink")
+      .resolve("out").toString
+    val q = EventStream.runToParquetVersioned(
+      CorpusStream.tombstoneCellStream(stream), sink)
     try {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"), col("source"), col("len_b"))
         .orderBy(col("upd").desc)
-      val got = spark.table("tomb_cells")
-        .withColumn("upd", monotonically_increasing_id())
+      val got = spark.read.parquet(sink)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(graft.functions.Portable.polyHash(concat_ws("|",
           col("lang"), col("source"), col("len_b").cast("string"))).as("key"),
@@ -954,15 +958,17 @@ class StreamingSpec extends AnyFunSuite {
       .schema(docs.select(col("lang"), col("source"), col("text")).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.resolve("*").toString)
-    val q = EventStream.runToMemory(
-      CorpusStream.dpReleaseStream(stream), "dp_cells", OutputMode.Update())
+    // explicit batch-id version column (ADVICE r14), as in the tombstone twin
+    val sink = java.nio.file.Files.createTempDirectory("dp_sink")
+      .resolve("out").toString
+    val q = EventStream.runToParquetVersioned(
+      CorpusStream.dpReleaseStream(stream), sink)
     try {
       // last update per cell is the converged counter
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"), col("source"), col("len_b"))
         .orderBy(col("upd").desc)
-      val cells = spark.table("dp_cells")
-        .withColumn("upd", monotonically_increasing_id())
+      val cells = spark.read.parquet(sink)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("lang"), col("source"), col("len_b"), col("n_true"))
       // read-time noise under the frozen salt = the release itself
