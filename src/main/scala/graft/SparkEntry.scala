@@ -71,7 +71,8 @@ object SparkEntry {
       operators.Round11Ops.queries ++
       operators.Round12Ops.queries ++
       operators.Round13Ops.queries ++
-      operators.Round14Ops.queries
+      operators.Round14Ops.queries ++
+      operators.Round15Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,5 +133,6 @@ object SparkEntry {
       operators.Round11Ops.oracles ++
       operators.Round12Ops.oracles ++
       operators.Round13Ops.oracles ++
-      operators.Round14Ops.oracles
+      operators.Round14Ops.oracles ++
+      operators.Round15Ops.oracles
 }

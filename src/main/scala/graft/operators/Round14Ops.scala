@@ -981,7 +981,9 @@ object Round14Ops {
     * composes them): every release the repo publishes on the documents
     * table — q321 (2 levels), q323, q324, q325 (2 levels), q328
     * (2 tiers), q329, q332 (2 epochs), q334 (selection, at its
-    * conservative bound) — reads the SAME documents, so
+    * conservative bound), q335 (the continual counter, charged its
+    * tree height once for all T epoch reads), q336 (2 exact-exponential
+    * quantiles, δ = 0) — reads the SAME documents, so
     * publishing them all costs their SEQUENTIAL composition: the total
     * ε a document is exposed to is the sum of the rows below, and the
     * running `cum_eps_micro` is the spend curve a budget steward
@@ -997,7 +999,7 @@ object Round14Ops {
     * ([[DpDeltaLcm]]); every release δ is k/D, k/D₄ or k/lcm, so the
     * normalization is exact integer arithmetic. Scale shape: six
     * distinct-count aggregates (all partial-aggregable) folded to one
-    * row each, a constant 8-row explode, and an ≤8-row window — the
+    * row each, a constant 11-row explode, and an ≤10-row window — the
     * account costs one pass over each source table. */
   def q333DpPortfolio(s: SparkSession, d: String): DataFrame = {
     import GovernanceOps.KAnonLenBucket
@@ -1048,6 +1050,16 @@ object Round14Ops {
         // truncation δ union-bounds over the |marginal| cells
         rel("documents", 8, "q334_dp_noisy_max", lit(2 * eps),
           col("n_marg") * DpDeltaNum, DpD, col("n_marg")),
+        // the continual counter charges its tree HEIGHT once for ALL T
+        // epoch publications (Round15Ops.crRelease); its live cell count
+        // is the full published node grid, (2T−1) nodes per lang
+        rel("documents", 9, "q335_dp_continual", lit(Round15Ops.CrEpsMicro),
+          lit(Round15Ops.CrDeltaNum), DpD,
+          lit(2L * Round15Ops.CrT - 1) * col("n_lang")),
+        // two exact-exponential quantile releases per lang (sequential
+        // over the same documents); pure ε-DP — δ = 0 exactly
+        rel("documents", 10, "q336_dp_quantile", lit(Round15Ops.QuantOpEpsMicro),
+          lit(0L), 1L, lit(Round15Ops.QuantPcts.length.toLong) * col("n_lang")),
         rel("events", 1, "q327_dp_user_level", col("n_types") * eps,
           col("n_types") * DpDeltaNum, DpD, col("n_types")))).as("r"))
       .select(col("r.*"))
@@ -1061,10 +1073,34 @@ object Round14Ops {
       .withColumn("total_eps_micro", sum(col("eps_micro")).over(wAll))
       .withColumn("total_delta_num", sum(col("delta_num_lcm")).over(wAll))
       .withColumn("total_delta_den", lit(DpDeltaLcm))
+      // ---- the zCDP / advanced-composition bound (r14 verdict #3) ----
+      // Each release is pure ε_i-DP at its printed bound, so it is
+      // (ε_i²/2)-zCDP; composition adds ρ. ρ is kept EXACT as the
+      // integer rho_e12 = Σ ε_i,micro² (ρ = rho_e12 / 2·10¹²). The
+      // conversion back to (ε, δ′)-DP at δ′ = 10⁻⁶ is the standard
+      // ρ + 2√(ρ·ln(1/δ′)) — a DOCUMENTED-FLOAT column (the HLL
+      // estimator precedent): both engines evaluate the identical IEEE
+      // expression with ln(10⁶) inlined as a literal, rounded to micro.
+      // eps_operative is what the budget steward reads: min(naive,
+      // zCDP) — the zCDP route only wins when there are MANY small
+      // releases (k ≫ 2·ln(1/δ′)/ε̄); at this portfolio's shape the
+      // naive sum is still the tighter bound and the column SHOWS that,
+      // which is the decision-grade readout the verdict asked for. The
+      // zCDP path's δ is δ′ PLUS the releases' own truncation δs.
+      .withColumn("rho_e12", sum(col("eps_micro") * col("eps_micro")).over(wAll))
+      .withColumn("eps_zcdp_micro",
+        floor((col("rho_e12") / lit(2.0e12) +
+          lit(2.0) * sqrt(col("rho_e12") / lit(2.0e12) * lit(13.815510557964274)))
+          * lit(1.0e6) + lit(0.5)).cast("long"))
+      .withColumn("eps_operative_micro",
+        least(col("total_eps_micro"), col("eps_zcdp_micro")))
+      .withColumn("zcdp_delta_prime_exp", lit(6L))
       .select(col("dataset"), col("ord"), col("release"), col("eps_micro"),
         col("delta_num"), col("delta_den"), col("delta_num_lcm"),
         col("n_cells"), col("cum_eps_micro"), col("total_eps_micro"),
-        col("total_delta_num"), col("total_delta_den"))
+        col("total_delta_num"), col("total_delta_den"), col("rho_e12"),
+        col("eps_zcdp_micro"), col("eps_operative_micro"),
+        col("zcdp_delta_prime_exp"))
       .orderBy(col("dataset"), col("ord"))
   }
 
@@ -1115,21 +1151,44 @@ object Round14Ops {
        |         ${2 * eps}, ${2 * DpDeltaNum}, $DpD, 2 * n_fine FROM k
        |  UNION ALL SELECT 'documents', 8, 'q334_dp_noisy_max',
        |         ${2 * eps}, n_marg * $DpDeltaNum, $DpD, n_marg FROM k
+       |  UNION ALL SELECT 'documents', 9, 'q335_dp_continual',
+       |         ${Round15Ops.CrEpsMicro}, ${Round15Ops.CrDeltaNum}, $DpD,
+       |         ${2L * Round15Ops.CrT - 1} * n_lang FROM k
+       |  UNION ALL SELECT 'documents', 10, 'q336_dp_quantile',
+       |         ${Round15Ops.QuantOpEpsMicro}, 0, 1,
+       |         ${Round15Ops.QuantPcts.length} * n_lang FROM k
        |  UNION ALL SELECT 'events', 1, 'q327_dp_user_level',
        |         n_types * $eps, n_types * $DpDeltaNum, $DpD, n_types FROM k),
        |norm AS (
        |  SELECT *, delta_num * ($DpDeltaLcm // delta_den) AS delta_num_lcm
-       |  FROM rel)
+       |  FROM rel),
+       |tot AS (
+       |  SELECT dataset, ord, release, eps_micro, delta_num, delta_den,
+       |         delta_num_lcm, n_cells,
+       |         CAST(SUM(eps_micro) OVER (PARTITION BY dataset ORDER BY ord)
+       |           AS BIGINT) AS cum_eps_micro,
+       |         CAST(SUM(eps_micro) OVER (PARTITION BY dataset) AS BIGINT)
+       |           AS total_eps_micro,
+       |         CAST(SUM(delta_num_lcm) OVER (PARTITION BY dataset) AS BIGINT)
+       |           AS total_delta_num,
+       |         CAST($DpDeltaLcm AS BIGINT) AS total_delta_den,
+       |         CAST(SUM(eps_micro * eps_micro) OVER (PARTITION BY dataset)
+       |           AS BIGINT) AS rho_e12
+       |  FROM norm)
        |SELECT dataset, ord, release, eps_micro, delta_num, delta_den,
-       |       delta_num_lcm, n_cells,
-       |       CAST(SUM(eps_micro) OVER (PARTITION BY dataset ORDER BY ord)
-       |         AS BIGINT) AS cum_eps_micro,
-       |       CAST(SUM(eps_micro) OVER (PARTITION BY dataset) AS BIGINT)
-       |         AS total_eps_micro,
-       |       CAST(SUM(delta_num_lcm) OVER (PARTITION BY dataset) AS BIGINT)
-       |         AS total_delta_num,
-       |       CAST($DpDeltaLcm AS BIGINT) AS total_delta_den
-       |FROM norm
+       |       delta_num_lcm, n_cells, cum_eps_micro, total_eps_micro,
+       |       total_delta_num, total_delta_den, rho_e12,
+       |       CAST(FLOOR((CAST(rho_e12 AS DOUBLE) / 2.0e12 +
+       |         2.0 * SQRT(CAST(rho_e12 AS DOUBLE) / 2.0e12 *
+       |           13.815510557964274)) * 1.0e6 + 0.5) AS BIGINT)
+       |         AS eps_zcdp_micro,
+       |       LEAST(total_eps_micro,
+       |         CAST(FLOOR((CAST(rho_e12 AS DOUBLE) / 2.0e12 +
+       |           2.0 * SQRT(CAST(rho_e12 AS DOUBLE) / 2.0e12 *
+       |             13.815510557964274)) * 1.0e6 + 0.5) AS BIGINT))
+       |         AS eps_operative_micro,
+       |       CAST(6 AS BIGINT) AS zcdp_delta_prime_exp
+       |FROM tot
        |ORDER BY dataset, ord""".stripMargin
   }
 

@@ -986,4 +986,47 @@ class StreamingSpec extends AnyFunSuite {
         "streamed release must equal the batch fine level column for column")
     } finally q.stop()
   }
+
+  test("continualCounterStream: converged node counters release EXACTLY batch q335") {
+    import graft.operators.Round15Ops
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"),
+        pmod(col("doc_id"), lit(Round15Ops.CrT.toLong)).as("epoch"))
+    // two micro-batches split ACROSS the epoch grid (epochs 0-3 then
+    // 4-7): the per-node counters must merge by vector addition across
+    // the boundary — nodes at levels 2-3 span both batches
+    val dir = java.nio.file.Files.createTempDirectory("cr_docs")
+    docs.filter(col("epoch") < 4).coalesce(1)
+      .write.parquet(dir.resolve("f0").toString)
+    docs.filter(col("epoch") >= 4).coalesce(1)
+      .write.parquet(dir.resolve("f1").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val sink = java.nio.file.Files.createTempDirectory("cr_sink")
+      .resolve("out").toString
+    val q = EventStream.runToParquetVersioned(
+      CorpusStream.continualCounterStream(stream), sink)
+    try {
+      // latest update per node is the converged counter (explicit
+      // batch-id version column — the ADVICE r14 contract)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("level"), col("idx"))
+        .orderBy(col("upd").desc)
+      val nodeCounts = spark.read.parquet(sink)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lang"), col("level"), col("idx"), col("n_node"))
+      // read-time release under the frozen node-tagged salts = the
+      // identical formula batch q335 runs
+      val langs = Tables.documents(spark, sf).select(col("lang")).distinct()
+      val got = Round15Ops.crRelease(spark, nodeCounts, langs)
+        .orderBy(col("lang"), col("epoch"), col("level").desc).collect()
+      val want = Round15Ops.q335ContinualCounter(spark, sf)
+        .orderBy(col("lang"), col("epoch"), col("level").desc).collect()
+      assert(want.nonEmpty && got.length == want.length,
+        s"stream rows ${got.length} != batch rows ${want.length}")
+      assert(got.map(_.toString).sameElements(want.map(_.toString)),
+        "streamed continual release must equal batch q335 column for column")
+    } finally q.stop()
+  }
 }
