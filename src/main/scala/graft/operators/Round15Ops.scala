@@ -402,11 +402,249 @@ object Round15Ops {
        |ORDER BY lang, q_pct, bucket""".stripMargin
   }
 
+  // ---- q337: erasure for the standing LSH band index ----
+
+  /** q337's own hot-shingle df-cap, chosen against measured fixture
+    * statistics (df tops out at 9/7/25 across the SFs) so the frozen
+    * hot list is NONEMPTY at every SF and deletion genuinely flips some
+    * shingles' hotness — the drift path this op exists to measure.
+    * q183's production cap (100) would leave the hot list empty at
+    * fixture scale and the flip path untested. */
+  val EraseDfCap = 4L
+
+  /** q337 — erasure for the STANDING LSH band index (r14 verdict
+    * missing-path #4): q330 invalidates whole artifacts; the 100 TB
+    * path REMOVES deleted documents' band rows and signatures from the
+    * standing index without a rebuild — the exact analogue of q330's
+    * IVF-cell removal, with the same maintained-vs-scratch `consistent`
+    * contract per row.
+    *
+    * The load-bearing index contract this op proves: per-document
+    * signatures depend on other documents ONLY through the df-cap hot
+    * list (the index's frozen statistics — q183's convention that a
+    * delta can't retroactively reclassify an indexed shingle). So
+    * removal-by-tombstone equals a from-raw-text rebuild IF AND ONLY IF
+    * the rebuild runs under the FROZEN hot list: `n_after_scratch`
+    * re-derives every bucket from the tombstone-filtered corpus under
+    * the frozen list (a genuinely different plan — second shingle pass,
+    * second signature build), and `consistent` asserts it matches the
+    * maintained path everywhere. What deletion DOES drift is the
+    * statistics themselves: the `hot_shingle` domain recounts every
+    * frozen-hot shingle's df over the survivors, and `flipped` marks
+    * the ones that drop to ≤ cap — the q316-style signal that decides
+    * when the hot list (and hence the index) warrants a retrain; until
+    * then the frozen list stays correct by contract, exactly like
+    * q276's assignment invariance.
+    *
+    * Domains (uniform schema `domain, key, n_before, n_deleted,
+    * n_after, n_after_scratch, consistent, dissolved, flipped`):
+    *  - `band_bucket`: per (band, v0, v1) bucket membership; key =
+    *    polyHash of the triple; `dissolved` marks buckets that fall
+    *    below 2 members — they stop generating candidate pairs.
+    *  - `hot_shingle`: the frozen hot list vs post-deletion df;
+    *    `flipped` = hotness lost.
+    *  - `total:docs` / `total:bands` (key = 0): indexed-relation
+    *    totals — the artifact-level shrink.
+    *
+    * Scale shape: maintained removal touches only tombstone-matched
+    * rows (an anti-join/flag on doc_id — at 100 TB the deletion list is
+    * ≪ the index and the index is partitioned by doc); the scratch
+    * rebuild is the deliberate second pass (the monthly compaction
+    * audit, q330's discipline). Everything is bucketed: df-capped
+    * shingles, band equi-groups — never all-pairs. */
+  /** The per-document DISTINCT shingle relation (doc_id, sh) the
+    * standing index is built from — the lead-window batch build (one
+    * char-level hash per distinct token, the q183 performance choice;
+    * the streaming twin uses the row-local array pipeline, which yields
+    * the SAME distinct set per document — the deltaDedupStream
+    * argument, parity spec-asserted). */
+  def eraseShingles(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val dict = tok.select(col("tok")).distinct()
+      .withColumn("h", polyHash(col("tok")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.join(broadcast(dict), "tok")
+      .withColumn("h1", lead(col("h"), 1).over(wp))
+      .withColumn("h2", lead(col("h"), 2).over(wp))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"),
+        ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
+      .distinct()
+  }
+
+  def q337BandErasure(s: SparkSession, d: String): DataFrame = {
+    import Round14Ops.DelMod
+    // Cache scope (the q322/q330 contract): the per-doc distinct shingle
+    // relation feeds the df stats, both band builds, and both df
+    // recounts; released by the harness's per-query clearCache —
+    // long-lived sessions must clearCache between calls.
+    val sh0 = eraseShingles(s, d).persist()
+    val dfreq = sh0.withColumn("del", col("doc_id") % DelMod === 0)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), sum(col("del").cast("long")).as("ddel"))
+    // the FROZEN index statistics: full-corpus hot list (small by the
+    // df-cap construction — a broadcastable model table)
+    val hot = dfreq.filter(col("df") > EraseDfCap).persist()
+    def bandsFor(docsSh: DataFrame): DataFrame = {
+      val capped = docsSh.join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+      val sigAggs = (0 until 8).map(i =>
+        min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
+      capped.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        .select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"sig${2 * b}").as("v0"),
+            col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.v0").as("v0"), col("bk.v1").as("v1"))
+    }
+    val bandsAll = bandsFor(sh0).persist()
+    val bucketKey = polyHash(concat_ws("|", col("band").cast("string"),
+      col("v0").cast("string"), col("v1").cast("string")))
+    def outCols(domain: String, dissolved: org.apache.spark.sql.Column,
+        flipped: org.apache.spark.sql.Column) = Seq(
+      lit(domain).as("domain"), col("key"), col("n_before"), col("n_deleted"),
+      (col("n_before") - col("n_deleted")).as("n_after"),
+      col("n_after_scratch"),
+      (col("n_before") - col("n_deleted") === col("n_after_scratch"))
+        .as("consistent"),
+      dissolved.as("dissolved"), flipped.as("flipped"))
+    // band buckets: maintained tombstone removal vs frozen-list rebuild
+    val bbScratch = bandsFor(sh0.filter(col("doc_id") % DelMod =!= 0))
+      .groupBy(col("band"), col("v0"), col("v1"))
+      .agg(count(lit(1)).as("n_after_scratch"))
+    val bandBuckets = bandsAll
+      .withColumn("del", col("doc_id") % DelMod === 0)
+      .groupBy(col("band"), col("v0"), col("v1"))
+      .agg(count(lit(1)).as("n_before"), sum(col("del").cast("long")).as("n_deleted"))
+      .join(bbScratch, Seq("band", "v0", "v1"), "left")
+      .withColumn("n_after_scratch", coalesce(col("n_after_scratch"), lit(0L)))
+      .withColumn("key", bucketKey)
+      .select(outCols("band_bucket",
+        col("n_before") >= 2 && col("n_before") - col("n_deleted") < 2,
+        lit(false)): _*)
+    // frozen hot list vs the survivors' df — the drift the retrain
+    // gate watches
+    val dfScratch = sh0.filter(col("doc_id") % DelMod =!= 0)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_after_scratch"))
+    val hotShingles = hot
+      .join(dfScratch, Seq("sh"), "left")
+      .withColumn("n_after_scratch", coalesce(col("n_after_scratch"), lit(0L)))
+      .withColumn("key", col("sh"))
+      .withColumn("n_before", col("df"))
+      .withColumn("n_deleted", col("ddel"))
+      .select(outCols("hot_shingle", lit(false),
+        col("df") - col("ddel") <= EraseDfCap): _*)
+    // indexed-relation totals (1-row folds)
+    val totD = bandsAll.select(col("doc_id"),
+        (col("doc_id") % DelMod === 0).as("del")).distinct()
+      .agg(count(lit(1)).as("n_before"), sum(col("del").cast("long")).as("n_deleted"))
+      .crossJoin(broadcast(bbScratch.agg(
+        coalesce(sum(col("n_after_scratch")), lit(0L)).as("sb"))))
+    val totals = totD.select(explode(array(
+        struct(lit("total:docs").as("domain"),
+          col("n_before").as("n_before"), col("n_deleted").as("n_deleted"),
+          expr("sb DIV 4").as("n_after_scratch")),
+        struct(lit("total:bands").as("domain"),
+          (col("n_before") * 4L).as("n_before"),
+          (col("n_deleted") * 4L).as("n_deleted"),
+          col("sb").as("n_after_scratch")))).as("a"))
+      .select(col("a.domain").as("domain"), lit(0L).as("key"),
+        col("a.n_before").as("n_before"), col("a.n_deleted").as("n_deleted"),
+        (col("a.n_before") - col("a.n_deleted")).as("n_after"),
+        col("a.n_after_scratch").as("n_after_scratch"),
+        (col("a.n_before") - col("a.n_deleted") === col("a.n_after_scratch"))
+          .as("consistent"),
+        lit(false).as("dissolved"), lit(false).as("flipped"))
+    bandBuckets.unionByName(hotShingles)
+      .unionByName(totals)
+      .orderBy(col("domain"), col("key"))
+  }
+
+  val q337Sql: String = {
+    import Round14Ops.DelMod
+    val sigs = (0 until 8).map(i =>
+      s"${minHashSigSql("sh", i)} AS sig$i").mkString(",\n  ")
+    val keyE = polyHashSql(
+      "concat_ws('|', CAST(band AS VARCHAR), CAST(v0 AS VARCHAR), " +
+        "CAST(v1 AS VARCHAR))")
+    def bandsCte(fName: String, sigsName: String, bandsName: String,
+        extraPred: String) =
+      s"""$fName AS (
+         |  SELECT e.doc_id, list(e.sh) AS sh FROM e LEFT JOIN hot ON hot.sh = e.sh
+         |  WHERE hot.sh IS NULL$extraPred GROUP BY e.doc_id),
+         |$sigsName AS (SELECT doc_id, $sigs FROM $fName),
+         |$bandsName AS (
+         |  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         |    CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS v0,
+         |    CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS v1
+         |  FROM $sigsName, UNNEST(range(0, 4)) AS u(b))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, ${shingleHashesSql(tokenHashesSql(tokensSql("text")))} AS sh0 FROM documents),
+       |e AS (SELECT doc_id, unnest(sh0) AS sh FROM t),
+       |dfreq AS (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df,
+       |         CAST(SUM(CASE WHEN doc_id % $DelMod = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS ddel
+       |  FROM e GROUP BY 1),
+       |hot AS (SELECT sh, df, ddel FROM dfreq WHERE df > $EraseDfCap),
+       |${bandsCte("f", "sigs", "bands", "")},
+       |${bandsCte("f2", "sigs2", "bands2", s" AND e.doc_id % $DelMod <> 0")},
+       |bb AS (
+       |  SELECT band, v0, v1, CAST(COUNT(*) AS BIGINT) AS n_before,
+       |         CAST(SUM(CASE WHEN doc_id % $DelMod = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_deleted
+       |  FROM bands GROUP BY 1, 2, 3),
+       |bb2 AS (
+       |  SELECT band, v0, v1, CAST(COUNT(*) AS BIGINT) AS n_after_scratch
+       |  FROM bands2 GROUP BY 1, 2, 3),
+       |bbout AS (
+       |  SELECT 'band_bucket' AS domain, $keyE AS key, n_before, n_deleted,
+       |         COALESCE(bb2.n_after_scratch, CAST(0 AS BIGINT)) AS n_after_scratch,
+       |         bb.n_before >= 2 AND bb.n_before - bb.n_deleted < 2 AS dissolved,
+       |         FALSE AS flipped
+       |  FROM bb LEFT JOIN bb2 USING (band, v0, v1)),
+       |dfs AS (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_after_scratch
+       |  FROM e WHERE doc_id % $DelMod <> 0 GROUP BY 1),
+       |hotout AS (
+       |  SELECT 'hot_shingle' AS domain, hot.sh AS key, df AS n_before,
+       |         ddel AS n_deleted,
+       |         COALESCE(dfs.n_after_scratch, CAST(0 AS BIGINT)) AS n_after_scratch,
+       |         FALSE AS dissolved,
+       |         df - ddel <= $EraseDfCap AS flipped
+       |  FROM hot LEFT JOIN dfs ON dfs.sh = hot.sh),
+       |td AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+       |         CAST(COUNT(DISTINCT CASE WHEN doc_id % $DelMod = 0
+       |           THEN doc_id END) AS BIGINT) AS dd
+       |  FROM bands),
+       |sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM bands2),
+       |totout AS (
+       |  SELECT 'total:docs' AS domain, CAST(0 AS BIGINT) AS key,
+       |         nd AS n_before, dd AS n_deleted, s // 4 AS n_after_scratch,
+       |         FALSE AS dissolved, FALSE AS flipped
+       |  FROM td CROSS JOIN sb
+       |  UNION ALL
+       |  SELECT 'total:bands', CAST(0 AS BIGINT), nd * 4, dd * 4, s,
+       |         FALSE, FALSE
+       |  FROM td CROSS JOIN sb),
+       |unioned AS (
+       |  SELECT * FROM bbout UNION ALL SELECT * FROM hotout
+       |  UNION ALL SELECT * FROM totout)
+       |SELECT domain, key, n_before, n_deleted,
+       |       n_before - n_deleted AS n_after, n_after_scratch,
+       |       n_before - n_deleted = n_after_scratch AS consistent,
+       |       dissolved, flipped
+       |FROM unioned
+       |ORDER BY domain, key""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q335_dp_continual_counter" -> q335ContinualCounter _,
-    "q336_dp_quantile" -> q336DpQuantile _)
+    "q336_dp_quantile" -> q336DpQuantile _,
+    "q337_band_erasure" -> q337BandErasure _)
 
   val oracles: Map[String, String] = Map(
     "q335_dp_continual_counter" -> q335Sql,
-    "q336_dp_quantile" -> q336Sql)
+    "q336_dp_quantile" -> q336Sql,
+    "q337_band_erasure" -> q337Sql)
 }

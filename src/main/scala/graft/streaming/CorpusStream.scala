@@ -352,6 +352,44 @@ object CorpusStream {
   def continualCounterStream(docs: DataFrame): DataFrame =
     graft.operators.Round15Ops.crNodeCounts(docs)
 
+  /** Streaming twin of q337's band-index erasure
+    * ([[graft.operators.Round15Ops.q337BandErasure]]): the tombstone CDC
+    * discipline ([[tombstoneCellStream]]) extended to the standing LSH
+    * band state. Ingestion rows carry `delta` = +1 (index) or −1
+    * (tombstone); per-row the shingle set is computed row-locally
+    * (the [[deltaDedupStream]] array pipeline — same distinct set as
+    * the batch lead-window build), filtered by the FROZEN hot list (the
+    * index's statistics are a model parameter: a tombstone can no more
+    * reclassify a shingle than a delta can — q183's contract, and
+    * exactly why the maintained state equals q337's frozen-list scratch
+    * rebuild), then the 8 min-hash folds and 4 band keys. State is the
+    * update-mode per-(band, v0, v1) SUM of deltas — |buckets| rows; a
+    * fully-tombstoned bucket converges to exactly 0, the proof the
+    * deletion was applied (sweeping it is compaction policy, not
+    * aggregation semantics). The parity spec feeds the corpus as +1,
+    * the q330/q337 deletion list as −1, and asserts the converged
+    * counters equal q337's maintained `band_bucket` n_after per bucket.
+    * @param rows streaming (delta, text)
+    * @param hot  frozen hot-shingle list (bounded by the df-cap) */
+  def tombstoneBandStream(rows: DataFrame, hot: Seq[Long]): DataFrame = {
+    val hotArr =
+      if (hot.isEmpty) array().cast("array<bigint>")
+      else array(hot.map(lit): _*)
+    val capped = rows
+      .withColumn("shl", shingleHashes(tokenHashes(tokens(col("text")))))
+      .withColumn("sa", filter(col("shl"), h => !array_contains(hotArr, h)))
+      .filter(size(col("sa")) > 0)
+    val sigs = (0 until 8).map(i => minHashSig(col("sa"), i).as(s"sig$i"))
+    val withSigs = capped.select(col("delta").cast("long").as("delta") +: sigs: _*)
+    withSigs.select(col("delta"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"sig${2 * b}").as("v0"),
+            col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.v0").as("v0"),
+        col("bk.v1").as("v1"))
+      .agg(sum(col("delta")).as("n_live"))
+  }
+
   /** Streaming twin of q207's Count-Min sketch
     * ([[graft.operators.ScaleOps2.q207CountMin]]): documents arrive as
     * a stream and the depth×width counter grid updates continuously —

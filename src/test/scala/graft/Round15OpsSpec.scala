@@ -218,6 +218,71 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q337: band-index erasure ----
+
+  test("q337: maintained == frozen-list scratch everywhere; hot drift recounted in plain Scala") {
+    import org.apache.spark.sql.functions.col
+    val rows = Round15Ops.q337BandErasure(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the load-bearing contract: tombstone removal equals the from-raw
+    // rebuild UNDER THE FROZEN HOT LIST, in every domain
+    assert(rows.forall(_.getAs[Boolean]("consistent")),
+      "maintained removal must equal the frozen-statistics rebuild")
+    val bb = rows.filter(_.getAs[String]("domain") == "band_bucket")
+    assert(bb.exists(_.getAs[Boolean]("dissolved")),
+      "some candidate bucket must dissolve below 2 members")
+    assert(bb.exists(r => r.getAs[Long]("n_deleted") > 0 &&
+      r.getAs[Long]("n_after") == 0L),
+      "a fully-deleted bucket must read 0, not disappear")
+    // plain-Scala recount of the index statistics from raw text: 3-gram
+    // shingle df over distinct per-doc sets, the hot list, the drift
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[Long] = {
+      val hs = text.split(" ").filter(_.nonEmpty).map(pHash)
+      hs.sliding(3).filter(_.length == 3)
+        .map(a => ((a(0) * 31 + a(1)) % P * 31 + a(2)) % P).toSet
+    }
+    val df = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+    docs.foreach { case (id, text) =>
+      val del = if (id % graft.operators.Round14Ops.DelMod == 0) 1L else 0L
+      shingles(text).foreach { sh =>
+        val (a, b) = df.getOrElse(sh, (0L, 0L)); df(sh) = (a + 1, b + del)
+      }
+    }
+    val hotScala = df.filter(_._2._1 > Round15Ops.EraseDfCap)
+    val hotRows = rows.filter(_.getAs[String]("domain") == "hot_shingle")
+    assert(hotRows.length == hotScala.size, "frozen hot list size")
+    hotRows.foreach { r =>
+      val (nBefore, nDeleted) = hotScala(r.getAs[Long]("key"))
+      assert(r.getAs[Long]("n_before") == nBefore)
+      assert(r.getAs[Long]("n_deleted") == nDeleted)
+      assert(r.getAs[Boolean]("flipped") ==
+        (nBefore - nDeleted <= Round15Ops.EraseDfCap))
+    }
+    assert(hotRows.exists(_.getAs[Boolean]("flipped")),
+      "deletion must flip some shingle's hotness — the retrain-gate drift")
+    // WHY the frozen list is a contract and not a shortcut: the fresh
+    // hot list over the survivors genuinely differs (exactly the flips),
+    // so a fresh-statistics rebuild would re-cap different shingles and
+    // drift from the maintained state
+    val freshHot = df.filter { case (_, (n, dl)) =>
+      n - dl > Round15Ops.EraseDfCap
+    }.keySet
+    assert(freshHot != hotScala.keySet,
+      "post-deletion statistics must drift from the frozen list")
+    // totals: the indexed-doc count is the docs with a nonempty capped
+    // set under the frozen list
+    val indexed = docs.filter { case (_, text) =>
+      (shingles(text) -- hotScala.keySet).nonEmpty
+    }
+    val tot = rows.filter(_.getAs[String]("domain") == "total:docs").head
+    assert(tot.getAs[Long]("n_before") == indexed.length.toLong)
+    assert(tot.getAs[Long]("n_deleted") ==
+      indexed.count(_._1 % graft.operators.Round14Ops.DelMod == 0).toLong)
+  }
+
   // ---- q333: the new portfolio rows and the zCDP bound ----
 
   test("q333: new rows' n_cells pinned to the releases' ACTUAL output sizes; zCDP bound recomputed") {

@@ -1029,4 +1029,52 @@ class StreamingSpec extends AnyFunSuite {
         "streamed continual release must equal batch q335 column for column")
     } finally q.stop()
   }
+
+  test("tombstoneBandStream: -1 deletions converge to q337's maintained band buckets") {
+    import graft.operators.{Round14Ops, Round15Ops}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the FROZEN hot list: the index's own full-corpus df statistics —
+    // a model parameter of the standing index, shared with batch q337
+    val hot = Round15Ops.eraseShingles(spark, sf)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Round15Ops.EraseDfCap)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot.nonEmpty, "fixture must exercise the hot-list filter")
+    // micro-batch 1: the corpus as +1 index rows; micro-batch 2: the
+    // deletion list as -1 tombstones — band-bucket state must RETRACT
+    val dir = java.nio.file.Files.createTempDirectory("band_docs")
+    docs.withColumn("delta", lit(1L)).select(col("delta"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f0").toString)
+    docs.filter(col("doc_id") % Round14Ops.DelMod === 0)
+      .withColumn("delta", lit(-1L)).select(col("delta"), col("text"))
+      .coalesce(1).write.parquet(dir.resolve("f1").toString)
+    val schema = docs.withColumn("delta", lit(1L))
+      .select(col("delta"), col("text")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("*").toString)
+    val sink = java.nio.file.Files.createTempDirectory("band_sink")
+      .resolve("out").toString
+    val q = EventStream.runToParquetVersioned(
+      CorpusStream.tombstoneBandStream(stream, hot), sink)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("v0"), col("v1"))
+        .orderBy(col("upd").desc)
+      val got = spark.read.parquet(sink)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(graft.functions.Portable.polyHash(concat_ws("|",
+          col("band").cast("string"), col("v0").cast("string"),
+          col("v1").cast("string"))).as("key"), col("n_live"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val want = Round15Ops.q337BandErasure(spark, sf)
+        .filter(col("domain") === "band_bucket")
+        .select(col("key"), col("n_after"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(want.nonEmpty && got.sameElements(want),
+        s"stream buckets ${got.length} != batch buckets ${want.length}")
+      // the retraction is real: some fully-tombstoned bucket reads 0
+      assert(got.exists(_._2 == 0L), "a fully-tombstoned bucket must read 0")
+    } finally q.stop()
+  }
 }
