@@ -283,6 +283,78 @@ class Round15OpsSpec extends AnyFunSuite {
       indexed.count(_._1 % graft.operators.Round14Ops.DelMod == 0).toLong)
   }
 
+  // ---- q338: the GRFT container parser ----
+
+  test("q338 parser: a hand-built golden container parses to exact field values") {
+    import graft.multimodal.Multimodal.ContainerCodec
+    // build the bytes BY HAND, independent of the Spark-side builder:
+    // magic | v1 | kind 2 | w=300 | h=7 | 2 frames ("ab", "xyz") | trailer
+    def b16(x: Int): Seq[Byte] = Seq(((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    val payload = "ab".getBytes("UTF-8") ++ "xyz".getBytes("UTF-8")
+    val sum = payload.map(_ & 0xff).sum
+    val golden = ("GRFT".getBytes("UTF-8").toSeq :+ 1.toByte :+ 2.toByte) ++
+      b16(300) ++ b16(7) ++ Seq(2.toByte) ++
+      b16(2) ++ "ab".getBytes("UTF-8").toSeq ++
+      b16(3) ++ "xyz".getBytes("UTF-8").toSeq ++ b16(sum % 65536)
+    val p = ContainerCodec.parse(42L, golden.toArray)
+    assert(p.parse_ok && p.magic_ok && p.checksum_ok)
+    assert(p.version == 1 && p.kind_code == 2)
+    assert(p.width == 300 && p.height == 7)
+    assert(p.n_frames == 2 && p.n_payload == 5 && p.payload_sum == sum)
+    assert(p.checksum_stored == p.checksum_computed)
+    // a flipped trailer fails the checksum but still parses structurally
+    val rot = golden.toArray
+    rot(rot.length - 1) = (rot(rot.length - 1) + 1).toByte
+    val pr = ContainerCodec.parse(42L, rot)
+    assert(pr.parse_ok && !pr.checksum_ok)
+  }
+
+  test("q338 parser: structural damage quarantines (parse_ok=false), never throws") {
+    import graft.multimodal.Multimodal.ContainerCodec
+    // too short for a header
+    assert(!ContainerCodec.parse(1L, Array[Byte](1, 2, 3)).parse_ok)
+    // wrong magic
+    val junk = ("JUNK" + " " * 20).getBytes("UTF-8")
+    val pj = ContainerCodec.parse(2L, junk)
+    assert(!pj.parse_ok && !pj.magic_ok)
+    // frame length overruns the buffer
+    def b16(x: Int): Seq[Byte] = Seq(((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    val overrun = ("GRFT".getBytes("UTF-8").toSeq :+ 1.toByte :+ 0.toByte) ++
+      b16(1) ++ b16(1) ++ Seq(1.toByte) ++ b16(9999) ++ "ab".getBytes("UTF-8").toSeq
+    val po = ContainerCodec.parse(3L, overrun.toArray)
+    assert(!po.parse_ok && po.magic_ok, "magic read before the overrun is kept")
+    // trailing garbage after the trailer position
+    val slack = ("GRFT".getBytes("UTF-8").toSeq :+ 1.toByte :+ 0.toByte) ++
+      b16(1) ++ b16(1) ++ Seq(0.toByte) ++ b16(0) ++ Seq(0.toByte)
+    assert(!ContainerCodec.parse(4L, slack.toArray).parse_ok,
+      "trailer must close the container exactly")
+  }
+
+  test("q338: bitrot subset fails checksum, everything else round-trips clean") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.MultimodalQueries
+      .q338MediaContainer(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("parse_ok")),
+      "every constructed container must parse structurally")
+    assert(rows.forall(_.getAs[Boolean]("magic_ok")))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Boolean]("checksum_ok") ==
+        (id % graft.multimodal.Multimodal.BitrotMod != 0),
+        s"media $id checksum verdict")
+    }
+    assert(rows.exists(!_.getAs[Boolean]("checksum_ok")),
+      "the bitrot path must be exercised")
+    // kind routing and frame counts recovered from the BYTES match the
+    // construction rule
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("kind_code") == id % 3)
+      assert(r.getAs[Long]("n_frames") == 1 + id % 3)
+    }
+  }
+
   // ---- q333: the new portfolio rows and the zCDP bound ----
 
   test("q333: new rows' n_cells pinned to the releases' ACTUAL output sizes; zCDP bound recomputed") {
