@@ -347,7 +347,7 @@ class Round14OpsSpec extends AnyFunSuite {
     val docs = rows.filter(_.getAs[String]("dataset") == "documents")
       .sortBy(_.getAs[Long]("ord"))
     val events = rows.filter(_.getAs[String]("dataset") == "events")
-    assert(docs.length == 8 && events.length == 1)
+    assert(docs.length == 10 && events.length == 1)
     def cellsOf(name: String): Long =
       docs.find(_.getAs[String]("release") == name).get.getAs[Long]("n_cells")
     // every n_cells equals the release op's REAL output size — the
@@ -369,6 +369,16 @@ class Round14OpsSpec extends AnyFunSuite {
       2 * Round14Ops.q332DpRerelease(spark, sf).count())
     assert(cellsOf("q334_dp_noisy_max") ==
       Round14Ops.q334DpNoisyMax(spark, sf).count())
+    // rows 9/10 (the round-15 releases) are pinned in depth by
+    // Round15OpsSpec; here the count discipline: distinct released cells
+    assert(cellsOf("q335_dp_continual") ==
+      graft.operators.Round15Ops.q335ContinualCounter(spark, sf)
+        .select(org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("level"),
+          org.apache.spark.sql.functions.col("idx")).distinct().count())
+    assert(cellsOf("q336_dp_quantile") ==
+      graft.operators.Round15Ops.q336DpQuantile(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("is_selected")).count())
     assert(events.head.getAs[Long]("n_cells") ==
       Round13Ops.q327DpUserLevel(spark, sf).count())
     // sequential composition: cum is the prefix sum, total the full sum
@@ -376,8 +386,8 @@ class Round14OpsSpec extends AnyFunSuite {
     val cums = docs.map(_.getAs[Long]("cum_eps_micro"))
     assert(cums.toSeq == eps.scanLeft(0L)(_ + _).tail.toSeq)
     assert(docs.forall(_.getAs[Long]("total_eps_micro") == eps.sum))
-    // the documents portfolio costs 14·ln 2 (2+1+1+2+3+1+2+2 ln-2 units)
-    assert(eps.sum == 14 * Round13Ops.DpEpsCellMicro)
+    // the documents portfolio costs 22·ln 2 (2+1+1+2+3+1+2+2+4+4 ln-2 units)
+    assert(eps.sum == 22 * Round13Ops.DpEpsCellMicro)
     // δ normalization to lcm(D, D4) is exact, totals add as integers
     docs.foreach { r =>
       assert(r.getAs[Long]("delta_num_lcm") == r.getAs[Long]("delta_num") *
