@@ -76,6 +76,12 @@ object ScaleAudit {
     // floors — 1.11 s / 1.39 s); audited anyway, the coverage rule is
     // deliberately conservative and both are cheap linear plans
     "q76_gold_mart", "q84_unpivot",
+    // round-15 addition: q337 (band-index erasure) lands ~1.9 s at
+    // sf0.1 — just under the top-20 band, and its two deliberate
+    // passes (maintained + frozen-list scratch rebuild) are exactly
+    // the shape the audit exists to bound; audited proactively per the
+    // conservative coverage rule
+    "q337_band_erasure",
     // round-14 additions: both entered BENCH_full_r14's top-20 on a
     // drift-inflated run (the same session's isolated min-of-5 put q67
     // at 1.06 s, its floor; q40's committed r13 quiet reading was
@@ -106,7 +112,9 @@ object ScaleAudit {
     "q247_ivf_recall", "q305_hybrid_index", "q307_span_provenance",
     "q314_sketch_set_algebra",
     // round-14: the coverage additions are both text-tier
-    "q67_ivf_search_trained", "q40_ngram_jaccard")
+    "q67_ivf_search_trained", "q40_ngram_jaccard",
+    // round-15: the band-erasure pass reads documents only
+    "q337_band_erasure")
 
   /** DocTier queries ALSO measured at the upsampled 10× point — since
     * round 13 that is ALL of them. The two recall-truth consumers
