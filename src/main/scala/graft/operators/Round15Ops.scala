@@ -237,6 +237,124 @@ object Round15Ops {
        |ORDER BY lang, epoch, level DESC, idx""".stripMargin
   }
 
+  /** The canonical dyadic cover of the inclusive epoch range [a, b]:
+    * greedy maximal aligned nodes — at each position take the largest
+    * node starting there that fits, ≤ 2·log₂ T nodes total (the
+    * classic segment-tree bound). Data-independent; both engines get
+    * it as a literal mapping. */
+  def crRangeNodes(a: Int, b: Int): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var pos = a
+    while (pos <= b) {
+      var l = 0
+      while (l + 1 < CrLevels && pos % (1 << (l + 1)) == 0 &&
+        pos + (1 << (l + 1)) - 1 <= b) l += 1
+      out += ((l.toLong, (pos >> l).toLong))
+      pos += 1 << l
+    }
+    out.result()
+  }
+
+  /** q339 — RANGE queries over the published continual-counter tree:
+    * the payoff of publishing the FULL tree in q335. Any epoch range
+    * [a, b] is answered by its canonical dyadic cover (≤ 2·log₂ T
+    * nodes, [[crRangeNodes]]) over the SAME frozen node draws q335
+    * released — identical salt tags, so this is pure POST-PROCESSING
+    * of an already-published artifact: `eps_marginal_micro` = 0, the
+    * ledger row is q335's, and q333 gains NO new row. (Contrast the
+    * naive alternative — differencing two noisy prefixes — which costs
+    * nothing either but doubles the noise variance on short ranges;
+    * the canonical cover reads the fewest noised terms the tree
+    * admits.) All T·(T+1)/2 = 36 ranges are graded.
+    *
+    * Scale shape: the range map is a 36·cover literal equi-join onto
+    * the |langs|×(2T−1) node grid; range sums are ≤ 2·log T windows
+    * per (lang, a, b); ledger is a 1-row broadcast. The one corpus
+    * pass is the same epoch aggregate as q335. */
+  def q339DpRangeQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), pmod(col("doc_id"), lit(CrT.toLong)).as("epoch"))
+    val langs = docs.select(col("lang")).distinct()
+    val nodes = s.createDataFrame(CrNodes).toDF("level", "idx", "lo", "hi")
+    val grid = langs.crossJoin(broadcast(nodes.select(col("level"), col("idx"))))
+      .join(crNodeCounts(docs), Seq("lang", "level", "idx"), "left")
+      .withColumn("node_n_true", coalesce(col("n_node"), lit(0L)))
+      .withColumn("node_u",
+        (polyHash(concat_ws("|", lit(DpSalt), lit("tree"), col("lang"),
+          col("level").cast("string"), col("idx").cast("string")))
+          * DpScramble) % P % DpD)
+      .withColumn("node_noise", expr(dpNoiseSql("node_u")).cast("long"))
+      .withColumn("node_released", col("node_n_true") + col("node_noise"))
+      .select(col("lang"), col("level"), col("idx"), col("node_n_true"),
+        col("node_u"), col("node_noise"), col("node_released"))
+    val rangeMap = s.createDataFrame(
+        for { a <- 0 until CrT; b <- a until CrT; (l, i) <- crRangeNodes(a, b) }
+          yield (a.toLong, b.toLong, l, i))
+      .toDF("a", "b", "level", "idx")
+    val wr = Window.partitionBy(col("lang"), col("a"), col("b"))
+    grid.join(broadcast(rangeMap), Seq("level", "idx"))
+      .withColumn("range_true", sum(col("node_n_true")).over(wr))
+      .withColumn("range_released",
+        greatest(lit(0L), sum(col("node_released")).over(wr)))
+      .withColumn("n_nodes_read", count(lit(1)).over(wr))
+      .withColumn("eps_marginal_micro", lit(0L))
+      .withColumn("eps_tree_micro", lit(CrEpsMicro))
+      .select(col("lang"), col("a"), col("b"), col("level"), col("idx"),
+        col("node_n_true"), col("node_u"), col("node_noise"),
+        col("node_released"), col("range_true"), col("range_released"),
+        col("n_nodes_read"), col("eps_marginal_micro"), col("eps_tree_micro"))
+      .orderBy(col("lang"), col("a"), col("b"), col("level").desc, col("idx"))
+  }
+
+  val q339Sql: String = {
+    val nodesV = CrNodes.map { case (l, i, lo, hi) => s"($l, $i, $lo, $hi)" }
+      .mkString(", ")
+    val rangeV = (for { a <- 0 until CrT; b <- a until CrT
+        (l, i) <- crRangeNodes(a, b) } yield s"($a, $b, $l, $i)").mkString(", ")
+    val uExpr = "(" + polyHashSql(
+      s"concat_ws('|', '$DpSalt', 'tree', lang, CAST(level AS VARCHAR), " +
+        "CAST(idx AS VARCHAR))") + s" * $DpScramble) % $P % $DpD"
+    s"""WITH ep AS (
+       |  SELECT lang, CAST(doc_id % $CrT AS BIGINT) AS epoch,
+       |         CAST(COUNT(*) AS BIGINT) AS n_epoch
+       |  FROM documents GROUP BY 1, 2),
+       |langs AS (SELECT DISTINCT lang FROM documents),
+       |nodes AS (
+       |  SELECT CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx,
+       |         CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+       |  FROM (VALUES $nodesV) v(level, idx, lo, hi)),
+       |nc AS (
+       |  SELECT l.lang, n.level, n.idx,
+       |         CAST(COALESCE(SUM(e.n_epoch), 0) AS BIGINT) AS node_n_true
+       |  FROM langs l CROSS JOIN nodes n
+       |  LEFT JOIN ep e ON e.lang = l.lang AND e.epoch >= n.lo AND e.epoch < n.hi
+       |  GROUP BY 1, 2, 3),
+       |noised AS (
+       |  SELECT lang, level, idx, node_n_true, CAST($uExpr AS BIGINT) AS node_u
+       |  FROM nc),
+       |nz AS (
+       |  SELECT *, CAST(${dpNoiseSql("node_u")} AS BIGINT) AS node_noise
+       |  FROM noised),
+       |nzr AS (SELECT *, node_n_true + node_noise AS node_released FROM nz),
+       |rmap AS (
+       |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |         CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx
+       |  FROM (VALUES $rangeV) r(a, b, level, idx))
+       |SELECT lang, a, b, level, idx, node_n_true, node_u, node_noise,
+       |       node_released,
+       |       CAST(SUM(node_n_true) OVER (PARTITION BY lang, a, b) AS BIGINT)
+       |         AS range_true,
+       |       GREATEST(CAST(0 AS BIGINT),
+       |         CAST(SUM(node_released) OVER (PARTITION BY lang, a, b)
+       |           AS BIGINT)) AS range_released,
+       |       CAST(COUNT(*) OVER (PARTITION BY lang, a, b) AS BIGINT)
+       |         AS n_nodes_read,
+       |       CAST(0 AS BIGINT) AS eps_marginal_micro,
+       |       CAST($CrEpsMicro AS BIGINT) AS eps_tree_micro
+       |FROM nzr JOIN rmap USING (level, idx)
+       |ORDER BY lang, a, b, level DESC, idx""".stripMargin
+  }
+
   // ---- q336: DP quantile release (exact exponential mechanism) ----
 
   /** The CLOSED public bucket domain of the quantile release: length
@@ -641,10 +759,12 @@ object Round15Ops {
   val queries: Map[String, Q] = Map(
     "q335_dp_continual_counter" -> q335ContinualCounter _,
     "q336_dp_quantile" -> q336DpQuantile _,
-    "q337_band_erasure" -> q337BandErasure _)
+    "q337_band_erasure" -> q337BandErasure _,
+    "q339_dp_range_query" -> q339DpRangeQuery _)
 
   val oracles: Map[String, String] = Map(
     "q335_dp_continual_counter" -> q335Sql,
     "q336_dp_quantile" -> q336Sql,
-    "q337_band_erasure" -> q337Sql)
+    "q337_band_erasure" -> q337Sql,
+    "q339_dp_range_query" -> q339Sql)
 }

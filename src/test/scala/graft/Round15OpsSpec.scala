@@ -125,6 +125,71 @@ class Round15OpsSpec extends AnyFunSuite {
       r.getAs[Long]("level") == 3 && r.getAs[Long]("n_nodes_read") == 1))
   }
 
+  // ---- q339: range queries over the published tree ----
+
+  test("q339 cover: every range tiles exactly within the 2(log T - 1) segment-tree bound") {
+    for (a <- 0 until Round15Ops.CrT; b <- a until Round15Ops.CrT) {
+      val nodes = Round15Ops.crRangeNodes(a, b)
+      val covered = nodes.flatMap { case (l, i) =>
+        (i << l) until ((i + 1) << l) map (_.toLong)
+      }
+      assert(covered.sorted == (a.toLong to b.toLong),
+        s"range [$a,$b] must tile exactly")
+      assert(nodes.length <= 2 * (Round15Ops.CrLevels - 1),
+        s"range [$a,$b] cover size ${nodes.length}")
+      // canonical: nodes are maximal (no two adjacent same-level
+      // siblings that could merge)
+      nodes.foreach { case (l, i) =>
+        val mergeable = l + 1 < Round15Ops.CrLevels && i % 2 == 0 &&
+          nodes.contains((l, i + 1))
+        assert(!mergeable, s"range [$a,$b] has a mergeable pair at level $l")
+      }
+    }
+    // prefixes are the a = 0 special case and the two covers agree
+    (0 until Round15Ops.CrT).foreach { t =>
+      assert(Round15Ops.crRangeNodes(0, t).sorted ==
+        Round15Ops.crPrefixNodes(t).sorted)
+    }
+  }
+
+  test("q339: pure post-processing — identical node draws to q335, ranges recounted") {
+    import org.apache.spark.sql.functions.col
+    val q335 = Round15Ops.q335ContinualCounter(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("level"),
+        r.getAs[Long]("idx")) ->
+        (r.getAs[Long]("node_n_true"), r.getAs[Long]("node_u"),
+          r.getAs[Long]("node_noise"))).toMap
+    val rows = Round15Ops.q339DpRangeQuery(spark, sf).collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    val coverSize = (for { a <- 0 until Round15Ops.CrT; b <- a until Round15Ops.CrT }
+      yield Round15Ops.crRangeNodes(a, b).length).sum
+    assert(rows.length == langs.length * coverSize)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("level"),
+        r.getAs[Long]("idx"))
+      // THE claim: q339 re-reads q335's published draws — same counts,
+      // same uniforms, same noise, no fresh randomness anywhere
+      val (nTrue, u, noise) = q335(key)
+      assert(r.getAs[Long]("node_n_true") == nTrue)
+      assert(r.getAs[Long]("node_u") == u)
+      assert(r.getAs[Long]("node_noise") == noise)
+      // ...which is why the marginal price is exactly zero
+      assert(r.getAs[Long]("eps_marginal_micro") == 0)
+      assert(r.getAs[Long]("eps_tree_micro") == Round15Ops.CrEpsMicro)
+      // range sums assemble from the cover
+      val (a, b) = (r.getAs[Long]("a").toInt, r.getAs[Long]("b").toInt)
+      val cover = Round15Ops.crRangeNodes(a, b)
+      assert(r.getAs[Long]("n_nodes_read") == cover.length)
+      val lang = r.getAs[String]("lang")
+      val rTrue = cover.map(n => q335((lang, n._1, n._2))._1).sum
+      val rRel = cover.map { n =>
+        val (t, _, z) = q335((lang, n._1, n._2)); t + z
+      }.sum
+      assert(r.getAs[Long]("range_true") == rTrue)
+      assert(r.getAs[Long]("range_released") == math.max(0L, rRel))
+    }
+  }
+
   // ---- q336: exact exponential-mechanism quantile ----
 
   /** Independent Scala weights for one (lang, q) from raw token counts. */
