@@ -29,25 +29,17 @@ object DedupQa {
     * sizes, never in the corpus.
     */
   def q261ChainMerge(s: SparkSession, d: String): DataFrame = {
-    val clusters = TextOps.q55DupClusters(s, d)
+    // ONE LSH build feeds both the clustering and the audit's shingle
+    // sets: before, this query ran q55 (which embeds the full tokenize →
+    // shingle → LSH pipeline) and then REBUILT tok/dict/shingles from
+    // parquet a second time for the pairwise Jaccard — the persisted
+    // docs relation already carries the identical df-capped sh_set
+    // (§2.4: remove redundant passes).
+    val docs = TextOps.lshDocs(s, d)
+    val clusters = TextOps.clustersFromPairs(TextOps.lshVerifiedPairs(docs))
       .filter(col("cluster_size") <= ChainAuditCap)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    // shingle sets, dict-encoded (the q35 pipeline's representation)
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh0 = tok.join(broadcast(dict), "tok")
-      .withColumn("h1", lead(col("h"), 1).over(wp))
-      .withColumn("h2", lead(col("h"), 2).over(wp))
-      .filter(col("h2").isNotNull)
-      .select(col("doc_id"),
-        (((col("h") * 31 + col("h1")) % P) * 31 + col("h2")).mod(P).as("sh"))
-      .distinct()
-    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
-    val sets = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+    val sets = docs.select(col("doc_id"), col("sh_set").as("shs"))
     val pairs = clusters.as("a").join(clusters.as("b"),
         col("a.cluster_id") === col("b.cluster_id") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.cluster_id").as("cid"), col("a.cluster_size").as("csize"),

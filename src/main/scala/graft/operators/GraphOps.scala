@@ -283,15 +283,28 @@ object GraphOps {
     * component labeling as q55 — two different algorithms, one answer.
     */
   def q194CcTwoPhase(s: SparkSession, d: String): DataFrame = {
-    val pairs = TextOps.q35MinHashLsh(s, d).select(col("da"), col("db"))
+    // unordered pairs (q35 minus its output sort — the edge set is
+    // distinct()ed right below, so the sort bought nothing)
+    val pairs = TextOps.lshVerifiedPairs(TextOps.lshDocs(s, d))
+      .select(col("da"), col("db"))
     // child > parent orientation (da < db in q35 output)
     var e = pairs.select(col("db").as("c"), col("da").as("p"))
       .distinct().localCheckpoint(true)
+    // no checkpoint: read once by the final labeling join, and its
+    // lineage is one distinct over the already-checkpointed initial e —
+    // an eager checkpoint here was a whole extra job for nothing
     val verts = e.select(col("c").as("id")).union(e.select(col("p").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
     var changed = true
     var rounds = 0
     while (changed && rounds < 30) {
+      // Loop internals kept EXACTLY as audited (eager per-phase
+      // checkpoints + two exceptAll probes): an attempted "one action
+      // per round" rewrite (lazy-persisted ls, lazy-checkpointed ss,
+      // single full-outer diff probe) measured 8–24% SLOWER in
+      // interleaved A/B at sf0.1 — the lazily-persisted ls is computed
+      // by two branches of the same probe job concurrently, doubling
+      // its work, while the eager checkpoint computes it exactly once.
       // large-star: per node u over its UNDIRECTED neighborhood,
       // re-attach every strictly larger neighbor to min(Γ(u) ∪ {u})
       val g = e.select(col("c").as("u"), col("p").as("v"))

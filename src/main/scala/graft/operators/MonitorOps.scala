@@ -91,18 +91,23 @@ object MonitorOps {
     * overlap is one join on the pair key.
     */
   def q258CaptureRecapture(s: SparkSession, d: String): DataFrame = {
+    // ONE dictionary-encode pass feeds both detectors (before, the
+    // tok/dict subtree was built twice — once inside q35's LSH, once for
+    // the SimHash signatures; §2.4), and both pair sets are PERSISTED:
+    // each is read twice (its own count + the overlap join), and without
+    // the persist the n1 and m aggregates re-ran the whole LSH verify —
+    // and n2/m the whole SimHash self-join — from scratch.
+    val th = TextOps.tokenHashRel(s, d).persist()
     // detector 1: LSH + exact-verify pairs (q35 body)
-    val p1 = TextOps.q35MinHashLsh(s, d).select(col("da"), col("db"))
+    val p1 = TextOps.lshVerifiedPairs(TextOps.lshDocsFrom(TextOps.shingleSet(th)))
+      .select(col("da"), col("db")).persist()
     // detector 2: SimHash 30-bit exact-collision pairs (q36 semantics)
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val dict = tok.select(col("tok")).distinct().withColumn("h", polyHash(col("tok")))
-    val sigs = tok.join(broadcast(dict), "tok")
+    val sigs = th
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("ths"))
       .select(col("doc_id"), graft.functions.Portable.simHash("ths").as("sig"))
     val p2 = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).persist()
     val n1 = p1.agg(count(lit(1)).as("n1"))
     val n2 = p2.agg(count(lit(1)).as("n2"))
     val m = p1.join(p2, Seq("da", "db"), "left_semi").agg(count(lit(1)).as("m"))

@@ -198,55 +198,92 @@ object TextOps {
     * token-hash 3-gram shingles → 8 MinHash signatures → 4 bands of 2 →
     * band-bucket join for candidates → exact Jaccard verify ≥ 0.5.
     * The oracle runs the *same* LSH pipeline (identical integer
-    * arithmetic), so candidate sets match exactly — no recall slack. */
-  def q35MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // 1. dictionary-encode tokens: the portable polynomial hash is an
-    //    interpreted higher-order `aggregate` over the token's chars, so
-    //    it runs once per DISTINCT token (~vocab size), never per
-    //    occurrence — every per-occurrence path below is codegen'd.
-    //    (Measured: inlining the hash per occurrence as a row-local array
-    //    pipeline removes three shuffles but is 40× slower at sf0.1 —
-    //    interpreted HOF-per-occurrence dominates everything.)
+    * arithmetic), so candidate sets match exactly — no recall slack.
+    *
+    * The pipeline is factored into shared building blocks
+    * ([[tokenHashes]] → [[shingleSet]] → [[lshDocsFrom]] →
+    * [[lshVerifiedPairs]]) because six other graded queries (q55, q178,
+    * q184, q194, q245, q258, q261) embed it as their input stage —
+    * sharing the PERSISTED intermediates inside one query's plan removes
+    * whole duplicate tokenize/shingle passes (optimization guide §2.4:
+    * remove redundant passes; §1.2: fix the distributed algorithm first).
+    * Cache scope: one query invocation — the bench/Verify harness runs
+    * clearCache() between queries, so nothing leaks across queries. */
+  def q35MinHashLsh(s: SparkSession, d: String): DataFrame =
+    lshVerifiedPairs(lshDocs(s, d)).orderBy(col("da"), col("db"))
+
+  /** Dictionary-encoded token occurrences: (doc_id, pos, h). The portable
+    * polynomial hash is an interpreted higher-order `aggregate` over the
+    * token's chars, so it runs once per DISTINCT token (~vocab size),
+    * never per occurrence — every per-occurrence path downstream is
+    * codegen'd. (Measured: inlining the hash per occurrence as a
+    * row-local array pipeline removes three shuffles but is 40× slower
+    * at sf0.1 — interpreted HOF-per-occurrence dominates everything.) */
+  private[operators] def tokenHashRel(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val dict = tok.select(col("tok")).distinct()
       .withColumn("h", polyHash(col("tok")))
-    // 2. 3-gram shingle hashes via lead() over token position — one
-    //    shuffle keyed by doc_id, linear in corpus size.
+    tok.join(broadcast(dict), "tok").select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  /** Distinct 3-gram shingle hashes per doc: (doc_id, sh). One shuffle
+    * keyed by doc_id, linear in corpus size; the distinct reuses the
+    * window's doc_id partitioning (no extra exchange). NOT persisted:
+    * the df-cap aggregate and the anti-join both read it, but their
+    * subtrees are canonically identical up to the window exchange, so
+    * Spark's runtime exchange reuse already computes the pass once — a
+    * persist here was measured 8–20% SLOWER across the whole q35 family
+    * (materialization barrier + cache-write cost for work that was
+    * already shared; the guide §1.1 "ideal plan" gotcha). */
+  private[operators] def shingleSet(th: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh0 = tok.join(broadcast(dict), "tok")
-      .withColumn("h1", lead(col("h"), 1).over(wp))
+    th.withColumn("h1", lead(col("h"), 1).over(wp))
       .withColumn("h2", lead(col("h"), 2).over(wp))
       .filter(col("h2").isNotNull)
       .select(col("doc_id"),
         ((col("h") * 31 + col("h1")) % P * 31 + col("h2")) % P as "sh")
       .distinct()
-    // 2b. df-cap (ScaleOps.ShingleDfCap): stopword shingles sit in huge
-    //     posting lists and blow up both the band-bucket collision count
-    //     and the verify-side set intersections; dropping them bounds all
-    //     downstream work. The hot list is tiny → broadcast anti-join.
+  }
+
+  /** Per-doc MinHash signatures + df-capped shingle set, PERSISTED
+    * (reused by the band build and both verify-side fetch joins; a few
+    * MB at sf0.1 — |docs| × |shingle set|, MEMORY_AND_DISK,
+    * LRU-evictable).
+    *
+    * df-cap (ScaleOps.ShingleDfCap): stopword shingles sit in huge
+    * posting lists and blow up both the band-bucket collision count
+    * and the verify-side set intersections; dropping them bounds all
+    * downstream work. The hot list is tiny → broadcast anti-join. */
+  private[operators] def lshDocsFrom(sh0: DataFrame): DataFrame = {
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ScaleOps.ShingleDfCap).select(col("sh"))
     val shingles = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-    // 3. MinHash signatures as plain min-aggregates (map-side partial agg);
-    //    shingle set kept for the exact-Jaccard verify step.
+    // MinHash signatures as plain min-aggregates (map-side partial agg);
+    // shingle set kept for the exact-Jaccard verify step.
     val sigAggs = (0 until 8).map(i =>
       min((lit(MinHashA(i)) * col("sh") + lit(MinHashB(i))) % P).as(s"sig$i"))
-    // session-scoped cache (a few MB at sf0.1: |docs| × |shingle set|),
-    // MEMORY_AND_DISK and LRU-evictable; reused by the band build and both
-    // verify-side fetch joins below
-    val docs = shingles.groupBy(col("doc_id"))
+    shingles.groupBy(col("doc_id"))
       .agg(sigAggs.head, (sigAggs.tail :+ collect_set(col("sh")).as("sh_set")): _*)
       .persist()
-    // 4. LSH: 4 bands of 2 signatures; same-bucket join yields candidates.
+  }
+
+  private[operators] def lshDocs(s: SparkSession, d: String): DataFrame =
+    lshDocsFrom(shingleSet(tokenHashRel(s, d)))
+
+  /** Verified near-dup pairs (da, db, jac ≥ 0.5), UNORDERED — consumers
+    * that aggregate or join (q55/q178/q184/q194/q245/q261) skip q35's
+    * final global sort. */
+  private[operators] def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    // LSH: 4 bands of 2 signatures; same-bucket join yields candidates.
     val bands = docs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"sig${2 * b}").as("v0"), col(s"sig${2 * b + 1}").as("v1"))): _*)).as("bk"))
     val cand = bands.as("l").join(bands.as("r"),
         col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")).distinct()
-    // 5. exact Jaccard verify on the (few) candidates only.
+    // exact Jaccard verify on the (few) candidates only.
     val a = docs.select(col("doc_id").as("da"), col("sh_set").as("sa"))
     val b = docs.select(col("doc_id").as("db"), col("sh_set").as("sb"))
     cand.join(a, "da").join(b, "db")
@@ -255,7 +292,6 @@ object TextOps {
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .filter(col("jac") >= 0.5)
       .select(col("da"), col("db"), col("jac"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** The q35 LSH pipeline as a CTE chain, shared by q35's oracle and
@@ -305,14 +341,21 @@ object TextOps {
     * bounded by the dup-graph diameter (dup clusters are tiny by nature;
     * the iteration cap is a safety net, convergence is checked). The
     * oracle computes the same components with a recursive CTE. */
-  def q55DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = q35MinHashLsh(s, d).select(col("da"), col("db"))
+  def q55DupClusters(s: SparkSession, d: String): DataFrame =
+    clustersFromPairs(lshVerifiedPairs(lshDocs(s, d))).orderBy(col("doc_id"))
+
+  /** Min-label-propagation connected components over a verified pair
+    * set: (id, label), clustered docs only. Shared by every consumer of
+    * q55's clustering (q178/q184/q245/q261) so each embeds ONE LSH+CC
+    * subplan instead of rebuilding its own (§2.4). */
+  private[operators] def ccLabels(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) after every round: iterative DataFrames must
     // truncate lineage, or round r's logical plan embeds the whole LSH
     // pipeline plus r-1 rounds of joins — analysis/planning cost grows per
     // round and any partial evaluation replays everything (this took q55
     // from 20 s to ~2 s at sf0.1 beyond the LSH itself)
-    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val edges = pairs.select(col("da"), col("db"))
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
     var labels = edges.select(col("da").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
@@ -335,10 +378,16 @@ object TextOps {
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    labels
+  }
+
+  /** [[ccLabels]] + cluster sizes, columns (doc_id, cluster_id,
+    * cluster_size), UNORDERED (q55 adds the final orderBy). */
+  private[operators] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** q178 — leakage-safe train/val/test split: assignment is by DUP
@@ -357,7 +406,12 @@ object TextOps {
     * label map against the corpus; the split decision itself is a
     * per-row projection. */
   def q178LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val clusters = q55DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    // ccLabels, not q55DupClusters: the split never reads cluster_size,
+    // but an inner join against the size aggregate cannot be pruned by
+    // Catalyst, so going through q55 paid a groupBy+join for a column
+    // this query drops (§2.3: don't compute what you throw away).
+    val clusters = ccLabels(lshVerifiedPairs(lshDocs(s, d)))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     val bucket = (col("cluster_id") * lit(2654435761L)) % lit(100L)
     Tables.documents(s, d).select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -987,19 +1041,22 @@ object TextOps {
     * score, and how many members it displaced. */
   def q184KeepBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = q55DupClusters(s, d)
+    val clusters = clustersFromPairs(lshVerifiedPairs(lshDocs(s, d)))
       .filter(col("cluster_size") >= 2)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val scores = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Join FIRST, tokenize after: the score is only read for cluster
+    // members (≪ corpus), so tokenizing every document then inner-joining
+    // threw away almost all of the tokenize pass (§2.3 — project/filter
+    // before expensive per-row work; the join result is identical).
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("toks", tokens(col("text")))
       .withColumn("score", expr(
         """case when size(toks) = 0 then 0L
           |else (cast(size(array_distinct(toks)) as bigint) * 1000000)
           |       div cast(size(toks) as bigint) end""".stripMargin))
-      .select(col("doc_id"), col("score"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    clusters.join(scores, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("kept_doc"),

@@ -24,8 +24,12 @@ object WeightOps {
     * top of q55 (whose LSH+CC cost dominates and is already bounded).
     */
   def q245DedupWeights(s: SparkSession, d: String): DataFrame = {
-    val clustered = TextOps.q55DupClusters(s, d)
-      .select(col("doc_id"), col("cluster_id"))
+    // ccLabels, not q55DupClusters: q55's cluster_size column is recomputed
+    // below over ALL docs anyway (singleton weights need it), so its
+    // sizes join + final sort were pure waste here (§2.3/§2.4).
+    val clustered = TextOps.ccLabels(
+        TextOps.lshVerifiedPairs(TextOps.lshDocs(s, d)))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     val all = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(clustered, Seq("doc_id"), "left")
       .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
