@@ -31,17 +31,24 @@ object GraphOps {
   /** Fixed Lloyd-style iteration count — unrolled in the oracle. */
   val Iters = 3
 
-  /** q151 — 3-iteration PageRank, top-20 nodes. Node ids are prefixed
-    * ('c' customers, 's' suppliers) so the two key spaces cannot
-    * collide. Every per-node contribution sum is an order-independent
-    * fixed-point [[Det.dsum]] and every new rank is rounded to 6 dp, so
-    * the trajectory is bit-identical to the serial DuckDB oracle. */
+  /** q151 — 3-iteration PageRank, top-20 nodes. Output node ids are
+    * prefixed strings ('c' customers, 's' suppliers); INTERNALLY the
+    * loop runs on integer-encoded keys (customer 2k, supplier 2k+1 —
+    * q297's encoding, measured ~2× on the same graph: the iteration
+    * shuffles/sorts the edge list repeatedly and fixed-width longs beat
+    * strings on every exchange). The node partition is bijective, every
+    * per-node contribution sum is an order-independent fixed-point
+    * [[Det.dsum]] and every new rank is rounded to 6 dp, so per-node
+    * ranks are bit-identical; the prefixed string is re-derived BEFORE
+    * the top-20 sort, so the (rank DESC, node-string) tie-break — and
+    * therefore the selected rows and their numbering — is unchanged
+    * from the all-string form the oracle replays. */
   def q151Pagerank(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     val edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
     val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
@@ -66,8 +73,14 @@ object GraphOps {
     // unpartitioned Window.orderBy, which would funnel every node through
     // one task. The rank number is derived AFTER the limit, where the
     // window input is pre-bounded at 20 rows; (rank, node) is a unique
-    // sort key so the numbering is deterministic.
-    val top = ranks.orderBy(col("rank").desc, col("node")).limit(20)
+    // sort key so the numbering is deterministic. The prefixed STRING id
+    // is restored here — before the sort — so ties order exactly as the
+    // all-string pipeline did.
+    val top = ranks
+      .withColumn("node",
+        when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))))
+      .orderBy(col("rank").desc, col("node")).limit(20)
     val w = Window.orderBy(col("rank").desc, col("node"))
     top.withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("node"), col("rank"))
@@ -192,9 +205,13 @@ object GraphOps {
        |SELECT node, COUNT(*) AS triangles FROM nodes
        |GROUP BY node ORDER BY triangles DESC, node""".stripMargin
 
-  /** Shared SQL body for q176 — identical text runs on both engines
-    * (only the string-cast spelling differs), so the oracle checks the
-    * recursion semantics themselves, not a re-derivation. */
+  /** SQL body for q176's oracle. The recursion SHAPE (seed ∪ per-level
+    * DISTINCT frontier expansion, depth bound, MIN-depth collapse) is
+    * the same text Spark runs; since round 15 the Spark side runs it
+    * over integer-encoded nodes (customer 2k / supplier 2k+1) while the
+    * oracle keeps the prefixed-string encoding — the encodings are
+    * bijective and the graded output is per-depth COUNTS, which are
+    * invariant under node relabeling. */
   private def bfsSql(castType: String): String =
     s"""WITH RECURSIVE e0 AS (
        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS $castType) AS a,
@@ -235,9 +252,15 @@ object GraphOps {
     // |E|-bounded edge table per level instead.
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // Integer-encoded node keys (customer 2k, supplier 2k+1 — the
+    // q297/q151 encoding; the bijection preserves reachability and the
+    // graded output is depth COUNTS, so no string ever needs restoring):
+    // the recursion shuffles the frontier and dedups every level, and
+    // fixed-width longs beat prefixed strings on each of those exchanges.
+    // Seed 'c1' = customer 1 → 2.
     val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     // Pre-shuffle the edge table on the join key ONCE (q151's edgesW
     // discipline): the cached partitioning satisfies every level's join
@@ -252,7 +275,7 @@ object GraphOps {
       .persist().createOrReplaceTempView("edges_bfs")
     s.sql(
       """WITH RECURSIVE reach(node, depth) AS (
-        |  SELECT 'c1' AS node, 0 AS depth
+        |  SELECT CAST(2 AS BIGINT) AS node, 0 AS depth
         |  UNION ALL
         |  SELECT DISTINCT e.b AS node, r.depth + 1 AS depth
         |  FROM reach r JOIN edges_bfs e ON e.a = r.node
